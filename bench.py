@@ -1,0 +1,59 @@
+"""Headline benchmark — runs the certified queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The flagship q_flow_edges anchors the comparison against BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Queries timed every run (headline set). Everything registered is run;
+# these are listed first so their numbers are stable across rounds.
+HEADLINE = ["q_flow_edges"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as e
+    from etl_neptune_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = e.queries()
+
+    # Warm the JVM + parquet footers once so timings measure the queries.
+    queries["q_flow_edges"](spark, sf_dir).count()
+
+    names = HEADLINE + sorted(set(queries) - set(HEADLINE))
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        # count() forces the full plan without driver-side row transfer.
+        queries[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "etl_neptune_spark_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Scalar expression library — native Spark expressions only.
+
+Each helper mirrors a hand-rolled Python transform in the reference
+(SURVEY §2.7) as a JVM-side, codegen-friendly Column expression; none
+of these drop to Python at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec_sum(col: Column | str, precision: int = 28, scale: int = 2) -> Column:
+    """Exact sum of a fixed-point-valued double column, as double.
+
+    Summing doubles is order-dependent (partition/merge order changes the
+    last bits), which makes cross-engine comparison flaky. Routing the
+    sum through decimal arithmetic makes it exact and deterministic for
+    inputs with ≤ ``scale`` fractional digits, at identical JVM cost
+    (decimal sum is still a single partial+final hash aggregate).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def dec_avg(col: Column | str, round_to: int = 4, scale: int = 2) -> Column:
+    """Deterministic mean: exact decimal sum / count, rounded."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(dec_sum(c, scale=scale) / F.count(c), round_to)
+
+
+def safe_div(num: Column, den: Column, default: float = 0.0) -> Column:
+    """Guarded division — the reference's ``errors/calls if calls else 0``
+    pattern (neptune_etl_deepflow.py:511)."""
+    return F.when(den != 0, num / den).otherwise(F.lit(default))
+
+
+def ipv4_to_string(col: Column | str) -> Column:
+    """uint32 → dotted-quad, the ClickHouse ``IPv4NumToString`` the
+    reference leans on (neptune_etl_deepflow.py:144,225,634). Pure
+    bit-arithmetic expression — no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    octets = [F.shiftright(c.cast("bigint"), n).bitwiseAND(F.lit(255)) for n in (24, 16, 8, 0)]
+    return F.concat_ws(".", *[o.cast("string") for o in octets])
+
+
+def sanitize_str(col: Column | str, max_len: int = 256) -> Column:
+    """Escape single quotes and truncate — ``safe_str``
+    (neptune_etl_aws.py:182-183, neptune_etl_deepflow.py:446-447)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.regexp_replace(c, "'", r"\\'"), 1, max_len)
+
+
+def split_part(col: Column | str, sep: str, index: int) -> Column:
+    """n-th segment of a separator-split string (negative = from end) —
+    the queue-URL / ARN suffix extraction family
+    (neptune_etl_aws.py:652,1790-1797; neptune_etl_cfn.py:460-463)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.element_at(F.split(c, sep), index)

@@ -1,0 +1,118 @@
+"""Flow-aggregation plans — the deepflow pipeline's query core.
+
+The reference's flagship query (lambda/etl_deepflow/
+neptune_etl_deepflow.py:633-646) aggregates L7 flow logs per
+(src, dst, port, protocol) with count / avg / p99-quantile /
+conditional-count over a sliding lookback window, keeps groups with
+``HAVING calls >= 2``-style floors, and takes the top-100 by calls.
+Here the ``events`` table plays the flow log (FIXTURES.md): ``user_id``
+→ source key, ``props.k`` → destination key, ``event_type`` →
+protocol, ``value`` → response duration.
+
+All expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd); the lookback anchor is a 1-row broadcast
+aggregate joined in rather than a driver-side collect, so the plan
+stays fully declarative and Catalyst pushes the value/ts filters into
+the parquet scan. At 100 TB this is a single shuffle on the group key
+(partial + final hash aggregate) followed by TakeOrderedAndProject —
+the same shape ClickHouse executes for the reference, but distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dec_avg
+from ..sources import load_table
+from .registry import register
+
+# Deterministic key-space mapping (keeps group counts stable across SF,
+# mirroring the reference's bounded src/dst/port/protocol key space).
+SRC_MOD = 25
+DST_MOD = 8
+ERROR_THRESHOLD = 250.0  # value >= threshold counts as an "error" response
+LOOKBACK_DAYS = 15
+TOP_K = 100
+
+
+def _flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → (src, dst, protocol, value, ts) flow rows, window-filtered.
+
+    Mirrors the reference's WHERE clause (neptune_etl_deepflow.py:640-642):
+    non-null endpoints (``ip4 != 0``), positive duration, self-pairs
+    dropped, sliding lookback on ``time``.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(F.max("ts").alias("max_ts"))  # 1 row → broadcast
+    return (
+        events.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("value") > 0)
+            & (F.col("ts") >= F.col("max_ts") - F.expr(f"INTERVAL {LOOKBACK_DAYS} DAYS"))
+        )
+        .select(
+            (F.col("user_id") % SRC_MOD).cast("bigint").alias("src"),
+            (F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("bigint") % DST_MOD).alias(
+                "dst"
+            ),
+            F.col("event_type").alias("protocol"),
+            F.col("value"),
+            F.col("ts"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def q_flow_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-(src,dst,protocol) call metrics, HAVING floor, top-k.
+
+    SURVEY §2.4 A1 + A3 + A4 + A7, §2.5 W1, §2.2 P5-P7;
+    reference neptune_etl_deepflow.py:633-646.
+    """
+    flows = _flows(spark, sf_dir)
+    agg = flows.groupBy("src", "dst", "protocol").agg(
+        F.count("*").alias("calls"),
+        dec_avg("value").alias("avg_duration_ms"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99_ms"),
+        F.count_if(F.col("value") >= ERROR_THRESHOLD).alias("error_count"),
+    )
+    return (
+        agg.filter(F.col("calls") >= 2)
+        .withColumn(
+            "error_rate",
+            F.round(F.col("error_count") / F.col("calls"), 4),
+        )
+        .orderBy(F.desc("calls"), "src", "dst", "protocol")
+        .limit(TOP_K)
+    )
+
+
+_FLOW_EDGES_SQL = f"""
+WITH bounds AS (SELECT max(ts) AS max_ts FROM events),
+flows AS (
+    SELECT CAST(user_id % {SRC_MOD} AS BIGINT) AS src,
+           TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % {DST_MOD} AS dst,
+           event_type AS protocol,
+           value
+    FROM events, bounds
+    WHERE value > 0
+      AND ts >= max_ts - INTERVAL {LOOKBACK_DAYS} DAY
+)
+SELECT src, dst, protocol,
+       count(*) AS calls,
+       round(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(value), 4)
+           AS avg_duration_ms,
+       round(quantile_cont(value, 0.99), 4) AS p99_ms,
+       count(*) FILTER (WHERE value >= {ERROR_THRESHOLD}) AS error_count,
+       round((count(*) FILTER (WHERE value >= {ERROR_THRESHOLD})) * 1.0 / count(*), 4)
+           AS error_rate
+FROM flows
+WHERE src != dst
+GROUP BY src, dst, protocol
+HAVING count(*) >= 2
+ORDER BY calls DESC, src, dst, protocol
+LIMIT {TOP_K}
+"""
+
+register("q_flow_edges", q_flow_edges, _FLOW_EDGES_SQL)

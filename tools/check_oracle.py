@@ -1,0 +1,123 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each ``__spark_entry__.queries()`` entry on Spark and the matching
+``oracle_sql()`` on DuckDB (same parquet tables as views), then compares
+row-count, schema (column names), and an order-insensitive value
+comparison (columns sorted by name, rows sorted). Use while iterating so
+CORRECTNESS_r{N}.json holds no surprises.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+import pandas as pd
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duckdb={len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns: spark={s_cols} duckdb={d_cols}")
+        return problems
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    if len(s) == len(d):
+        for c in s.columns:
+            sv, dv = s[c], d[c]
+            if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+                sv = pd.to_numeric(sv, errors="coerce")
+                dv = pd.to_numeric(dv, errors="coerce")
+                bad = ~(
+                    (sv.isna() & dv.isna())
+                    | ((sv - dv).abs() <= 1e-9 + 1e-9 * dv.abs())
+                )
+            elif pd.api.types.is_datetime64_any_dtype(sv) or pd.api.types.is_datetime64_any_dtype(dv):
+                bad = pd.to_datetime(sv) != pd.to_datetime(dv)
+            else:
+                bad = sv.astype(str) != dv.astype(str)
+            n_bad = int(bad.sum())
+            if n_bad:
+                i = bad.idxmax()
+                problems.append(
+                    f"col {c}: {n_bad} mismatched values "
+                    f"(first at row {i}: spark={s[c][i]!r} duckdb={d[c][i]!r})"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from etl_neptune_spark.session import get_spark
+
+    spark = get_spark("check_oracle")
+    con = duckdb_conn(sf_dir)
+    queries, oracles = e.queries(), e.oracle_sql()
+
+    failed = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
+            failed.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok?  {name}: rows-only check, {len(spark_pdf)} rows (no oracle)")
+            continue
+        try:
+            duck_pdf = con.execute(sql).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb raised {type(exc).__name__}: {exc}")
+            failed.append(name)
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            print(f"FAIL {name}:")
+            for p in problems:
+                print(f"     {p}")
+            failed.append(name)
+        else:
+            print(f"PASS {name}: {len(spark_pdf)} rows")
+
+    extra_oracles = set(oracles) - set(queries)
+    if extra_oracles:
+        print(f"WARN oracle_sql keys without queries(): {sorted(extra_oracles)}")
+    print(f"\n{len(failed)} failed / {len(queries if not only else only)} checked")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
