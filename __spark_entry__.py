@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Importing the plan modules populates the registry.
 _PLAN_MODULES = [
     "etl_neptune_spark.plans.flow",
+    "etl_neptune_spark.plans.relational",
 ]
 
 

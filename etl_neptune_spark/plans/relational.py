@@ -1,0 +1,756 @@
+"""Relational core plans — projections, filters, scalar functions,
+aggregations, top-k (SURVEY §2.2, §2.4, §2.5, §2.7).
+
+Each query certifies one operator family from the reference, mapped onto
+the driver fixture tables (FIXTURES.md). All expressions are native
+``pyspark.sql.functions`` — JVM-side, codegen-friendly, pushdown-safe.
+Aggregates over doubles route through decimal-exact sums
+(``functions.dec_sum``) so results are bit-identical across engines and
+partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import dec_avg, dec_sum, ipv4_to_string, split_part
+from ..sources import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters
+
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/SRC1 — projection + rename, the collect_* flatten step
+    (neptune_etl_aws.py:372-387)."""
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.lower("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+
+register(
+    "q_scan_project",
+    q_scan_project,
+    """
+    SELECT c_custkey AS id, c_name AS name,
+           lower(c_mktsegment) AS segment, c_acctbal AS acctbal
+    FROM customer
+    """,
+)
+
+
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P10 — equality/state filter (running-only EC2 scan,
+    neptune_etl_aws.py:359-361). Pushed down to the parquet scan."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+register(
+    "q_filter_eq",
+    q_filter_eq,
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
+)
+
+
+def q_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — set-membership filter (namespace allowlist,
+    neptune_etl_deepflow.py:39,333-334)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+register(
+    "q_filter_in",
+    q_filter_in,
+    """
+    SELECT event_id, user_id, event_type FROM events
+    WHERE event_type IN ('click', 'view')
+    """,
+)
+
+
+def q_filter_ne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — inequality/null-ish filter (``ip4 != 0 AND duration > 0``,
+    neptune_etl_deepflow.py:151,640)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("user_id") != 0) & (F.col("value") > 0))
+        .select("event_id", "user_id", "value")
+    )
+
+
+register(
+    "q_filter_ne",
+    q_filter_ne,
+    "SELECT event_id, user_id, value FROM events WHERE user_id != 0 AND value > 0",
+)
+
+
+def q_selfjoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — self-pair rejection (``ip4_0 != ip4_1`` / src==dst skip,
+    neptune_etl_deepflow.py:642,682-683)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.col("user_id") % 25).cast("bigint").alias("src"),
+            (F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("bigint") % 8).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+register(
+    "q_selfjoin_filter",
+    q_selfjoin_filter,
+    """
+    SELECT DISTINCT CAST(user_id % 25 AS BIGINT) AS src,
+           TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 8 AS dst
+    FROM events
+    WHERE CAST(user_id % 25 AS BIGINT)
+          != TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 8
+    """,
+)
+
+
+def q_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/F2/F3/ST2 — sliding lookback window anchored at max(ts)
+    (``time > now() - INTERVAL_MIN*60``, neptune_etl_deepflow.py:150,641).
+    The anchor is a 1-row broadcast aggregate, not a driver collect."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 5 DAYS"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(dec_sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+register(
+    "q_time_window",
+    q_time_window,
+    """
+    WITH bounds AS (SELECT max(ts) AS max_ts FROM events)
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE), 2) AS total_value
+    FROM events, bounds
+    WHERE ts >= max_ts - INTERVAL 5 DAY
+    GROUP BY event_type
+    """,
+)
+
+
+def q_filter_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/F8 — multi-clause validity predicate (`_is_valid_svc_name`:
+    no ARN prefix, no slash, bounded length;
+    neptune_etl_deepflow.py:685-691). A deterministic corruption step
+    fabricates the invalid rows the fixture lacks."""
+    withbad = load_table(spark, sf_dir, "customer").withColumn(
+        "svc_name",
+        F.when(F.col("c_custkey") % 7 == 0, F.concat(F.lit("arn:aws:"), F.col("c_name")))
+        .when(F.col("c_custkey") % 11 == 0, F.concat(F.col("c_name"), F.lit("/pod")))
+        .otherwise(F.col("c_name")),
+    )
+    return (
+        withbad.filter(
+            (~F.col("svc_name").startswith("arn:"))
+            & (~F.col("svc_name").contains("/"))
+            & (F.length("svc_name") <= 64)
+        )
+        .select("c_custkey", "svc_name")
+    )
+
+
+register(
+    "q_filter_valid",
+    q_filter_valid,
+    """
+    WITH named AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'arn:aws:' || c_name
+                    WHEN c_custkey % 11 = 0 THEN c_name || '/pod'
+                    ELSE c_name END AS svc_name
+        FROM customer
+    )
+    SELECT c_custkey, svc_name FROM named
+    WHERE svc_name NOT LIKE 'arn:%'
+      AND svc_name NOT LIKE '%/%'
+      AND length(svc_name) <= 64
+    """,
+)
+
+
+def q_filter_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — keyword-denylist predicate (CDK-internal node skip,
+    neptune_etl_aws.py:1183-1207) as a regex alternation."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(~F.col("p_name").rlike("bolt|rod|nut"))
+        .select("p_partkey", "p_name")
+    )
+
+
+register(
+    "q_filter_denylist",
+    q_filter_denylist,
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE NOT regexp_matches(p_name, 'bolt|rod|nut')
+    """,
+)
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — HAVING floor on an aggregate (``HAVING calls >= 2``,
+    neptune_etl_deepflow.py:645)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") >= 70)
+    )
+
+
+register(
+    "q_having",
+    q_having,
+    "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id HAVING count(*) >= 70",
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 top-k / argmax
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — top-k by measure with deterministic tiebreak
+    (``ORDER BY calls DESC LIMIT 100``, neptune_etl_deepflow.py:645).
+    Spark plans TakeOrderedAndProject — no global sort."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .orderBy(F.desc("value"), "event_id")
+        .limit(50)
+    )
+
+
+register(
+    "q_topk",
+    q_topk,
+    "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 50",
+)
+
+
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/W2 — latest-value-per-key (sort CloudWatch datapoints by
+    Timestamp, take last — neptune_etl_aws.py:795-796,1018-1019) via a
+    ranking window with a unique tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )
+
+
+register(
+    "q_argmax",
+    q_argmax,
+    """
+    SELECT user_id, value AS last_value, event_type AS last_event_type
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+
+
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — distinct-key dedup (`nodes_set[name] = {...}`,
+    neptune_etl_deepflow.py:660-695)."""
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+register(
+    "q_dedup",
+    q_dedup,
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+
+
+def q_l7_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 — rate + approximate-quantile metric block per protocol
+    (p50/p99/rps/error-rate, neptune_etl_deepflow.py:143-153). The
+    reference's ClickHouse ``quantile`` is approximate; Spark's exact
+    ``percentile`` is used so the oracle can certify values (the
+    ``percentile_approx`` fast path is exposed separately)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.count("*") / 300.0, 4).alias("rps"),
+            F.round(F.percentile("value", 0.5), 4).alias("p50_ms"),
+            F.round(F.percentile("value", 0.99), 4).alias("p99_ms"),
+            F.round(F.count_if(F.col("value") >= 250.0) / F.count("*"), 4).alias(
+                "error_rate"
+            ),
+        )
+    )
+
+
+register(
+    "q_l7_metrics",
+    q_l7_metrics,
+    """
+    SELECT event_type,
+           round(count(*) / 300.0, 4) AS rps,
+           round(quantile_cont(value, 0.5), 4) AS p50_ms,
+           round(quantile_cont(value, 0.99), 4) AS p99_ms,
+           round((count(*) FILTER (WHERE value >= 250.0)) * 1.0 / count(*), 4) AS error_rate
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+def q_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — conditional counts (``countIf(response_status >= 1)``,
+    neptune_etl_deepflow.py:148,637)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("value") >= 100.0).alias("n_slow"),
+            F.count_if(F.col("value") < 10.0).alias("n_fast"),
+        )
+    )
+
+
+register(
+    "q_countif",
+    q_countif,
+    """
+    SELECT event_type, count(*) AS n,
+           count(*) FILTER (WHERE value >= 100.0) AS n_slow,
+           count(*) FILTER (WHERE value < 10.0) AS n_fast
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+def q_sumif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — conditional sums, three metric groups in one pass
+    (``sumIf(value, name IN (...))``, neptune_etl_deepflow.py:179-191)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def sum_if(cond):
+        return F.sum(F.when(cond, F.col("value")).cast("decimal(28,2)")).cast("double")
+
+    return (
+        ev.withColumn("bucket", (F.col("user_id") % 10).cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.round(sum_if(F.col("event_type").isin("click", "view")), 2).alias("traffic_value"),
+            F.round(sum_if(F.col("event_type") == "error"), 2).alias("error_value"),
+            F.round(sum_if(F.col("event_type").isin("signup", "purchase")), 2).alias(
+                "conversion_value"
+            ),
+        )
+    )
+
+
+register(
+    "q_sumif",
+    q_sumif,
+    """
+    SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+           round(CAST(sum(CAST(CASE WHEN event_type IN ('click','view') THEN value END
+                 AS DECIMAL(28,2))) AS DOUBLE), 2) AS traffic_value,
+           round(CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END
+                 AS DECIMAL(28,2))) AS DOUBLE), 2) AS error_value,
+           round(CAST(sum(CAST(CASE WHEN event_type IN ('signup','purchase') THEN value END
+                 AS DECIMAL(28,2))) AS DOUBLE), 2) AS conversion_value
+    FROM events GROUP BY CAST(user_id % 10 AS BIGINT)
+    """,
+)
+
+
+def q_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — plain sums (``sum(syn_count)``,
+    neptune_etl_deepflow.py:224-231) plus a derived revenue product,
+    decimal-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return li.groupBy("l_suppkey").agg(
+        F.round(dec_sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+    )
+
+
+register(
+    "q_sum",
+    q_sum,
+    """
+    SELECT l_suppkey,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), 2) AS total_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DOUBLE), 2) AS revenue
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+
+
+def q_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — guarded post-aggregation ratio (``error_rate = errors/calls``
+    with div-by-0 guard, neptune_etl_deepflow.py:511)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        )
+        .withColumn(
+            "finish_ratio",
+            F.when(
+                F.col("n_orders") > 0,
+                F.round(F.col("n_finished") / F.col("n_orders"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+register(
+    "q_ratio",
+    q_ratio,
+    """
+    SELECT o_custkey, count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CASE WHEN count(*) > 0
+                THEN round((count(*) FILTER (WHERE o_orderstatus = 'F')) * 1.0 / count(*), 4)
+                ELSE 0.0 END AS finish_ratio
+    FROM orders GROUP BY o_custkey
+    """,
+)
+
+
+def q_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — max aggregates (max restartCount per service,
+    neptune_etl_deepflow.py:363-367). Picking, not summing — no fp
+    ordering concerns."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.max("l_quantity").alias("max_qty"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+register(
+    "q_max",
+    q_max,
+    """
+    SELECT l_partkey, max(l_quantity) AS max_qty, max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+
+
+def q_bool_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — boolean OR aggregate (per-service throttle flag ``|=`` across
+    pods, neptune_etl_deepflow.py:202-215)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.bool_or((F.col("event_type") == "error") & (F.col("value") >= 250.0)).alias(
+                "any_hard_error"
+            ),
+            F.bool_or(F.col("value") >= 400.0).alias("any_throttled"),
+        )
+    )
+
+
+register(
+    "q_bool_or",
+    q_bool_or,
+    """
+    SELECT user_id,
+           bool_or(event_type = 'error' AND value >= 250.0) AS any_hard_error,
+           bool_or(value >= 400.0) AS any_throttled
+    FROM events GROUP BY user_id
+    """,
+)
+
+
+def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/S3/SNK5 — set-cardinality property rebuild (service → set of
+    AZs, drop+rewrite, neptune_etl_deepflow.py:709-746). Rendered as a
+    sorted joined string so the certified value is order-stable."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("az_set"),
+            F.countDistinct("n_name").alias("az_count"),
+        )
+    )
+
+
+register(
+    "q_collect_set",
+    q_collect_set,
+    """
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS az_set,
+           count(DISTINCT n_name) AS az_count
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Scalar functions
+
+
+def q_ipv4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — uint32 → dotted-quad rendering (``IPv4NumToString``,
+    neptune_etl_deepflow.py:144,634) as pure bit arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    ip_num = (F.lit(3232235520) + F.col("user_id") * 7777) % F.lit(4294967296)
+    return ev.select(
+        "user_id",
+        ip_num.cast("bigint").alias("ip_num"),
+        ipv4_to_string(ip_num).alias("ip"),
+    )
+
+
+register(
+    "q_ipv4",
+    q_ipv4,
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    n AS (SELECT user_id, CAST((3232235520 + user_id * 7777) % 4294967296 AS BIGINT) AS ip_num
+          FROM u)
+    SELECT user_id, ip_num,
+           CAST((ip_num >> 24) & 255 AS VARCHAR) || '.' ||
+           CAST((ip_num >> 16) & 255 AS VARCHAR) || '.' ||
+           CAST((ip_num >> 8) & 255 AS VARCHAR) || '.' ||
+           CAST(ip_num & 255 AS VARCHAR) AS ip
+    FROM n
+    """,
+)
+
+
+def q_unitconv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — unit conversion + rounding (bytes/300 s → Mbps ×8, µs → ms,
+    neptune_etl_aws.py:915-919; neptune_etl_deepflow.py:145-146)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(dec_sum("value") * 8.0 / 300.0 / 1000000.0, 6).alias("mbps"),
+            F.round(dec_sum("value") / F.count("*") / 1000.0, 4).alias("avg_ms"),
+        )
+    )
+
+
+register(
+    "q_unitconv",
+    q_unitconv,
+    """
+    SELECT event_type,
+           round(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) * 8.0 / 300.0 / 1000000.0, 6)
+               AS mbps,
+           round(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*) / 1000.0, 4)
+               AS avg_ms
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+def q_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F9 — char-class normalize + truncate (``safe_str`` +
+    metric-id mangling, neptune_etl_aws.py:182-183,933)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]", "_"), 1, 64
+        ).alias("clean"),
+    )
+
+
+register(
+    "q_sanitize",
+    q_sanitize,
+    """
+    SELECT doc_id,
+           substr(regexp_replace(lower(text), '[^a-z0-9]', '_', 'g'), 1, 64) AS clean
+    FROM documents
+    """,
+)
+
+
+def q_splitpart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — split-part extraction (queue URL / ARN / image-tag suffix
+    slicing, neptune_etl_aws.py:652,1790-1797,2022)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        split_part("c_name", "#", -1).cast("bigint").alias("name_id"),
+        split_part("c_name", "#", 1).alias("name_prefix"),
+    )
+
+
+register(
+    "q_splitpart",
+    q_splitpart,
+    """
+    SELECT c_custkey,
+           CAST(split_part(c_name, '#', -1) AS BIGINT) AS name_id,
+           split_part(c_name, '#', 1) AS name_prefix
+    FROM customer
+    """,
+)
+
+
+def q_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — case mapping (``lower()`` dlq check, ``capitalize()``
+    tier0→Tier0, neptune_etl_aws.py:668,343-345)."""
+    s = load_table(spark, sf_dir, "supplier")
+    lowered = F.lower("s_name")
+    return s.select(
+        "s_suppkey",
+        lowered.alias("lname"),
+        F.concat(
+            F.upper(F.substring(lowered, 1, 1)), F.expr("lower(substring(s_name, 2))")
+        ).alias("capitalized"),
+    )
+
+
+register(
+    "q_case",
+    q_case,
+    """
+    SELECT s_suppkey, lower(s_name) AS lname,
+           upper(substr(lower(s_name), 1, 1)) || lower(substr(s_name, 2)) AS capitalized
+    FROM supplier
+    """,
+)
+
+
+def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — regex extraction (``${LogicalId}`` scan,
+    neptune_etl_cfn.py:211-219): trailing-digit id from an entity name."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)$", 1).cast("bigint").alias("extracted_id"),
+    )
+
+
+register(
+    "q_regex",
+    q_regex,
+    """
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS extracted_id
+    FROM customer
+    """,
+)
+
+
+def q_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — JSON field extraction (``RedrivePolicy`` parse,
+    neptune_etl_aws.py:669-677)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+register(
+    "q_json_get",
+    q_json_get,
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+
+
+def q_tags_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13/W3 — tag list→map pivot + precedence lookup
+    (``{t.Key: t.Value}`` then ``Tier``-or-``tier``,
+    neptune_etl_aws.py:311-352). The map is built with
+    ``map_from_entries`` and read with precedence ``coalesce``."""
+    cust = load_table(spark, sf_dir, "customer")
+    def tag(key: Column, value: Column) -> Column:
+        return F.struct(key.alias("key"), value.alias("value"))
+
+    tags = F.map_from_entries(
+        F.array(
+            tag(F.lit("Name"), F.col("c_name")),
+            tag(F.lit("segment"), F.col("c_mktsegment")),
+            tag(
+                F.lit("Tier"),
+                F.when(
+                    F.col("c_custkey") % 3 == 0,
+                    F.concat(F.lit("tier"), (F.col("c_custkey") % 4).cast("string")),
+                ).otherwise(F.lit(None).cast("string")),
+            ),
+        )
+    )
+    return cust.withColumn("tags", tags).select(
+        "c_custkey",
+        F.coalesce(F.col("tags")["Tier"], F.col("tags")["tier"], F.lit("unknown")).alias(
+            "tier"
+        ),
+        F.col("tags")["segment"].alias("segment"),
+    )
+
+
+register(
+    "q_tags_map",
+    q_tags_map,
+    """
+    SELECT c_custkey,
+           coalesce(CASE WHEN c_custkey % 3 = 0
+                         THEN 'tier' || CAST(c_custkey % 4 AS VARCHAR) END,
+                    'unknown') AS tier,
+           c_mktsegment AS segment
+    FROM customer
+    """,
+)
