@@ -20,6 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _PLAN_MODULES = [
     "etl_neptune_spark.plans.flow",
     "etl_neptune_spark.plans.relational",
+    "etl_neptune_spark.plans.joins",
+    "etl_neptune_spark.plans.graph",
 ]
 
 

@@ -1,0 +1,88 @@
+"""Keyed MERGE (upsert) — the engine's central mutation primitive.
+
+The reference maintains its whole property graph through idempotent
+get-or-create merges: Gremlin ``mergeV`` keyed ``(label, name)`` with
+distinct ``onCreate``/``onMatch`` property sets
+(lambda/etl_aws/neptune_etl_aws.py:209-253), chained batch variants
+(lambda/etl_deepflow/neptune_etl_deepflow.py:451-501), and
+``coalesce(inE…, addE…)`` for edges (neptune_etl_aws.py:255-275).
+Three semantics matter — and were production bug sources there:
+
+1. **onCreate ≠ onMatch** — create-only columns (e.g. ``name``,
+   ``created_at``) must never be rewritten on match
+   (neptune_etl_aws.py:225-227).
+2. **None-preserving updates** — an incoming NULL must not clobber an
+   existing value (optional props dropped before upsert,
+   neptune_etl_aws.py:332, 1457-1462).
+3. **Single-cardinality (last-write-wins) scalars** — omitting
+   ``property(single, …)`` produced list-cardinality corruption the
+   reference later had to repair (fix_neptune_data.py:32-68). Here a
+   column is structurally scalar; set-valued props are explicit
+   ``collect_set`` columns.
+
+Spark-first realization: one full-outer shuffle join on the key with
+column-wise ``coalesce`` — no Delta/transaction dependency, pure
+DataFrame, idempotent (re-merging the same batch is a no-op).
+
+Scale posture (100 TB): the merge is a single co-partitioned
+sort-merge join; with both sides bucketed/pre-partitioned by the key
+(``df.repartition(n, *keys)`` upstream, or bucketed tables) it runs
+shuffle-free. AQE handles skewed keys. No driver-side state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_keyed(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] = (),
+    create_only_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge ``incoming`` into ``existing`` on ``keys``.
+
+    - ``update_cols``: last-write-wins from incoming, but None-preserving
+      (``coalesce(incoming, existing)``) — mergeV ``onMatch`` +
+      ``property(single, …)``.
+    - ``create_only_cols``: set on insert, never rewritten on match
+      (``coalesce(existing, incoming)``) — mergeV ``onCreate``.
+    - Rows present only in ``existing`` survive untouched (merge never
+      deletes; deletion is the GC operator's job).
+    - Column order of the output: keys, then update_cols, then
+      create_only_cols.
+    """
+    missing = [c for c in (*update_cols, *create_only_cols) if c not in set(existing.columns) | set(incoming.columns)]
+    if missing:
+        raise ValueError(f"merge columns not present in either side: {missing}")
+
+    value_cols = [*update_cols, *create_only_cols]
+
+    # Column-rename isolation instead of DataFrame-object references:
+    # re-merging a merge output against one of its own inputs is the
+    # normal streaming loop, and object references make Spark reject
+    # that as an ambiguous self-join.
+    def side(df: DataFrame, prefix: str) -> DataFrame:
+        picked = []
+        for k in keys:
+            picked.append(F.col(k).alias(f"{prefix}{k}"))
+        for c in value_cols:
+            src = F.col(c) if c in df.columns else F.lit(None)
+            picked.append(src.alias(f"{prefix}{c}"))
+        return df.select(*picked)
+
+    ex = side(existing, "__ex_")
+    inc = side(incoming, "__inc_")
+
+    cond = [F.col(f"__ex_{k}").eqNullSafe(F.col(f"__inc_{k}")) for k in keys]
+    joined = ex.join(inc, cond, "full_outer")
+
+    out = [F.coalesce(f"__ex_{k}", f"__inc_{k}").alias(k) for k in keys]
+    out += [F.coalesce(f"__inc_{c}", f"__ex_{c}").alias(c) for c in update_cols]
+    out += [F.coalesce(f"__ex_{c}", f"__inc_{c}").alias(c) for c in create_only_cols]
+    return joined.select(*out)

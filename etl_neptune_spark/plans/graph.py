@@ -1,0 +1,342 @@
+"""Graph-table plans — keyed upserts, metric join-updates, multi-writer
+convergence, last-write-wins, and degree metrics (SURVEY §2.1 SNK1-SNK5,
+§2.4 A13-A14, §2.8 ST3/ST6).
+
+The property graph lives as nodes/edges DataFrames keyed ``(label,
+name)`` / ``(src, dst, edge_label)`` (SURVEY §1.4); every mutation is
+the ``operators.merge.merge_keyed`` full-outer-coalesce MERGE, mirroring
+Gremlin mergeV/mergeE semantics without a transactional store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dec_avg
+from ..operators import degree_metrics, merge_keyed
+from ..sources import load_table
+from .flow import _flows
+from .registry import register
+
+
+def q_upsert_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK1/F14 — vertex upsert with distinct onCreate/onMatch column
+    sets and None-preserving updates (mergeV,
+    neptune_etl_aws.py:209-253): the incoming batch overwrites the
+    metric column, must NOT clobber with its NULL segment, and must NOT
+    rewrite the create-only batch stamp."""
+    cust = load_table(spark, sf_dir, "customer")
+    existing = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        F.lit("Customer").alias("label"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(1).alias("created_batch"),
+    )
+    incoming = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.lit("Customer").alias("label"),
+        F.col("c_name").alias("name"),
+        # decimal-exact ×1.1 so the rounded value is engine-independent
+        F.round(
+            F.col("c_acctbal").cast("decimal(18,2)") * F.lit("1.1").cast("decimal(3,1)"), 2
+        )
+        .cast("double")
+        .alias("acctbal"),
+        F.lit(None).cast("string").alias("segment"),  # must not clobber
+        F.lit(2).alias("created_batch"),
+    )
+    return merge_keyed(
+        existing,
+        incoming,
+        keys=["label", "name"],
+        update_cols=["acctbal", "segment"],
+        create_only_cols=["created_batch"],
+    )
+
+
+register(
+    "q_upsert_nodes",
+    q_upsert_nodes,
+    """
+    WITH existing AS (
+        SELECT 'Customer' AS label, c_name AS name, c_acctbal AS acctbal,
+               c_mktsegment AS segment, 1 AS created_batch
+        FROM customer WHERE c_custkey % 3 != 0
+    ),
+    incoming AS (
+        SELECT 'Customer' AS label, c_name AS name,
+               CAST(round(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)), 2)
+                    AS DOUBLE) AS acctbal,
+               CAST(NULL AS VARCHAR) AS segment, 2 AS created_batch
+        FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT coalesce(e.label, i.label) AS label,
+           coalesce(e.name, i.name) AS name,
+           coalesce(i.acctbal, e.acctbal) AS acctbal,
+           coalesce(i.segment, e.segment) AS segment,
+           coalesce(e.created_batch, i.created_batch) AS created_batch
+    FROM existing e FULL OUTER JOIN incoming i
+      ON e.label = i.label AND e.name = i.name
+    """,
+)
+
+
+def q_upsert_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK2/ST5 — edge get-or-create keyed (src, dst, label) with
+    metric overwrite + activity stamp (coalesce(inE…, addE…) then
+    last-write-wins props, neptune_etl_aws.py:255-275;
+    neptune_etl_deepflow.py:503-534). Two micro-batches (split by
+    event_id parity) merge into one edge table: calls/last_seen updated
+    by the newer batch, first_seen_batch kept from the older."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def batch(parity: int, stamp: int) -> DataFrame:
+        return (
+            ev.filter(F.col("event_id") % 2 == parity)
+            .groupBy(
+                (F.col("user_id") % 25).cast("bigint").alias("src"),
+                (
+                    F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("bigint") % 8
+                ).alias("dst"),
+            )
+            .agg(F.count("*").alias("calls"))
+            .withColumn("edge_label", F.lit("Calls"))
+            .withColumn("last_seen_batch", F.lit(stamp))
+            .withColumn("first_seen_batch", F.lit(stamp))
+        )
+
+    return merge_keyed(
+        batch(0, 1),
+        batch(1, 2),
+        keys=["src", "dst", "edge_label"],
+        update_cols=["calls", "last_seen_batch"],
+        create_only_cols=["first_seen_batch"],
+    )
+
+
+register(
+    "q_upsert_edges",
+    q_upsert_edges,
+    """
+    WITH b0 AS (
+        SELECT CAST(user_id % 25 AS BIGINT) AS src,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 8 AS dst,
+               'Calls' AS edge_label, count(*) AS calls,
+               1 AS last_seen_batch, 1 AS first_seen_batch
+        FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
+    ),
+    b1 AS (
+        SELECT CAST(user_id % 25 AS BIGINT) AS src,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 8 AS dst,
+               'Calls' AS edge_label, count(*) AS calls,
+               2 AS last_seen_batch, 2 AS first_seen_batch
+        FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2
+    )
+    SELECT coalesce(b0.src, b1.src) AS src,
+           coalesce(b0.dst, b1.dst) AS dst,
+           coalesce(b0.edge_label, b1.edge_label) AS edge_label,
+           coalesce(b1.calls, b0.calls) AS calls,
+           coalesce(b1.last_seen_batch, b0.last_seen_batch) AS last_seen_batch,
+           coalesce(b0.first_seen_batch, b1.first_seen_batch) AS first_seen_batch
+    FROM b0 FULL OUTER JOIN b1
+      ON b0.src = b1.src AND (b0.dst = b1.dst OR (b0.dst IS NULL AND b1.dst IS NULL))
+     AND b0.edge_label = b1.edge_label
+    """,
+)
+
+
+def q_metric_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK3/J10 — in-place metric join-update: match nodes by key,
+    overwrite only metric columns, default when no metrics arrived
+    (update_ec2_metrics, neptune_etl_aws.py:1087-1099;
+    batch_fetch_dependency_and_update, neptune_etl_deepflow.py:536-617)."""
+    cust = load_table(spark, sf_dir, "customer")
+    metrics = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            dec_avg("value", round_to=2).alias("avg_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return (
+        cust.join(metrics, cust.c_custkey == metrics.user_id, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("avg_value"), F.lit(0.0)).alias("avg_value"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+register(
+    "q_metric_update",
+    q_metric_update,
+    """
+    WITH metrics AS (
+        SELECT user_id,
+               round(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(value), 2)
+                   AS avg_value,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT c_custkey, c_name,
+           coalesce(avg_value, 0.0) AS avg_value,
+           coalesce(n_events, 0) AS n_events
+    FROM customer LEFT JOIN metrics ON c_custkey = user_id
+    """,
+)
+
+
+def q_multi_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/ST6 — three pipelines at different cadences converge on one
+    keyed store with per-source column ownership (aws topology writer +
+    deepflow traffic writer + cfn dependency writer all upserting the
+    same (label,name) vertices; neptune_etl_aws.py:1227-1241 vs
+    neptune_etl_deepflow.py:451-501 vs neptune_etl_cfn.py:356-366).
+    Commutative because each writer owns disjoint columns."""
+    key = F.col("node_key")
+    aws = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("node_key"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    deepflow = (
+        load_table(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 25).cast("bigint").alias("node_key"))
+        .agg(F.count("*").alias("n_calls"))
+    )
+    cfn = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").cast("bigint").alias("node_key"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    merged = merge_keyed(
+        merge_keyed(aws, deepflow, keys=["node_key"], update_cols=["n_customers", "n_calls"]),
+        cfn,
+        keys=["node_key"],
+        update_cols=["n_customers", "n_calls", "n_suppliers"],
+    )
+    return merged.select(
+        key,
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_calls", F.lit(0)).alias("n_calls"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+register(
+    "q_multi_writer",
+    q_multi_writer,
+    """
+    WITH aws AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS node_key, count(*) AS n_customers
+        FROM customer GROUP BY 1
+    ),
+    deepflow AS (
+        SELECT CAST(user_id % 25 AS BIGINT) AS node_key, count(*) AS n_calls
+        FROM events GROUP BY 1
+    ),
+    cfn AS (
+        SELECT CAST(s_nationkey AS BIGINT) AS node_key, count(*) AS n_suppliers
+        FROM supplier GROUP BY 1
+    )
+    SELECT coalesce(aws.node_key, deepflow.node_key, cfn.node_key) AS node_key,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_calls, 0) AS n_calls,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM aws
+    FULL OUTER JOIN deepflow ON aws.node_key = deepflow.node_key
+    FULL OUTER JOIN cfn ON coalesce(aws.node_key, deepflow.node_key) = cfn.node_key
+    """,
+)
+
+
+def q_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 — last-write-wins keyed state across micro-batches
+    (``property(single, …)`` + last_updated stamps,
+    neptune_etl_aws.py:232-238; the cardinality bug the reference had
+    to repair in production, fix_neptune_data.py:32-68). Two batches
+    union, then ``max_by`` over the (ts, event_id) total order picks the
+    newest value per key."""
+    ev = load_table(spark, sf_dir, "events")
+    batches = ev.filter(F.col("event_id") % 2 == 0).unionByName(
+        ev.filter(F.col("event_id") % 2 == 1)
+    )
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return batches.groupBy("user_id").agg(
+        F.max_by("value", order).alias("last_value"),
+        F.max_by("event_type", order).alias("last_event_type"),
+        F.max("ts").alias("last_updated"),
+    )
+
+
+register(
+    "q_lww",
+    q_lww,
+    """
+    SELECT user_id, value AS last_value, event_type AS last_event_type,
+           max_ts AS last_updated
+    FROM (
+        SELECT *, max(ts) OVER (PARTITION BY user_id) AS max_ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+
+
+def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13/A14 — per-node degree metrics + derived flags from the Calls
+    edge table: out/in degree, db-dependency count, entry-point flag —
+    the reference's 4-queries-merged-into-one project() pass
+    (neptune_etl_deepflow.py:540-568; OPTIMIZATION-CHANGELOG.md:44)."""
+    edges = (
+        _flows(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("calls"))
+    )
+    return degree_metrics(
+        edges,
+        src="src",
+        dst="dst",
+        weight="calls",
+        dst_label_filters={"db": F.col("dst").isin(0, 1)},
+    )
+
+
+register(
+    "q_degrees",
+    q_degrees,
+    """
+    WITH bounds AS (SELECT max(ts) AS max_ts FROM events),
+    flows AS (
+        SELECT CAST(user_id % 25 AS BIGINT) AS src,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 8 AS dst
+        FROM events, bounds
+        WHERE value > 0 AND ts >= max_ts - INTERVAL 15 DAY
+    ),
+    edges AS (
+        SELECT src, dst, count(*) AS calls FROM flows
+        WHERE src != dst GROUP BY src, dst
+    ),
+    outs AS (
+        SELECT src AS node, count(*) AS out_degree, sum(calls) AS out_weight,
+               count(*) FILTER (WHERE dst IN (0, 1)) AS db_count
+        FROM edges GROUP BY src
+    ),
+    ins AS (
+        SELECT dst AS node, count(*) AS in_degree FROM edges GROUP BY dst
+    )
+    SELECT coalesce(outs.node, ins.node) AS node,
+           coalesce(out_degree, 0) AS out_degree,
+           coalesce(in_degree, 0) AS in_degree,
+           coalesce(out_weight, 0) AS out_weight,
+           coalesce(db_count, 0) AS db_count,
+           coalesce(in_degree, 0) = 0 AS is_entry_point,
+           coalesce(db_count, 0) > 0 AS has_db_dependency
+    FROM outs FULL OUTER JOIN ins ON outs.node = ins.node
+    """,
+)
