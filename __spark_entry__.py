@@ -22,6 +22,7 @@ _PLAN_MODULES = [
     "etl_neptune_spark.plans.relational",
     "etl_neptune_spark.plans.joins",
     "etl_neptune_spark.plans.graph",
+    "etl_neptune_spark.plans.llm",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+No reference counterpart (BASELINE.json north star). All native
+expressions — a 100 TB corpus pass stays entirely inside whole-stage
+codegen with per-row cost independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny marker-word lists per language — the classical stopword-hit
+# heuristic (real deployments swap in proper n-gram profiles; the
+# operator shape — score per language, argmax with deterministic
+# tiebreak — is what matters).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+}
+
+# BPE-ish pre-tokenizer: word pieces, digit runs, or single punctuation.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _marker_hits(words: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax of marker-hit counts with
+    deterministic tiebreak ('und' when no marker hits at all)."""
+    words = F.split(F.lower(text), " ")
+    scored = F.array(
+        *[
+            F.struct(
+                _marker_hits(words, marks).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang, marks in LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality signals: length, word stats, stopword ratio,
+    alpha ratio, plus a blended 0-1 score."""
+    text = F.col(text_col)
+    words = F.split(F.lower(text), " ")
+    n_chars = F.length(text)
+    n_words = F.size(words)
+    stop_hits = _marker_hits(words, LANG_MARKERS["en"])
+    alpha_chars = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    avg_word_len = F.round(
+        (n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1)), 4
+    )
+    stop_ratio = F.round(stop_hits / F.greatest(n_words, F.lit(1)), 4)
+    alpha_ratio = F.round(alpha_chars / F.greatest(n_chars, F.lit(1)), 4)
+    # Blend: favor mid-length docs with healthy stopword density. The
+    # weighted sum runs in decimal so the rounded score is identical
+    # under any summation order / engine.
+    dec = "decimal(8,4)"
+    len_term = F.least(n_words / F.lit(100.0), F.lit(1.0)).cast(dec)
+    stop_term = F.least(
+        (stop_ratio.cast(dec) * F.lit("5").cast("decimal(2,0)")).cast(dec),
+        F.lit("1").cast(dec),
+    )
+    score = F.round(
+        len_term * F.lit("0.4").cast("decimal(2,1)")
+        + stop_term * F.lit("0.3").cast("decimal(2,1)")
+        + alpha_ratio.cast(dec) * F.lit("0.3").cast("decimal(2,1)"),
+        4,
+    ).cast("double")
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace tokens, BPE-ish regex tokens, and the chars/4
+    estimator — the three cheap token-budget estimates."""
+    text = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(text, " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).alias("re_tokens"),
+        (F.length(text) / 4).cast("bigint").alias("est_tokens"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum hash over the
+    rolling word n-gram windows (one representative hash per doc —
+    equal fingerprints ⇒ near-identical prefixes of content)."""
+    from .dedup import word_shingles
+
+    sh = word_shingles(F.col(text_col), n)
+    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(fp, F.md5(F.lower(F.col(text_col)))).alias("fingerprint"),
+    )

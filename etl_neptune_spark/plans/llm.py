@@ -1,0 +1,392 @@
+"""Certified queries for the training-data-pipeline operators (no
+reference counterpart — BASELINE.json north star): dedup family,
+similarity search, text analysis. Operators live in
+``operators.dedup`` / ``operators.similarity`` / ``operators.text``;
+these plans bind them to the driver fixture tables and express each as
+DuckDB-checkable SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
+from ..operators.similarity import brute_force_topk, cosine_neardup_pairs, lsh_topk
+from ..operators.text import fingerprint, lang_id, quality_features, token_counts
+from ..sources import load_table
+from .registry import register
+
+# DuckDB fragment: distinct word-3-gram shingles of lower(text).
+_SH_SQL = """
+    list_distinct(list_transform(
+        range(1, greatest(len(string_split(lower(text), ' ')) - 2, 0) + 1),
+        i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' ')))
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hash dedup. The fixture has no byte-identical dups, so a
+    deterministic duplication step (every 10th doc re-ingested under a
+    new id) fabricates them — mirroring a re-crawled corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    redub = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return exact_dedup(docs.unionByName(redub))
+
+
+register(
+    "q_dedup_exact",
+    q_dedup_exact,
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM corpus GROUP BY md5(text)
+    """,
+)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12)+LSH(6 bands × 2) candidate generation with exact
+    shingle-Jaccard verification at ≥ 0.5 — finds the corpus's planted
+    near-duplicate pairs without an all-pairs comparison."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "q_dedup_minhash",
+    q_dedup_minhash,
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_SH_SQL} AS sh FROM documents
+    ),
+    nonempty AS (SELECT * FROM sh WHERE len(sh) > 0),
+    sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 12),
+                   j -> list_min(list_transform(sh,
+                        s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
+        FROM nonempty
+    ),
+    bands AS (
+        SELECT doc_id, t.range AS band,
+               md5(array_to_string(sig[t.range*2+1 : t.range*2+2], '|')) AS band_hash
+        FROM sigs, range(0, 6) t
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+    FROM cands
+    JOIN sigs sa ON sa.doc_id = id_a
+    JOIN sigs sb ON sb.doc_id = id_b
+    WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.5
+    """,
+)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ 0.5 — the quadratic ground
+    truth the LSH path must reproduce (and does: same output)."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "q_ngram_jaccard",
+    q_ngram_jaccard,
+    f"""
+    WITH sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+    nonempty AS (SELECT * FROM sh WHERE len(sh) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+                / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+    """,
+)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures + hamming-0 bucket sizes."""
+    return simhash_groups(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "q_dedup_simhash",
+    q_dedup_simhash,
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               array_to_string(list_transform(range(1, 17), p ->
+                   CASE WHEN list_sum(list_transform(string_split(lower(text), ' '),
+                        w -> CASE WHEN substr(md5(w), p, 1) IN
+                                  ('1','3','5','7','9','b','d','f')
+                             THEN 1 ELSE -1 END)) > 0
+                   THEN '1' ELSE '0' END), '') AS simhash
+        FROM documents
+    )
+    SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same
+    FROM sh
+    """,
+)
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4)."""
+    return cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+_COS_SQL = """
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+scored AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+               list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))),
+               4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4
+"""
+
+register("q_embed_neardup", q_embed_neardup, _COS_SQL)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a query subset (vec_id % 50 = 0) —
+    the exact ANN baseline; queries broadcast, corpus scanned once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") % 50 == 0), emb)
+
+
+register(
+    "q_ann_topk",
+    q_ann_topk,
+    """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(
+                   list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+                   / (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i])))
+                      * sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))),
+                   4) AS cos
+        FROM e q JOIN e c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 50 = 0
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (4-bit sketch at this corpus size; wider at
+    scale): candidates share the bucket, ranked by exact cosine."""
+    return lsh_topk(load_table(spark, sf_dir, "embeddings"), bits=4)
+
+
+register(
+    "q_ann_lsh",
+    q_ann_lsh,
+    """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               array_to_string(list_transform(embedding[1:4],
+                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(
+                   list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+                   / (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i])))
+                      * sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))),
+                   4) AS cos
+        FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with deterministic argmax tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("predicted_lang"))
+
+
+register(
+    "q_lang_id",
+    q_lang_id,
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('the','a','and','of','to'))) AS en_hits,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('der','die','das','und','ist'))) AS de_hits,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('el','la','de','y','es'))) AS es_hits
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(en_hits, de_hits, es_hits) = 0 THEN 'und'
+                WHEN es_hits >= en_hits AND es_hits >= de_hits THEN 'es'
+                WHEN en_hits >= de_hits THEN 'en'
+                ELSE 'de' END AS predicted_lang
+    FROM scored
+    """,
+)
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + blended 0-1 score."""
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "q_quality_score",
+    q_quality_score,
+    """
+    WITH base AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split(lower(text), ' ')) AS n_words,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('the','a','and','of','to'))) AS stop_hits,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_words,
+           round((n_chars - (n_words - 1)) * 1.0 / greatest(n_words, 1), 4) AS avg_word_len,
+           round(stop_hits * 1.0 / greatest(n_words, 1), 4) AS stop_ratio,
+           round(alpha_chars * 1.0 / greatest(n_chars, 1), 4) AS alpha_ratio,
+           -- least() on decimals degrades to DOUBLE in DuckDB; CASE keeps
+           -- the decimal type so the blend stays exact.
+           CAST(round(
+               CAST(least(n_words / 100.0, 1.0) AS DECIMAL(8,4)) * CAST(0.4 AS DECIMAL(2,1))
+               + (CASE WHEN CAST(CAST(round(stop_hits * 1.0 / greatest(n_words, 1), 4)
+                                      AS DECIMAL(8,4))
+                             * CAST(5 AS DECIMAL(2,0)) AS DECIMAL(8,4))
+                            >= CAST(1 AS DECIMAL(8,4))
+                       THEN CAST(1 AS DECIMAL(8,4))
+                       ELSE CAST(CAST(round(stop_hits * 1.0 / greatest(n_words, 1), 4)
+                                      AS DECIMAL(8,4))
+                                 * CAST(5 AS DECIMAL(2,0)) AS DECIMAL(8,4)) END)
+                 * CAST(0.3 AS DECIMAL(2,1))
+               + CAST(round(alpha_chars * 1.0 / greatest(n_chars, 1), 4) AS DECIMAL(8,4))
+                 * CAST(0.3 AS DECIMAL(2,1)),
+               4) AS DOUBLE) AS quality_score
+    FROM base
+    """,
+)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace / BPE-ish regex / chars-per-4 token estimates."""
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "q_token_count",
+    q_token_count,
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS re_tokens,
+           CAST(floor(length(text) / 4.0) AS BIGINT) AS est_tokens
+    FROM documents
+    """,
+)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → typed metadata via mapInPandas (decode
+    step is a deterministic stub; plumbing is real — see
+    operators.multimodal)."""
+    from ..operators.multimodal import decode_image_meta, with_payload
+
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    return decode_image_meta(docs)
+
+
+register(
+    "q_multimodal_meta",
+    q_multimodal_meta,
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           ['png','jpeg','webp'][ascii(substr(text, 1, 1)) % 3 + 1] AS format
+    FROM documents
+    """,
+)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame index."""
+    from ..operators.multimodal import frame_sample_plan, with_payload
+
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    return frame_sample_plan(docs)
+
+
+register(
+    "q_frame_sample",
+    q_frame_sample,
+    """
+    SELECT doc_id, unnest(range(0, octet_length(encode(text)) % 300 + 1, 10))
+               AS frame_idx
+    FROM documents
+    """,
+)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-hash fingerprint per document."""
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "q_fingerprint",
+    q_fingerprint,
+    f"""
+    WITH sh AS (SELECT doc_id, lower(text) AS ltext, {_SH_SQL} AS sh FROM documents)
+    SELECT doc_id,
+           coalesce(list_min(list_transform(sh, s -> md5(s))), md5(ltext)) AS fingerprint
+    FROM sh
+    """,
+)

@@ -742,6 +742,28 @@ def q_tags_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 — recursive JSON reference scan (CFN/SFN tree walk,
+    neptune_etl_cfn.py:200-242; neptune_etl_aws.py:1117-1147) via the
+    engine's one pandas UDF, rendered order-stable."""
+    from ..functions.json_refs import json_refs_joined
+
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", json_refs_joined("props").alias("refs")
+    )
+
+
+register(
+    "q_json_refs",
+    q_json_refs,
+    """
+    SELECT event_id,
+           array_to_string(regexp_extract_all(props, '-?[0-9]+'), ',') AS refs
+    FROM events
+    """,
+)
+
+
 register(
     "q_tags_map",
     q_tags_map,

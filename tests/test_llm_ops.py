@@ -1,0 +1,73 @@
+"""Training-data-pipeline operator tests: dedup, similarity, text,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_neptune_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from etl_neptune_spark.operators.multimodal import decode_image_meta, with_payload
+from etl_neptune_spark.operators.similarity import brute_force_topk, cosine_neardup_pairs
+from etl_neptune_spark.sources import load_table
+
+
+def test_exact_dedup_collapses_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.dup_count for r in exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs).collect()}
+    # LSH candidates must cover the true near-dup set at this similarity
+    # level (recall 1.0 on the planted pairs), with no false accepts
+    # after the verify step.
+    assert lsh == exact
+    assert len(exact) > 0
+
+
+def test_cosine_pairs_symmetric_bound(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = cosine_neardup_pairs(emb, min_cosine=0.35).collect()
+    assert all(-1.0001 <= r.cos <= 1.0001 for r in rows)
+    assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_topk_rank_and_self_exclusion(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb.filter(F.col("vec_id") % 100 == 0), emb, k=3)
+    rows = out.collect()
+    by_query = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        by_query.setdefault(r.query_id, []).append(r)
+    for q, nbrs in by_query.items():
+        assert len(nbrs) == 3
+        ranks = sorted(n.rank for n in nbrs)
+        assert ranks == [1, 2, 3]
+        ordered = sorted(nbrs, key=lambda n: n.rank)
+        assert all(
+            ordered[i].cos >= ordered[i + 1].cos for i in range(len(ordered) - 1)
+        )
+
+
+def test_multimodal_plumbing_schema_and_determinism(spark, sf_dir):
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    meta = decode_image_meta(docs)
+    assert meta.schema.simpleString() == (
+        "struct<doc_id:bigint,n_bytes:bigint,width:int,height:int,"
+        "channels:int,format:string>"
+    )
+    a = sorted(map(tuple, meta.collect()))
+    b = sorted(map(tuple, decode_image_meta(docs).collect()))
+    assert a == b
+    for r in a[:20]:
+        assert 1 <= r[2] <= 640 and 1 <= r[3] <= 480
