@@ -35,6 +35,16 @@ from pyspark.sql import functions as F
 HEX_ODD = "13579bdf"  # hex digits with low bit set → +1 vote in simhash
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Hash-repartition to full parallelism before CPU-heavy per-row
+    signature work. Local test inputs are one small parquet file → one
+    partition, which would serialize the hashing onto a single core; on
+    a real cluster the scan already yields many splits and this round
+    robin is a cheap row-level rebalance (raw text moves once, before
+    the 10×-larger shingle explosion)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a lowercased text column."""
     words = F.split(F.lower(text), " ")
@@ -62,20 +72,30 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def minhash_signature(docs: DataFrame, id_col: str, text_col: str, num_hashes: int) -> DataFrame:
-    """(id, shingles, sig: array<string> of length num_hashes)."""
-    with_sh = docs.select(
-        F.col(id_col), word_shingles(F.col(text_col)).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
-            )
-        ),
+    """(id, shingles, sig: array<string> of length num_hashes).
+
+    Shaped for whole-stage codegen: explode the shingle set, compute the
+    ``num_hashes`` salted digests as plain columns (flat md5 calls — no
+    nested higher-order functions, which execute interpreted), and take
+    each signature element as a ``min()`` in ONE hash aggregate. The
+    map-side partial min means only ``num_hashes`` strings per doc per
+    partition reach the shuffle."""
+    exploded = _spread(
+        docs.select(F.col(id_col), word_shingles(F.col(text_col)).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    ).select(F.col(id_col), F.explode("shingles").alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    sig_df = exploded.groupBy(id_col).agg(
+        *aggs, F.collect_list("s").alias("shingles")
     )
-    return with_sh.withColumn("sig", sig)
+    return sig_df.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -146,27 +166,52 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     min_jaccard: float = 0.5,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard (the quadratic baseline the LSH
-    path approximates — verification tool / small-corpus path only;
-    at 100 TB use ``minhash_lsh_pairs``)."""
-    sh = docs.select(
+    """EXACT n-gram Jaccard pairs via an inverted-index set-similarity
+    join — identical output to the naive all-pairs crossJoin, but the
+    only shuffle is an equi-join on the shingle itself, so cost scales
+    with the token-posting-list skew (sum of freq² per shingle), not
+    with |corpus|². Pairs sharing zero shingles have jaccard 0 < τ and
+    are correctly absent.
+
+    intersection(a,b) = COUNT of shared shingles = groupBy(id_a,id_b)
+    after the shingle equi-join; |a∪b| = |a| + |b| − |a∩b| from the
+    per-doc shingle counts. No arrays cross the shuffle.
+    """
+    sh = _spread(docs).select(
         F.col(id_col), word_shingles(F.col(text_col)).alias("sh")
     ).filter(F.size("sh") > 0)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        a.crossJoin(b)
+    # Posting list: one row per (doc, distinct shingle), plus set size.
+    posts = sh.select(
+        F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    a = posts.select(
+        F.col("shingle"), F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    b = posts.select(
+        F.col("shingle"), F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    inter = (
+        a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.round(inter / union, 4))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
 
 
 def simhash16(text: Column) -> Column:
-    """16-bit SimHash rendered as a bit string.
+    """16-bit SimHash rendered as a bit string (per-row HOF form; see
+    ``simhash_groups`` for the vectorized explode/agg plan used in the
+    hot path).
 
     Bit p is the sign of the frequency-weighted vote over all words,
     where word w votes +1 on bit p iff hex digit p of md5(w) is odd —
@@ -196,7 +241,34 @@ def simhash_groups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, simhash, n_same): per-doc signature plus its bucket size —
-    hamming-0 dedup; band the signature for hamming>0 at scale."""
-    sh = docs.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+    hamming-0 dedup; band the signature for hamming>0 at scale.
+
+    Same vote semantics as ``simhash16`` but planned as explode(words)
+    → md5 once per word → 16 conditional sums in one hash aggregate, so
+    the whole signature stays in whole-stage codegen with map-side
+    partial aggregation (16 ints per doc cross the shuffle)."""
+    words = _spread(docs).select(
+        F.col(id_col), F.explode(F.split(F.lower(text_col), " ")).alias("w")
+    )
+    digest = F.md5("w")
+    votes = [
+        F.sum(
+            F.when(F.substring(digest, p, 1).isin(*HEX_ODD), 1).otherwise(-1)
+        ).alias(f"v{p}")
+        for p in range(1, 17)
+    ]
+    sh = (
+        words.groupBy(id_col)
+        .agg(*votes)
+        .select(
+            F.col(id_col),
+            F.concat(
+                *[
+                    F.when(F.col(f"v{p}") > 0, "1").otherwise("0")
+                    for p in range(1, 17)
+                ]
+            ).alias("simhash"),
+        )
+    )
     sizes = sh.groupBy("simhash").agg(F.count("*").alias("n_same"))
     return sh.join(sizes, "simhash").select(id_col, "simhash", "n_same")

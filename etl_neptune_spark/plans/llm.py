@@ -149,7 +149,7 @@ register(
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.4)."""
-    return cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+    return cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"), dim=64)
 
 
 _COS_SQL = """
@@ -176,7 +176,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for a query subset (vec_id % 50 = 0) —
     the exact ANN baseline; queries broadcast, corpus scanned once."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb.filter(F.col("vec_id") % 50 == 0), emb)
+    return brute_force_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, dim=64)
 
 
 register(
@@ -209,7 +209,7 @@ register(
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (4-bit sketch at this corpus size; wider at
     scale): candidates share the bucket, ranked by exact cosine."""
-    return lsh_topk(load_table(spark, sf_dir, "embeddings"), bits=4)
+    return lsh_topk(load_table(spark, sf_dir, "embeddings"), bits=4, dim=64)
 
 
 register(
