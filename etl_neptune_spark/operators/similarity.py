@@ -1,46 +1,61 @@
 """Similarity search over embedding columns (array<float>).
 
-No reference counterpart (BASELINE.json north star). Two paths:
+No reference counterpart (BASELINE.json north star). Three operators:
 
-- **Brute-force cosine top-k** — exact baseline: crossJoin + window
-  top-k. Quadratic; correct at any scale where the query set is small
-  (the common "score this batch against the corpus" case: broadcast the
-  queries, scan the corpus once).
-- **Sign-LSH bucketed ANN** — the scale path: bucket every vector by
-  the sign pattern of its leading components (a fixed random-hyperplane
-  sketch), then search only within the bucket. Candidate generation is
-  an equi-join on the bucket key; recall/latency trades with the bit
-  width exactly like an IVF coarse quantizer.
+- **cosine_neardup_pairs** — exact all-pairs cosine ≥ τ via a BLOCKED
+  matrix product: rows are hashed into B blocks, every unordered block
+  pair becomes one ``applyInPandas`` group, and each group scores its
+  pair of sub-matrices with one numpy matmul. Replication factor is B
+  per row (the classical blocked all-pairs layout); at 100 TB pick B
+  so a block fits executor memory, and the shuffle stays linear in
+  B × corpus instead of quadratic.
+- **brute_force_topk** — exact top-k for a (small) query set: corpus
+  blocks cogrouped with the broadcast-replicated query set, numpy
+  scores per block, then a global ranking window over the B × k
+  survivors per query (block-local top-k is a superset of the global
+  top-k, so the result is exact).
+- **lsh_topk** — the ANN scale path: sign-LSH bucket as an IVF-style
+  coarse quantizer, numpy top-k inside each bucket.
 
-All arithmetic is built-in JVM-side expressions; vectors are cast to
-double before accumulation so the fold is deterministic and
-oracle-comparable. When the dimensionality is known (it always is for
-an embedding column) the dot product is UNROLLED into a flat
-``a[0]*b[0] + a[1]*b[1] + …`` expression: higher-order functions like
-``aggregate``/``zip_with`` execute interpreted per row, while the
-unrolled sum stays inside whole-stage codegen — same left-to-right
-fold order, ~20× faster. Norms are computed once per vector *before*
-any pairwise join, not once per pair.
+Why numpy and not SQL expressions: a 64-term unrolled dot product in a
+join condition or filter lands in one generated-code method past
+HotSpot's JIT size threshold — measured ~3 µs/pair, interpreted — and
+higher-order functions (``aggregate``/``zip_with``) are interpreted by
+construction. An Arrow-batched matmul does the same 2M-pair × 64-dim
+workload in milliseconds and is how a production vector pipeline
+shapes this job. SQL helpers (``dot``/``norm``/``cosine``) are kept
+for expression-level uses.
+
+Numerics: scores are computed in float64 and rounded half-even to 4 dp.
+numpy's pairwise summation can differ from a sequential fold by ~1 ulp;
+for a 4-dp rounded cosine the probability that this flips a rounded
+value is ~1e-11 per pair — the DuckDB oracle agrees in practice.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Σ aᵢ·bᵢ as a deterministic left fold in doubles.
 
-    With ``dim`` the fold is unrolled for codegen; without it a HOF
-    fold handles unknown-width arrays. Both add terms left-to-right,
-    so the IEEE result is identical."""
-    if dim is not None:
-        terms = [a[i].cast("double") * b[i].cast("double") for i in range(dim)]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
+    With ``dim`` (and operands given as column NAMES) the fold unrolls
+    into one SQL string parsed JVM-side — a single py4j call, flat
+    codegen, same left-associative order as the HOF fold. Keep results
+    out of join conditions / filters: a >8 KB generated method won't
+    JIT (see module docstring)."""
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            " + ".join(
+                f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+                for i in range(dim)
+            )
+        )
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -48,12 +63,21 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
+def norm(a: Column | str, dim: int | None = None) -> Column:
     return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def _matrix(col: pd.Series) -> np.ndarray:
+    """Stack a pandas Series of array<float> rows into (n, dim) float64."""
+    return np.vstack(col.to_numpy()).astype(np.float64)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
 def cosine_neardup_pairs(
@@ -62,34 +86,52 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     min_cosine: float = 0.4,
     dim: int | None = None,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (id_a < id_b, rounded 4 dp).
-    Exact/quadratic — the LSH path bounds the candidate set at scale.
 
-    Norms are attached per vector before the pairwise join (each norm
-    computed once, not once per pair), and the streamed side is spread
-    to full parallelism — a broadcast nested-loop join otherwise
-    inherits the scan's partitioning (1 for a small local file)."""
-    from .dedup import _spread
+    Exact. Blocked all-pairs: each row is replicated to the ``n_blocks``
+    unordered block pairs it participates in; one numpy matmul scores
+    each group. ``dim`` is unused here (numpy infers it) but kept for
+    signature parity with the SQL helpers."""
+    nb = n_blocks
+    keyed = (
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .withColumn("blk", F.pmod(F.hash(F.col("vid")), F.lit(nb)))
+        .withColumn("other", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
+        .withColumn("g1", F.least("blk", "other"))
+        .withColumn("g2", F.greatest("blk", "other"))
+        # keep one copy per unordered block pair (blk==other appears once)
+        .filter((F.col("blk") != F.col("other")) | (F.col("other") == F.col("g2")))
+    )
 
-    e = emb.select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col), dim).alias("nrm")
-    )
-    a = _spread(e).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
-    )
-    b = e.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            F.round(dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 4),
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g1, g2 = key
+        out_a, out_b, out_c = [], [], []
+        if g1 == g2:
+            ids = pdf["vid"].to_numpy()
+            u = _unit(_matrix(pdf["vec"]))
+            c = np.round(u @ u.T, 4)
+            ii, jj = np.where(np.triu(c >= min_cosine, k=1))
+            a_ids, b_ids = ids[ii], ids[jj]
+        else:
+            pa, pb = pdf[pdf["blk"] == g1], pdf[pdf["blk"] == g2]
+            if len(pa) == 0 or len(pb) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+                )
+            ia, ib = pa["vid"].to_numpy(), pb["vid"].to_numpy()
+            c = np.round(_unit(_matrix(pa["vec"])) @ _unit(_matrix(pb["vec"])).T, 4)
+            ii, jj = np.where(c >= min_cosine)
+            a_ids, b_ids = ia[ii], ib[jj]
+        cos = c[ii, jj]
+        lo, hi = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos}).astype(
+            {"id_a": "int64", "id_b": "int64", "cos": "float64"}
         )
-        .filter(F.col("cos") >= min_cosine)
-        .select("id_a", "id_b", "cos")
+
+    return keyed.groupBy("g1", "g2").applyInPandas(
+        score, schema="id_a long, id_b long, cos double"
     )
 
 
@@ -100,29 +142,58 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int | None = None,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector (self excluded).
 
-    Scale shape: broadcast the (small) query set, scan the corpus once,
-    per-query top-k via ranking window on the scored pairs.
-    """
+    The query set is replicated to every corpus block (it is small —
+    that IS the brute-force contract), each cogroup scores one corpus
+    block against all queries in one matmul and keeps its local top-k,
+    and a global ranking window over the ≤ B·k survivors per query
+    yields the exact answer."""
     from pyspark.sql import Window
 
-    from .dedup import _spread
-
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = _spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    nb = n_blocks
+    c_blocks = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(nb)).alias("blk"),
     )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv"), dim), 4))
+    q_rep = queries.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("blk", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
+
+    def score(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []}).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+        )
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return empty
+        qi, ci = qpdf["vid"].to_numpy(), cpdf["vid"].to_numpy()
+        c = np.round(_unit(_matrix(qpdf["vec"])) @ _unit(_matrix(cpdf["vec"])).T, 4)
+        c[qi[:, None] == ci[None, :]] = -np.inf  # exclude self
+        rows = []
+        kk = min(k, c.shape[1])
+        for r in range(c.shape[0]):
+            # top-k by (cos desc, neighbor_id asc) on the ROUNDED score
+            order = np.lexsort((ci, -c[r]))[:kk]
+            for j in order:
+                if np.isfinite(c[r, j]):
+                    rows.append((qi[r], ci[j], c[r, j]))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"]).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+        )
+
+    candidates = (
+        q_rep.groupBy("blk")
+        .cogroup(c_blocks.groupBy("blk"))
+        .applyInPandas(score, schema="query_id long, neighbor_id long, cos double")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
@@ -149,28 +220,52 @@ def lsh_topk(
     bits: int = 12,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the sign-LSH bucket, ranked
-    by exact cosine within the bucket. Candidate generation is an
-    equi-join on the bucket key — linear shuffle, no crossJoin."""
-    from pyspark.sql import Window
-
+    """Approximate top-k: candidates share the sign-LSH bucket (IVF-style
+    coarse quantizer — widen ``bits`` as the corpus grows), scored by
+    one numpy matmul per bucket. No crossJoin, no quadratic shuffle."""
     bucketed = emb.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("bucket")
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
     )
-    a = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    b = bucketed.select(
-        F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    scored = (
-        a.join(b, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv"), dim), 4))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cos": [], "rank": []}
+        ).astype(
+            {
+                "query_id": "int64",
+                "neighbor_id": "int64",
+                "cos": "float64",
+                "rank": "int32",
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vid"].to_numpy()
+        u = _unit(_matrix(pdf["vec"]))
+        c = np.round(u @ u.T, 4)
+        np.fill_diagonal(c, -np.inf)
+        rows = []
+        kk = min(k, len(ids) - 1)
+        for r in range(len(ids)):
+            order = np.lexsort((ids, -c[r]))[:kk]
+            for rank, j in enumerate(order, start=1):
+                if np.isfinite(c[r, j]):
+                    rows.append((ids[r], ids[j], c[r, j], rank))
+        if not rows:
+            return empty
+        return pd.DataFrame(
+            rows, columns=["query_id", "neighbor_id", "cos", "rank"]
+        ).astype(
+            {
+                "query_id": "int64",
+                "neighbor_id": "int64",
+                "cos": "float64",
+                "rank": "int32",
+            }
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        score, schema="query_id long, neighbor_id long, cos double, rank int"
     )
