@@ -23,6 +23,7 @@ _PLAN_MODULES = [
     "etl_neptune_spark.plans.joins",
     "etl_neptune_spark.plans.graph",
     "etl_neptune_spark.plans.llm",
+    "etl_neptune_spark.plans.streaming",
 ]
 
 

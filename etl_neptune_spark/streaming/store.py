@@ -1,0 +1,81 @@
+"""Versioned parquet keyed store — the streaming sink's state.
+
+The reference's store is a Neptune property graph mutated by
+idempotent ``mergeV``/``coalesce(inE…, addE…)`` upserts; re-running a
+batch converges to the same state (that is its whole consistency
+model — no transactions, at-least-once safe; SURVEY §4 last row).
+
+Spark-first equivalent: each micro-batch writes the FULL merged table
+to a fresh ``v=<batch_id>`` directory, then flips a ``_LATEST``
+pointer file via atomic rename. Properties:
+
+- **Idempotent**: re-applying batch N overwrites ``v=N`` with the same
+  bytes and re-points ``_LATEST`` — a no-op.
+- **No read/overwrite conflict**: a merge reads ``v=M`` while writing
+  ``v=N`` (Spark cannot read and overwrite one path in one job).
+- **Atomic visibility**: readers resolve ``_LATEST`` then read one
+  immutable snapshot — exactly the view a Delta/Iceberg commit gives;
+  this class is the no-dependency stand-in, and the interface (read /
+  write-version / prune) is what a ``MERGE INTO``-backed impl would
+  keep.
+
+At 100 TB the same layout holds with the table partitioned by
+``label`` (+ bucketed by key for shuffle-free merges); old versions
+are pruned after each flip.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class GraphStore:
+    """Keyed snapshot store under ``root/<table>/v=<version>/``."""
+
+    def __init__(self, root: str, keep_versions: int = 2) -> None:
+        self.root = root
+        self.keep_versions = keep_versions
+
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "_LATEST")
+
+    def latest_version(self, table: str) -> int | None:
+        try:
+            with open(self._pointer(table)) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """The latest committed snapshot, or None before first write."""
+        v = self.latest_version(table)
+        if v is None:
+            return None
+        return spark.read.parquet(os.path.join(self._table_dir(table), f"v={v}"))
+
+    def write(self, df: DataFrame, table: str, version: int) -> None:
+        """Write one snapshot version and atomically flip the pointer."""
+        tdir = self._table_dir(table)
+        df.write.mode("overwrite").parquet(os.path.join(tdir, f"v={version}"))
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._pointer(table))
+        self._prune(table, version)
+
+    def _prune(self, table: str, current: int) -> None:
+        tdir = self._table_dir(table)
+        versions = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(tdir)
+            if d.startswith("v=") and d.split("=", 1)[1].lstrip("-").isdigit()
+        )
+        for v in versions[: -self.keep_versions]:
+            if v != current:
+                shutil.rmtree(os.path.join(tdir, f"v={v}"), ignore_errors=True)

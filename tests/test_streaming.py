@@ -1,0 +1,201 @@
+"""Streaming-layer tests — ST1–ST7 (SURVEY §2.8).
+
+Strategy: feed the driver's sf0.001 events table through the file
+stream in controlled micro-batches (availableNow + maxFilesPerTrigger)
+and assert the store state equals the batch-engine computation of the
+same data — plus the idempotency / last-write-wins / GC / two-phase
+properties the reference relies on.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_neptune_spark.sources import load_table
+from etl_neptune_spark.streaming import (
+    GraphStore,
+    apply_health_alarms,
+    flow_projection,
+    run_deepflow_stream,
+    windowed_flow_metrics,
+)
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _add_flat_batch(df, src: str, name: str) -> None:
+    """Land one parquet FILE in the watched dir (the file stream lists
+    files, not subdirectories) — simulates one source-poll arrival."""
+    import shutil
+
+    tmp = f"{src}__{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(tmp, part), os.path.join(src, f"{name}.parquet"))
+    shutil.rmtree(tmp)
+
+
+def _write_batches(events, out_dir: str, n_batches: int) -> None:
+    """Split events into deterministic halves written as separate files
+    (file-arrival order == event_id bucket order)."""
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_batches):
+        (
+            events.filter(F.col("event_id") % n_batches == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_{i}")
+        )
+
+
+def _edge_state(spark, store):
+    df = store.read(spark, "edges")
+    assert df is not None
+    return {
+        (r.src, r.dst, r.protocol): r
+        for r in df.collect()
+    }
+
+
+def test_availablenow_single_batch_matches_batch_engine(spark, events, tmp_path):
+    """ST1+ST3: drain-all run equals the batch aggregation."""
+    src = str(tmp_path / "in")
+    _write_batches(events, src, 1)
+    store = GraphStore(str(tmp_path / "store"))
+    run_deepflow_stream(spark, src + "/batch_0", store)
+
+    expected = (
+        flow_projection(events)
+        .groupBy("src", "dst", "protocol")
+        .agg(F.count("*").alias("calls"))
+        .collect()
+    )
+    got = _edge_state(spark, store)
+    assert len(got) == len(expected)
+    for r in expected:
+        assert got[(r.src, r.dst, r.protocol)].calls == r.calls
+    # every edge seen in this (only) batch is active
+    assert all(r.active for r in got.values())
+
+    nodes = store.read(spark, "nodes")
+    exp_nodes = (
+        flow_projection(events)
+        .select(F.col("src").alias("name"))
+        .union(flow_projection(events).select(F.col("dst").alias("name")))
+        .distinct()
+        .count()
+    )
+    assert nodes.count() == exp_nodes
+    assert nodes.filter(F.col("created_at").isNull()).count() == 0
+
+
+def test_rerun_is_idempotent(spark, events, tmp_path):
+    """ST1: the checkpoint makes a second drain a no-op; store state
+    (version pointer included) is unchanged — the streaming analogue of
+    the reference's idempotent mergeV."""
+    src = str(tmp_path / "in")
+    _write_batches(events, src, 1)
+    store = GraphStore(str(tmp_path / "store"))
+    run_deepflow_stream(spark, src + "/batch_0", store)
+    v1 = store.latest_version("edges")
+    n1 = _edge_state(spark, store)
+
+    run_deepflow_stream(spark, src + "/batch_0", store)
+    assert store.latest_version("edges") == v1
+    assert _edge_state(spark, store).keys() == n1.keys()
+
+
+def test_incremental_batches_lww(spark, events, tmp_path):
+    """ST2+ST3+ST5: two file-batches processed in order; keyed metrics
+    are last-write-wins per key, create-only created_at survives, and
+    nodes accumulate across batches (no spurious GC within TTL)."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    half0 = events.filter(F.col("event_id") % 2 == 0)
+    half1 = events.filter(F.col("event_id") % 2 == 1)
+    _add_flat_batch(half0, src, "b0")
+    store = GraphStore(str(tmp_path / "store"))
+    run_deepflow_stream(spark, src, store, max_files_per_trigger=4)
+    state0 = _edge_state(spark, store)
+    nodes0 = {r.name: r for r in store.read(spark, "nodes").collect()}
+
+    _add_flat_batch(half1, src, "b1")
+    run_deepflow_stream(spark, src, store, max_files_per_trigger=4)
+    state1 = _edge_state(spark, store)
+    nodes1 = {r.name: r for r in store.read(spark, "nodes").collect()}
+
+    # keys only in batch 0 keep their batch-0 metrics (absent ⇒ untouched)
+    b1_keys = {
+        (r.src, r.dst, r.protocol)
+        for r in _edge_agg_keys(half1)
+    }
+    for k, row in state0.items():
+        if k not in b1_keys:
+            assert state1[k].calls == row.calls
+            assert state1[k].last_seen == row.last_seen
+    # keys in batch 1 carry batch-1 metrics (last write wins)
+    exp1 = {
+        (r.src, r.dst, r.protocol): r
+        for r in flow_projection(half1)
+        .groupBy("src", "dst", "protocol")
+        .agg(F.count("*").alias("calls"))
+        .collect()
+    }
+    for k, r in exp1.items():
+        assert state1[k].calls == r.calls
+    # created_at is create-only: batch-0 nodes keep their stamp
+    for name, row in nodes0.items():
+        assert nodes1[name].created_at == row.created_at
+
+
+def _edge_agg_keys(events_half):
+    return (
+        flow_projection(events_half)
+        .select("src", "dst", "protocol")
+        .distinct()
+        .collect()
+    )
+
+
+def test_health_reset_then_degrade(spark, events, tmp_path):
+    """ST7: every batch resets to healthy, then alarms degrade — and a
+    later alarm-free application resets previously degraded nodes."""
+    src = str(tmp_path / "in")
+    _write_batches(events, src, 1)
+    store = GraphStore(str(tmp_path / "store"))
+    run_deepflow_stream(spark, src + "/batch_0", store)
+
+    some = [r.name for r in store.read(spark, "nodes").limit(3).collect()]
+    alarms = spark.createDataFrame(
+        [("Microservice", n) for n in some], "label string, name string"
+    )
+    out = apply_health_alarms(spark, store, alarms, version=1000)
+    got = {r.name: r.health_status for r in out.collect()}
+    for n in some:
+        assert got[n] == "degraded"
+    assert sum(1 for v in got.values() if v == "degraded") == len(some)
+
+    # next application with no alarms resets everything (two-phase)
+    empty = spark.createDataFrame([], "label string, name string")
+    out2 = apply_health_alarms(spark, store, empty, version=1001)
+    assert out2.filter(F.col("health_status") != "healthy").count() == 0
+
+
+def test_windowed_metrics_batch_equivalence(spark, events):
+    """ST2: the event-time window aggregation, run in batch mode, slices
+    per-edge metrics by tumbling window with exact boundaries."""
+    flows = flow_projection(events)
+    win = windowed_flow_metrics(flows, window="7 days")
+    rows = win.collect()
+    assert rows
+    # window boundaries are aligned and exactly 7 days wide
+    for r in rows:
+        assert (r.window_end - r.window_start).days == 7
+    # total calls across windows == total flow rows
+    assert sum(r.calls for r in rows) == flows.count()
