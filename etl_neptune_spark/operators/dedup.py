@@ -29,6 +29,9 @@ ordering (which is how the DuckDB oracle certifies it).
 
 from __future__ import annotations
 
+import hashlib
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -71,31 +74,79 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def minhash_signature(docs: DataFrame, id_col: str, text_col: str, num_hashes: int) -> DataFrame:
-    """(id, shingles, sig: array<string> of length num_hashes).
+def doc_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingles: array<string>) — distinct word n-grams of
+    lower(text), docs with no shingle dropped.
 
-    Shaped for whole-stage codegen: explode the shingle set, compute the
-    ``num_hashes`` salted digests as plain columns (flat md5 calls — no
-    nested higher-order functions, which execute interpreted), and take
-    each signature element as a ``min()`` in ONE hash aggregate. The
-    map-side partial min means only ``num_hashes`` strings per doc per
-    partition reach the shuffle."""
-    exploded = _spread(
-        docs.select(F.col(id_col), word_shingles(F.col(text_col)).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-    ).select(F.col(id_col), F.explode("shingles").alias("s"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
-        for j in range(num_hashes)
-    ]
-    sig_df = exploded.groupBy(id_col).agg(
-        *aggs, F.collect_list("s").alias("shingles")
+    Arrow-batched ``mapInPandas``: Catalyst's higher-order functions
+    (transform/slice) execute interpreted per element, which made
+    shingling itself the dominant cost of every dedup query; a Python
+    loop over an Arrow batch is ~6× faster here and byte-identical
+    (str.lower/split match SQL lower/string_split on this data)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, shs = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                w = t.lower().split(" ")
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(w[j : j + n]) for j in range(len(w) - n + 1)
+                    )
+                )
+                if sh:
+                    ids.append(i)
+                    shs.append(sh)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"), "shingles": shs}
+            )
+
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
+        gen, schema=f"{id_col} long, shingles array<string>"
     )
-    return sig_df.select(
-        F.col(id_col),
-        F.col("shingles"),
-        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
-    )
+
+
+def minhash_band_entries(
+    shingled: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, band_hash) LSH keys from the MinHash signature.
+
+    Signature element j = min over shingles of md5("j:" + shingle) —
+    an order statistic of a uniform permutation of the shingle universe
+    (the classical MinHash estimator), reproducible in any engine with
+    md5 and string ordering (how the DuckDB oracle certifies it).
+    Computed in the same Arrow pass as the banding md5; only
+    ``bands`` short rows per doc leave the Python worker."""
+    rows = num_hashes // bands
+
+    def gen(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            out_id, out_band, out_hash = [], [], []
+            for i, sh in zip(pdf[id_col], pdf["shingles"]):
+                sig = [
+                    min(md5(f"{j}:{s}".encode()).hexdigest() for s in sh)
+                    for j in range(num_hashes)
+                ]
+                for b in range(bands):
+                    out_id.append(i)
+                    out_band.append(b)
+                    out_hash.append(
+                        md5("|".join(sig[b * rows : (b + 1) * rows]).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_id, dtype="int64"),
+                    "band": pd.Series(out_band, dtype="int32"),
+                    "band_hash": out_hash,
+                }
+            )
+
+    return shingled.mapInPandas(gen, schema=f"{id_col} long, band int, band_hash string")
 
 
 def minhash_lsh_pairs(
@@ -113,25 +164,8 @@ def minhash_lsh_pairs(
     rounded to 4 dp. Candidate generation is an equi-join on
     (band, band_hash); only candidates pay the exact set comparison.
     """
-    rows = num_hashes // bands
-    signed = minhash_signature(docs, id_col, text_col, num_hashes)
-
-    band_entries = signed.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.slice(F.col("sig"), b * rows + 1, rows)
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    shingled = doc_shingles(docs, id_col, text_col)
+    band_entries = minhash_band_entries(shingled, id_col, num_hashes, bands)
 
     left = band_entries.select(
         F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a")
@@ -146,7 +180,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = signed.select(F.col(id_col), F.col("shingles"))
+    sh = shingled
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -177,12 +211,12 @@ def ngram_jaccard_pairs(
     after the shingle equi-join; |a∪b| = |a| + |b| − |a∩b| from the
     per-doc shingle counts. No arrays cross the shuffle.
     """
-    sh = _spread(docs).select(
-        F.col(id_col), word_shingles(F.col(text_col)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    sh = doc_shingles(docs, id_col, text_col)
     # Posting list: one row per (doc, distinct shingle), plus set size.
     posts = sh.select(
-        F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+        F.col(id_col),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
     )
     a = posts.select(
         F.col("shingle"), F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
@@ -243,32 +277,32 @@ def simhash_groups(
     """(id, simhash, n_same): per-doc signature plus its bucket size —
     hamming-0 dedup; band the signature for hamming>0 at scale.
 
-    Same vote semantics as ``simhash16`` but planned as explode(words)
-    → md5 once per word → 16 conditional sums in one hash aggregate, so
-    the whole signature stays in whole-stage codegen with map-side
-    partial aggregation (16 ints per doc cross the shuffle)."""
-    words = _spread(docs).select(
-        F.col(id_col), F.explode(F.split(F.lower(text_col), " ")).alias("w")
-    )
-    digest = F.md5("w")
-    votes = [
-        F.sum(
-            F.when(F.substring(digest, p, 1).isin(*HEX_ODD), 1).otherwise(-1)
-        ).alias(f"v{p}")
-        for p in range(1, 17)
-    ]
-    sh = (
-        words.groupBy(id_col)
-        .agg(*votes)
-        .select(
-            F.col(id_col),
-            F.concat(
-                *[
-                    F.when(F.col(f"v{p}") > 0, "1").otherwise("0")
-                    for p in range(1, 17)
-                ]
-            ).alias("simhash"),
-        )
+    Same vote semantics as ``simhash16``, computed per Arrow batch in
+    Python (one md5 per word, 16 hex-digit votes); only the 16-char
+    signature leaves the worker. The bucket-size join stays in Spark
+    (one shuffle on the signature)."""
+
+    def gen(batches):
+        md5 = hashlib.md5
+        odd = set(HEX_ODD)
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                votes = [0] * 16
+                for w in t.lower().split(" "):
+                    h = md5(w.encode()).hexdigest()
+                    for p in range(16):
+                        votes[p] += 1 if h[p] in odd else -1
+                ids.append(i)
+                sigs.append("".join("1" if v > 0 else "0" for v in votes))
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"), "simhash": sigs}
+            )
+
+    sh = _spread(docs.select(id_col, text_col)).mapInPandas(
+        gen, schema=f"{id_col} long, simhash string"
     )
     sizes = sh.groupBy("simhash").agg(F.count("*").alias("n_same"))
     return sh.join(sizes, "simhash").select(id_col, "simhash", "n_same")
