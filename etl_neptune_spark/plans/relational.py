@@ -776,3 +776,32 @@ register(
     FROM customer
     """,
 )
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregate — no reference counterpart (SURVEY §2.4
+    closing note) but mandatory for a 100 TB engine. The certified form
+    is exact ``count_distinct`` (expand + two-phase hash aggregate);
+    the scale path is ``approx_count_distinct`` (HLL++, one pass, no
+    expand), exercised rows-only in tests/test_relational.py since no
+    two engines share sketch internals."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("distinct_users"),
+            F.count("*").alias("events"),
+        )
+    )
+
+
+register(
+    "q_count_distinct",
+    q_count_distinct,
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS distinct_users,
+           count(*) AS events
+    FROM events GROUP BY event_type
+    """,
+)

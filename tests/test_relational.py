@@ -37,3 +37,25 @@ def test_filter_valid_rejects_fabricated_bad_names(spark, sf_dir, registry):
     for r in rows:
         assert not r.svc_name.startswith("arn:")
         assert "/" not in r.svc_name
+
+
+def test_approx_count_distinct_tracks_exact(spark, sf_dir):
+    """The HLL++ scale path stays within its advertised error of the
+    exact expand-based distinct count (rows-only check — sketch
+    internals are engine-specific, so no cross-engine oracle)."""
+    from pyspark.sql import functions as F
+
+    from etl_neptune_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        events.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) <= max(3, 0.1 * r.exact)

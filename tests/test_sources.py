@@ -1,0 +1,99 @@
+"""Source-format tests — SURVEY §2.1 SRC2–SRC6."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from etl_neptune_spark.sources import (
+    broadcast_dim,
+    explode_nested,
+    parse_template_text,
+    read_json,
+    read_tsv,
+)
+
+
+def test_read_tsv_schema_and_pushdown(spark, tmp_path):
+    p = tmp_path / "flows.tsv"
+    p.write_text("10\t20\t443\tHTTPS\t12.5\n11\t21\t80\tHTTP\t3.0\n")
+    df = read_tsv(
+        spark, str(p), "src long, dst long, port int, proto string, dur double"
+    )
+    rows = df.filter(F.col("port") == 443).collect()
+    assert len(rows) == 1 and rows[0].proto == "HTTPS"
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "bigint", "int", "string", "double",
+    ]
+
+
+def test_read_json_nested_and_explode(spark, tmp_path):
+    pods = [
+        {
+            "metadata": {"labels": {"app": "checkout"}},
+            "status": {"podIP": "10.0.0.1"},
+            "spec": {
+                "containers": [
+                    {"image": "repo/checkout:1", "name": "main"},
+                    {"image": "repo/sidecar:2", "name": "sidecar"},
+                ]
+            },
+        },
+        {
+            "metadata": {"labels": {"app": "cart"}},
+            "status": {"podIP": "10.0.0.2"},
+            "spec": {"containers": [{"image": "repo/cart:3", "name": "main"}]},
+        },
+    ]
+    p = tmp_path / "pods.json"
+    p.write_text("\n".join(json.dumps(x) for x in pods))
+    schema = (
+        "metadata struct<labels: map<string,string>>, "
+        "status struct<podIP: string>, "
+        "spec struct<containers: array<struct<image: string, name: string>>>"
+    )
+    df = read_json(spark, str(p), schema)
+    # nested-field projection (P2)
+    ips = {r[0] for r in df.select("status.podIP").collect()}
+    assert ips == {"10.0.0.1", "10.0.0.2"}
+    # one row per container (SRC4 explode)
+    flat = explode_nested(
+        df.withColumn("ip", F.col("status.podIP")),
+        "spec.containers",
+        ["image", "name"],
+        keep=["ip"],
+    )
+    assert flat.count() == 3
+    imgs = {r.image for r in flat.filter(F.col("ip") == "10.0.0.1").collect()}
+    assert imgs == {"repo/checkout:1", "repo/sidecar:2"}
+
+
+def test_parse_template_json_and_yaml_fallback():
+    tpl = {"Resources": {"Fn": {"Type": "AWS::Lambda::Function"}}}
+    assert parse_template_text(json.dumps(tpl)) == tpl
+    yaml_text = "Resources:\n  Fn:\n    Type: AWS::Lambda::Function\n"
+    try:
+        import yaml  # noqa: F401
+    except ImportError:
+        import pytest
+
+        with pytest.raises(ValueError):
+            parse_template_text(yaml_text)
+    else:
+        assert parse_template_text(yaml_text) == tpl
+
+
+def test_broadcast_dim_join_is_broadcast(spark):
+    dim = broadcast_dim(
+        spark, [("EC2Instance", "az"), ("LambdaFunction", "region")],
+        "label string, fault_boundary string",
+    )
+    facts = spark.createDataFrame(
+        [("EC2Instance", "i-1"), ("LambdaFunction", "fn-1"), ("S3Bucket", "b-1")],
+        "label string, name string",
+    )
+    out = facts.join(dim, "label", "left")
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    got = {r.name: r.fault_boundary for r in out.collect()}
+    assert got == {"i-1": "az", "fn-1": "region", "b-1": None}
