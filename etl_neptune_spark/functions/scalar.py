@@ -58,3 +58,44 @@ def split_part(col: Column | str, sep: str, index: int) -> Column:
     (neptune_etl_aws.py:652,1790-1797; neptune_etl_cfn.py:460-463)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.element_at(F.split(c, sep), index)
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the scalar library to the pure-SQL surface as SQL UDFs
+    (``CREATE FUNCTION … RETURN <expr>`` — expression-bodied, so they
+    inline into Catalyst and stay in codegen; nothing here drops to
+    Python). A spark.sql user gets the same function names the
+    DataFrame API exposes."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION ipv4_to_string(ip BIGINT)
+        RETURNS STRING
+        RETURN concat_ws('.', CAST(shiftright(ip, 24) & 255 AS STRING),
+                              CAST(shiftright(ip, 16) & 255 AS STRING),
+                              CAST(shiftright(ip, 8) & 255 AS STRING),
+                              CAST(ip & 255 AS STRING))
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION sanitize_str(s STRING, max_len INT)
+        RETURNS STRING
+        -- chr(92) = backslash: avoids double-unescaping of string
+        -- literals when the SQL-UDF body text is re-parsed.
+        RETURN substring(replace(s, "'", concat(chr(92), "'")), 1, max_len)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION safe_div(num DOUBLE, den DOUBLE)
+        RETURNS DOUBLE
+        RETURN CASE WHEN den != 0 THEN num / den ELSE 0.0 END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION split_part_at(s STRING, sep STRING, idx INT)
+        RETURNS STRING
+        RETURN element_at(split(s, sep), idx)
+        """
+    )

@@ -97,3 +97,21 @@ def test_broadcast_dim_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
     got = {r.name: r.fault_boundary for r in out.collect()}
     assert got == {"i-1": "az", "fn-1": "region", "b-1": None}
+
+
+def test_sql_function_registry(spark):
+    """The scalar library is SQL-callable via expression-bodied SQL UDFs
+    (no Python at runtime)."""
+    from etl_neptune_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT ipv4_to_string(3232235777L) AS ip,"
+        "       sanitize_str(\"it's\", 10) AS s,"
+        "       safe_div(1.0, 0.0) AS d,"
+        "       split_part_at('a:b:c', ':', -1) AS p"
+    ).first()
+    assert row.ip == "192.168.1.1"
+    assert row.s == "it\\'s"
+    assert row.d == 0.0
+    assert row.p == "c"
