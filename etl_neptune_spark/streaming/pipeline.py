@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import dec_avg
+from ..operators.degrees import degree_metrics
 from ..operators.merge import merge_keyed
 from .store import GraphStore
 
@@ -186,7 +187,24 @@ def deepflow_batch(store: GraphStore) -> Callable[[DataFrame, int], None]:
         # absent edges keep their previous active + last_seen stamp
         # (implicit decay — the reference has no edge GC, downstream
         # consumers filter on last_seen).
-        store.write(nodes_final, "nodes", batch_id)
+
+        # §3.1 step 8: per-service degree metrics join-updated onto the
+        # nodes (the reference's batch_fetch_dependency_and_update,
+        # neptune_etl_deepflow.py:536-617) — computed from the MERGED
+        # edge state so decayed-but-alive edges still count.
+        degrees = degree_metrics(edges_merged, weight="calls").withColumnRenamed(
+            "node", "name"
+        )
+        nodes_deg = (
+            nodes_final.join(degrees, "name", "left")
+            .na.fill({"out_degree": 0, "in_degree": 0, "out_weight": 0})
+            .withColumn(
+                "is_entry_point",
+                F.coalesce(F.col("is_entry_point"), F.lit(True)),
+            )
+        )
+
+        store.write(nodes_deg, "nodes", batch_id)
         store.write(edges_merged, "edges", batch_id)
 
     return apply

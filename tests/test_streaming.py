@@ -94,6 +94,16 @@ def test_availablenow_single_batch_matches_batch_engine(spark, events, tmp_path)
     assert nodes.count() == exp_nodes
     assert nodes.filter(F.col("created_at").isNull()).count() == 0
 
+    # §3.1 step 8: degree metrics are join-updated onto the nodes
+    n_edges = store.read(spark, "edges").count()
+    deg = nodes.agg(
+        F.sum("out_degree").alias("o"), F.sum("in_degree").alias("i")
+    ).first()
+    assert deg.o == n_edges and deg.i == n_edges
+    entry = {r.name for r in nodes.filter("is_entry_point").collect()}
+    with_in = {r.dst for r in store.read(spark, "edges").collect()}
+    assert entry.isdisjoint(with_in)
+
 
 def test_rerun_is_idempotent(spark, events, tmp_path):
     """ST1: the checkpoint makes a second drain a no-op; store state
