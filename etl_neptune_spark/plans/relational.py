@@ -805,3 +805,79 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking / frame window functions — beyond the reference (SURVEY
+    §2.5 note: only W1/W2 exist there) but part of the engine surface:
+    per-customer order ranking by price with dense_rank and a lag
+    delta. One shuffle on the partition key; WindowGroupLimit prunes
+    nothing here (full ranking is the point)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("price_rank", F.dense_rank().over(w))
+        .withColumn(
+            "prev_price", F.round(F.lag("o_totalprice", 1).over(w), 2)
+        )
+        .filter(F.col("price_rank") <= 3)
+        .withColumn("o_totalprice", F.round("o_totalprice", 2))
+    )
+
+
+register(
+    "q_window_rank",
+    q_window_rank,
+    """
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           CAST(price_rank AS INT) AS price_rank,
+           round(prev_price, 2) AS prev_price
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               dense_rank() OVER w AS price_rank,
+               lag(o_totalprice, 1) OVER w AS prev_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+    )
+    WHERE price_rank <= 3
+    """,
+)
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — absent from the reference (SURVEY §2.4
+    closing note) but a first-class engine aggregate: revenue totals at
+    (returnflag, linestatus), (returnflag), and grand-total levels in
+    one pass (Spark expands grouping sets inside a single hash
+    aggregate; no repeated scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+register(
+    "q_rollup",
+    q_rollup,
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE), 2)
+               AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)

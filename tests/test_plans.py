@@ -1,0 +1,87 @@
+"""Physical-plan regression tests — the 100 TB posture, asserted.
+
+Correctness is the oracle gate's job; these tests pin the plan SHAPES
+that make the same queries viable at scale: predicate pushdown into
+the parquet scans, column pruning, broadcast dimension joins (never a
+shuffled or cartesian plan for a small build side), sort-merge for the
+full-outer MERGE, and top-k via TakeOrderedAndProject. A regression
+that silently turns a broadcast join into a cartesian product passes
+the oracle but fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    import __spark_entry__ as e
+
+    queries = e.queries()
+
+    def plan_of(name: str) -> str:
+        df = queries[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_filters_are_pushed_to_scan(plans):
+    p = plans("q_filter_eq")
+    assert "PushedFilters: [" in p
+    assert "EqualTo" in p or "IsNotNull" in p
+
+
+def test_projection_prunes_scan_columns(plans):
+    # q_scan_project selects a handful of customer columns; the scan
+    # schema must not contain the unused comment/phone columns.
+    p = plans("q_scan_project")
+    assert "c_comment" not in p and "c_phone" not in p
+
+
+def test_dimension_joins_broadcast(plans):
+    for q in ("q_join_equi", "q_join_alias", "q_join_ip"):
+        p = plans(q)
+        assert "BroadcastHashJoin" in p, q
+        assert "CartesianProduct" not in p, q
+
+
+def test_theta_join_is_broadcast_nested_loop(plans):
+    # J6: tiny literal build side — broadcast nested loop is the
+    # intended plan; a shuffled cartesian product is not.
+    p = plans("q_join_theta")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_merge_is_sort_merge_full_outer(plans):
+    p = plans("q_upsert_nodes")
+    assert "SortMergeJoin" in p and "FullOuter" in p
+
+
+def test_anti_join_gc_broadcasts_live_set(plans):
+    p = plans("q_gc_anti")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_topk_plans_take_ordered(plans):
+    p = plans("q_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_flagship_aggregate_shape(plans):
+    p = plans("q_flow_edges")
+    # partial+final hash aggregation and pushed value predicate
+    assert p.count("HashAggregate") >= 2
+    assert "GreaterThan(value,0" in p.replace(" ", "")
+    assert "CartesianProduct" not in p
+
+
+def test_no_row_at_a_time_python_in_relational_core(plans):
+    # The relational core must stay JVM-side: no BatchEvalPython
+    # (row-at-a-time UDF) anywhere; Arrow ops are allowed only in the
+    # LLM/json_refs family.
+    for q in ("q_flow_edges", "q_join_envvar", "q_tags_map", "q_degrees"):
+        assert "BatchEvalPython" not in plans(q), q
