@@ -164,7 +164,17 @@ def minhash_lsh_pairs(
     rounded to 4 dp. Candidate generation is an equi-join on
     (band, band_hash); only candidates pay the exact set comparison.
     """
-    shingled = doc_shingles(docs, id_col, text_col)
+    # The shingle pass feeds three plan branches (band generation and
+    # both sides of the verification join); without materialization the
+    # Arrow pass re-runs once per branch. MEMORY_AND_DISK: shingle sets
+    # are ~2× the text size, and at scale this is exactly the
+    # intermediate you'd want resident between candidate generation and
+    # verification.
+    from pyspark import StorageLevel
+
+    shingled = doc_shingles(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     band_entries = minhash_band_entries(shingled, id_col, num_hashes, bands)
 
     left = band_entries.select(
