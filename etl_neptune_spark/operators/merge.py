@@ -44,6 +44,7 @@ def merge_keyed(
     keys: Sequence[str],
     update_cols: Sequence[str] = (),
     create_only_cols: Sequence[str] = (),
+    preserve_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Merge ``incoming`` into ``existing`` on ``keys``.
 
@@ -52,10 +53,17 @@ def merge_keyed(
       ``property(single, …)``.
     - ``create_only_cols``: set on insert, never rewritten on match
       (``coalesce(existing, incoming)``) — mergeV ``onCreate``.
+    - ``preserve_cols``: owned by OTHER writers — copied through from
+      ``existing``, never taken from ``incoming`` (NULL on fresh
+      inserts). This is the ST6 multi-writer contract: three pipelines
+      at different cadences converge on one keyed store because each
+      merge touches only its own column namespace
+      (SURVEY §2.8 ST6; reference pipelines etl_aws/etl_df/etl_cfn all
+      upsert the same vertices with disjoint property sets).
     - Rows present only in ``existing`` survive untouched (merge never
       deletes; deletion is the GC operator's job).
-    - Column order of the output: keys, then update_cols, then
-      create_only_cols.
+    - Column order of the output: keys, update_cols, create_only_cols,
+      preserve_cols.
     """
     missing = [c for c in (*update_cols, *create_only_cols) if c not in set(existing.columns) | set(incoming.columns)]
     if missing:
@@ -67,16 +75,16 @@ def merge_keyed(
     # re-merging a merge output against one of its own inputs is the
     # normal streaming loop, and object references make Spark reject
     # that as an ambiguous self-join.
-    def side(df: DataFrame, prefix: str) -> DataFrame:
+    def side(df: DataFrame, prefix: str, extra: Sequence[str] = ()) -> DataFrame:
         picked = []
         for k in keys:
             picked.append(F.col(k).alias(f"{prefix}{k}"))
-        for c in value_cols:
+        for c in (*value_cols, *extra):
             src = F.col(c) if c in df.columns else F.lit(None)
             picked.append(src.alias(f"{prefix}{c}"))
         return df.select(*picked)
 
-    ex = side(existing, "__ex_")
+    ex = side(existing, "__ex_", preserve_cols)
     inc = side(incoming, "__inc_")
 
     cond = [F.col(f"__ex_{k}").eqNullSafe(F.col(f"__inc_{k}")) for k in keys]
@@ -85,4 +93,5 @@ def merge_keyed(
     out = [F.coalesce(f"__ex_{k}", f"__inc_{k}").alias(k) for k in keys]
     out += [F.coalesce(f"__inc_{c}", f"__ex_{c}").alias(c) for c in update_cols]
     out += [F.coalesce(f"__ex_{c}", f"__inc_{c}").alias(c) for c in create_only_cols]
+    out += [F.col(f"__ex_{c}").alias(c) for c in preserve_cols]
     return joined.select(*out)

@@ -103,11 +103,19 @@ def run_aws_snapshot_etl(
     existing = store.read(spark, "nodes")
     if existing is None:
         existing = spark.createDataFrame([], incoming.schema)
+    # ST6: columns owned by the other writers (deepflow last_seen /
+    # degree metrics, cfn evidence) pass through untouched; this
+    # pipeline's namespace is tier/segment + the metric/health columns
+    # it recomputes below.
+    own = {"label", "name", "tier", "segment", "order_count", "total_spend",
+           "health_status"}
+    preserve = [c for c in existing.columns if c not in own]
     merged = merge_keyed(
-        existing.select(*incoming.columns),
+        existing,
         incoming,
         keys=["label", "name"],
         update_cols=["tier", "segment"],
+        preserve_cols=preserve,
     )
 
     # Metrics join-update (etl_aws:1484-1499, SNK3): per-customer order
@@ -126,9 +134,18 @@ def run_aws_snapshot_etl(
         merged.join(metrics, ["label", "name"], "left")
     )
 
-    # Step 15: ghost GC (etl_aws:1932-2066, J8) — survivors are the
-    # nodes present in the live snapshot.
-    gced = gc_keep(enriched, incoming, keys=["label", "name"])
+    # Step 15: ghost GC (etl_aws:1932-2066, J8) — PER-LABEL, and only
+    # for labels this pipeline owns: survivors are the nodes present in
+    # the live snapshot. Microservice is deepflow's label (its TTL GC
+    # owns retention there), so it passes through — per-writer GC is
+    # what lets three cadences share one store without deleting each
+    # other's state (ST6).
+    gc_labels = ["Region", "AvailabilityZone", "EC2Instance"]
+    gced = gc_keep(
+        enriched.filter(F.col("label").isin(gc_labels)),
+        incoming,
+        keys=["label", "name"],
+    ).unionByName(enriched.filter(~F.col("label").isin(gc_labels)))
 
     # Step 16: health reset-then-degrade (etl_aws:2068-2111, ST7) —
     # alarm set = customers with any urgent open order.
@@ -151,7 +168,7 @@ def run_aws_snapshot_etl(
 
     edges = contains.unionByName(located_in)
     store.write(final, "nodes", version)
-    store.write(edges, "edges", version)
+    store.write(edges, "infra_edges", version)
 
     return {
         "nodes": final.count(),

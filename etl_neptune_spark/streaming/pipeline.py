@@ -145,8 +145,8 @@ def deepflow_batch(store: GraphStore) -> Callable[[DataFrame, int], None]:
         edges_inc = _edge_agg(batch).withColumn("active", F.lit(True))
 
         nodes_inc = (
-            batch.select(F.col("src").alias("name"), "ts")
-            .unionByName(batch.select(F.col("dst").alias("name"), "ts"))
+            batch.select(F.col("src").cast("string").alias("name"), "ts")
+            .unionByName(batch.select(F.col("dst").cast("string").alias("name"), "ts"))
             .groupBy("name")
             .agg(F.max("ts").alias("last_seen"))
             .withColumn("label", F.lit("Microservice"))
@@ -155,18 +155,29 @@ def deepflow_batch(store: GraphStore) -> Callable[[DataFrame, int], None]:
 
         empty_nodes = spark.createDataFrame([], nodes_inc.schema)
         nodes_cur = store.read(spark, "nodes") or empty_nodes
+        # ST6 multi-writer convergence: pass through columns owned by
+        # the other pipelines (aws enrichment, health, …) untouched;
+        # degree columns are recomputed below, so they are NOT preserved.
+        own = {"label", "name", "last_seen", "created_at"}
+        degree_cols = {"out_degree", "in_degree", "out_weight", "is_entry_point"}
+        preserve = [
+            c for c in nodes_cur.columns if c not in own and c not in degree_cols
+        ]
         nodes_merged = merge_keyed(
             nodes_cur,
             nodes_inc,
             keys=["label", "name"],
             update_cols=["last_seen"],
             create_only_cols=["created_at"],
+            preserve_cols=preserve,
         )
-        # ST4: retention — unseen past the TTL ⇒ dropped (the reference
-        # GCs entities absent from the live snapshot each run).
+        # ST4: retention — OWN label only (per-writer GC, like the
+        # reference's per-label anti-joins): Microservice nodes unseen
+        # past the TTL are dropped; other writers' labels pass through.
         horizon = batch.agg(F.max("ts")).first()[0]
         nodes_final = nodes_merged.filter(
-            F.col("last_seen") >= F.lit(horizon) - F.expr(f"INTERVAL {NODE_TTL}")
+            (F.col("label") != "Microservice")
+            | (F.col("last_seen") >= F.lit(horizon) - F.expr(f"INTERVAL {NODE_TTL}"))
         )
 
         empty_edges = spark.createDataFrame([], edges_inc.schema)
@@ -192,16 +203,25 @@ def deepflow_batch(store: GraphStore) -> Callable[[DataFrame, int], None]:
         # nodes (the reference's batch_fetch_dependency_and_update,
         # neptune_etl_deepflow.py:536-617) — computed from the MERGED
         # edge state so decayed-but-alive edges still count.
-        degrees = degree_metrics(edges_merged, weight="calls").withColumnRenamed(
-            "node", "name"
+        degrees = degree_metrics(edges_merged, weight="calls").select(
+            F.col("node").cast("string").alias("name"),
+            "out_degree",
+            "in_degree",
+            "out_weight",
+            "is_entry_point",
         )
-        nodes_deg = (
-            nodes_final.join(degrees, "name", "left")
+        ms = (
+            nodes_final.filter(F.col("label") == "Microservice")
+            .join(degrees, "name", "left")
             .na.fill({"out_degree": 0, "in_degree": 0, "out_weight": 0})
             .withColumn(
                 "is_entry_point",
                 F.coalesce(F.col("is_entry_point"), F.lit(True)),
             )
+        )
+        nodes_deg = ms.unionByName(
+            nodes_final.filter(F.col("label") != "Microservice"),
+            allowMissingColumns=True,
         )
 
         store.write(nodes_deg, "nodes", batch_id)

@@ -119,3 +119,51 @@ def test_cfn_pipeline_extracts_and_merges(spark, tmp_path):
 
     # idempotent re-run
     assert run_cfn_etl(spark, templates, dims, store, version=1) == 2
+
+
+def test_multi_writer_convergence_st6(spark, sf_dir, tmp_path):
+    """ST6: the aws batch pipeline and the deepflow stream share one
+    keyed store at different cadences; each writer touches only its own
+    column namespace and GCs only its own labels."""
+    from etl_neptune_spark.streaming import run_deepflow_stream
+    from etl_neptune_spark.sources import load_table as lt
+
+    store = GraphStore(str(tmp_path / "store"))
+
+    # cadence 1: aws snapshot
+    run_aws_snapshot_etl(spark, sf_dir, store, version=0)
+    ec2_before = {
+        r.name: (r.tier, r.health_status)
+        for r in store.read(spark, "nodes").filter(F.col("label") == "EC2Instance").collect()
+    }
+    assert ec2_before
+
+    # cadence 2: deepflow stream drains into the same store
+    src = str(tmp_path / "in")
+    lt(spark, sf_dir, "events").coalesce(1).write.parquet(src)
+    run_deepflow_stream(spark, src, store)
+
+    nodes = store.read(spark, "nodes")
+    # deepflow added its Microservice nodes with degree metrics...
+    ms = nodes.filter((F.col("label") == "Microservice") & F.col("last_seen").isNotNull())
+    assert ms.count() > 0
+    assert ms.filter(F.col("out_degree").isNull()).count() == 0
+    # ...and did NOT clobber or GC the aws nodes / namespaces
+    ec2_after = {
+        r.name: (r.tier, r.health_status)
+        for r in nodes.filter(F.col("label") == "EC2Instance").collect()
+    }
+    assert ec2_after == ec2_before
+
+    # cadence 3: aws runs again — deepflow's columns survive untouched
+    run_aws_snapshot_etl(spark, sf_dir, store, version=99)
+    nodes2 = store.read(spark, "nodes")
+    ms2 = {
+        r.name: r.last_seen
+        for r in nodes2.filter(
+            (F.col("label") == "Microservice") & F.col("last_seen").isNotNull()
+        ).collect()
+    }
+    ms1 = {r.name: r.last_seen for r in ms.collect()}
+    for name, seen in ms1.items():
+        assert ms2[name] == seen
