@@ -209,3 +209,63 @@ def test_windowed_metrics_batch_equivalence(spark, events):
         assert (r.window_end - r.window_start).days == 7
     # total calls across windows == total flow rows
     assert sum(r.calls for r in rows) == flows.count()
+
+
+def test_stateful_running_totals_across_restarts(spark, events, tmp_path):
+    """applyInPandasWithState: keyed running totals accumulate across
+    micro-batches AND query restarts (state lives in the checkpoint) —
+    semantics no per-batch recompute can produce."""
+    from etl_neptune_spark.streaming.pipeline import EVENTS_SCHEMA, flow_projection
+    from etl_neptune_spark.streaming.stateful import running_edge_totals
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    half0 = events.filter(F.col("event_id") % 2 == 0)
+    half1 = events.filter(F.col("event_id") % 2 == 1)
+
+    def drain(qname):
+        # foreachBatch sink: supports checkpoint recovery (memory sink
+        # does not), collecting each batch's updated rows.
+        results = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                results[(r.src, r.dst, r.protocol)] = r
+
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+        q = (
+            running_edge_totals(flow_projection(stream))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return results
+
+    _add_flat_batch(half0, src, "b0")
+    run1 = drain("stateful_run1")
+    exp1 = {
+        (r.src, r.dst, r.protocol): r.calls
+        for r in flow_projection(half0)
+        .groupBy("src", "dst", "protocol")
+        .agg(F.count("*").alias("calls"))
+        .collect()
+    }
+    assert {k: v.calls for k, v in run1.items()} == exp1
+
+    # restart with new data: totals continue from checkpointed state
+    _add_flat_batch(half1, src, "b1")
+    run2 = drain("stateful_run2")
+    exp_total = {
+        (r.src, r.dst, r.protocol): r.calls
+        for r in flow_projection(events)
+        .groupBy("src", "dst", "protocol")
+        .agg(F.count("*").alias("calls"))
+        .collect()
+    }
+    for k, row in run2.items():
+        assert row.calls == exp_total[k], k
+        assert row.first_seen_us <= row.last_seen_us
