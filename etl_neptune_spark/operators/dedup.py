@@ -15,9 +15,13 @@ No reference counterpart (BASELINE.json north star). Design targets the
 - **SimHash**: linear scan producing a fixed-width bit signature;
   bucket on the signature (or signature bands for hamming>0).
 
-Everything is built-in expression API — shingling via
-``split``/``sequence``/``transform``, hashing via ``md5`` — so the hot
-path stays inside whole-stage codegen with zero Python.
+Shingle-set and signature GENERATION runs as Arrow-batched
+``mapInPandas`` (Catalyst higher-order functions execute interpreted
+per element — measured ~6× slower than a Python loop over an Arrow
+batch; ``hashlib.md5`` is byte-identical to SQL ``md5``, so oracle
+parity holds). Everything relational — posting-list joins, band
+self-joins, bucket-size aggregation, candidate verification — stays in
+Spark SQL with whole-stage codegen.
 
 MinHash here uses the *string-min* construction: signature element j =
 ``min(md5(j || ':' || shingle))`` over the shingle set. Min over hex

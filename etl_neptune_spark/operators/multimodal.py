@@ -71,6 +71,75 @@ def decode_image_meta(
     return df.select(id_col, bin_col).mapInPandas(batches, IMAGE_META_SCHEMA)
 
 
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", dim: int = 16
+) -> DataFrame:
+    """binary payload → fixed-width float feature vector.
+
+    Real implementation would run a vision/audio encoder over the
+    decoded media; here a DETERMINISTIC FAKE embedding (normalized byte
+    histogram folded to ``dim`` buckets) keeps the Spark-side contract
+    — Arrow batch in, ``array<float>`` column out, schema stable —
+    fully real and testable. The output feeds the similarity operators
+    unchanged (``operators.similarity`` consumes any array<float>)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            feats = []
+            for b in pdf[bin_col].values:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                n = np.linalg.norm(hist)
+                feats.append((hist / n if n else hist).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "features": feats})
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches, "doc_id bigint, features array<float>"
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """binary payload → resized binary payload + output dims.
+
+    The codec step is STUBBED (no image library in this container):
+    the fake "resize" is a deterministic byte resample to
+    width*height/64 bytes, preserving the real contract — binary in,
+    binary out, metadata columns typed. Swapping in
+    ``PIL.Image.resize`` changes only the loop body."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = max(1, width * height // 64)
+        for pdf in it:
+            out = []
+            for b in pdf[bin_col].values:
+                raw = bytes(b)
+                if not raw:
+                    out.append(b"")
+                    continue
+                step = max(1, len(raw) // target)
+                out.append(raw[::step][:target])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches, "doc_id bigint, payload binary, width int, height int"
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", every_n: int = 10
 ) -> DataFrame:

@@ -71,3 +71,36 @@ def test_multimodal_plumbing_schema_and_determinism(spark, sf_dir):
     assert a == b
     for r in a[:20]:
         assert 1 <= r[2] <= 640 and 1 <= r[3] <= 480
+
+
+def test_multimodal_features_and_resize(spark, sf_dir):
+    """Feature-extract and resize plumbing: stable schemas, deterministic
+    fakes, features consumable by the similarity operators."""
+    from pyspark.sql import functions as F
+
+    from etl_neptune_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        with_payload,
+    )
+    from etl_neptune_spark.operators.similarity import cosine_neardup_pairs
+    from etl_neptune_spark.sources import load_table
+
+    docs = with_payload(load_table(spark, sf_dir, "documents").limit(50))
+    feats = extract_features(docs, dim=16)
+    assert feats.schema.simpleString() == "struct<doc_id:bigint,features:array<float>>"
+    rows = feats.collect()
+    assert all(len(r.features) == 16 for r in rows)
+    # deterministic: same input -> same vector
+    again = {r.doc_id: r.features for r in extract_features(docs, dim=16).collect()}
+    assert all(again[r.doc_id] == r.features for r in rows)
+    # consumable by the similarity family (unit-norm histogram vectors)
+    pairs = cosine_neardup_pairs(
+        feats, id_col="doc_id", vec_col="features", min_cosine=0.99, n_blocks=2
+    )
+    assert pairs.count() >= 0  # runs end-to-end
+
+    resized = resize_images(docs, width=64, height=64)
+    r0 = resized.first()
+    assert (r0.width, r0.height) == (64, 64)
+    assert resized.filter(F.length("payload") > 64 * 64 // 64).count() == 0
