@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import dec_avg
+from ..functions import dec_avg, dec_sum
 from ..operators.degrees import degree_metrics
 from ..operators.merge import merge_keyed
 from .store import GraphStore
@@ -107,7 +107,11 @@ def windowed_flow_metrics(
         .groupBy(F.window("ts", window, slide), "src", "dst", "protocol")
         .agg(
             F.count("*").alias("calls"),
-            dec_avg("value").alias("avg_duration_ms"),
+            # Unrounded decimal-exact mean: the decimal sum → double cast
+            # and the division are the same IEEE ops in any engine, so
+            # the result is bit-comparable; a final round() is NOT —
+            # engines disagree on half-way shortest-repr doubles.
+            (dec_sum("value") / F.count("value")).alias("avg_duration_ms"),
             F.count_if(F.col("value") >= ERROR_THRESHOLD).alias("error_count"),
         )
         .select(
