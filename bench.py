@@ -30,8 +30,12 @@ def main() -> None:
     spark = get_spark("bench")
     queries = e.queries()
 
-    # Warm the JVM + parquet footers once so timings measure the queries.
+    # Warm the JVM + parquet footers + Python/Arrow workers once so
+    # timings measure the queries, not process spinup.
     queries["q_flow_edges"](spark, sf_dir).count()
+    spark.range(1024).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     names = HEADLINE + sorted(set(queries) - set(HEADLINE))
     timings: dict[str, float] = {}
