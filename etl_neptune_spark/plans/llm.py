@@ -390,3 +390,17 @@ register(
     FROM sh
     """,
 )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (driver-trained on a bounded
+    sample, seeded), distributed cell assignment, nprobe-cell search.
+    No SQL oracle exists for k-means state → rows-only certification;
+    recall vs the exact brute force is asserted in
+    tests/test_llm_ops.py."""
+    from ..operators.similarity import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), n_clusters=8, nprobe=4)
+
+
+register("q_ann_ivf", q_ann_ivf)  # rows-only: k-means state is not SQL-expressible

@@ -104,3 +104,28 @@ def test_multimodal_features_and_resize(spark, sf_dir):
     r0 = resized.first()
     assert (r0.width, r0.height) == (64, 64)
     assert resized.filter(F.length("payload") > 64 * 64 // 64).count() == 0
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """IVF with nprobe=4 of 8 cells must recover most of the exact
+    top-5 neighbors (recall is the quantizer's quality metric)."""
+    from etl_neptune_spark.operators.similarity import brute_force_topk, ivf_topk
+    from etl_neptune_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, k=5, n_clusters=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall
+    # determinism: seeded training -> identical result set
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, k=5, n_clusters=8, nprobe=4).collect()
+    }
+    assert again == approx
