@@ -85,3 +85,20 @@ def test_no_row_at_a_time_python_in_relational_core(plans):
     # LLM/json_refs family.
     for q in ("q_flow_edges", "q_join_envvar", "q_tags_map", "q_degrees"):
         assert "BatchEvalPython" not in plans(q), q
+
+
+def test_rollup_is_single_pass_expand(plans):
+    # grouping sets run as ONE scan + Expand + hash aggregate — not one
+    # scan per grouping level.
+    p = plans("q_rollup")
+    assert "Expand" in p
+    assert p.count("FileScan") == 1
+
+
+def test_count_distinct_two_phase(plans):
+    # exact distinct-count plans as expand + two-phase aggregate, with
+    # the scan reading only the two needed columns.
+    p = plans("q_count_distinct")
+    assert "HashAggregate" in p
+    # only the two needed columns reach the scan
+    assert "props" not in p and "value:double" not in p
