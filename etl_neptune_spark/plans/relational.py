@@ -881,3 +881,96 @@ register(
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all four aggregation levels of
+    (returnflag, linestatus) in one Expand + hash aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items")
+    )
+
+
+register(
+    "q_cube",
+    q_cube,
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_items
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (SURVEY §2.6 notes only set-difference exists in
+    the reference; the engine exposes the full family): nations that
+    have both customers and suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+register(
+    "q_intersect",
+    q_intersect,
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: orders with no lineitems — the set-difference
+    form of the anti-join family."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return orders.select(F.col("o_orderkey").alias("orderkey")).exceptAll(
+        lineitem.select(F.col("l_orderkey").alias("orderkey"))
+    ).distinct()
+
+
+register(
+    "q_except",
+    q_except,
+    """
+    SELECT o_orderkey AS orderkey FROM orders
+    EXCEPT
+    SELECT l_orderkey FROM lineitem
+    """,
+)
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event counts per user bucket reshaped to one column per
+    event type (fixed pivot values → single-pass aggregate, no second
+    scan for value discovery)."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase"]
+    return (
+        events.filter(F.col("event_type").isin(types))
+        .withColumn("bucket", (F.col("user_id") % 10).cast("bigint"))
+        .groupBy("bucket")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+register(
+    "q_pivot",
+    q_pivot,
+    """
+    SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'view') AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    GROUP BY 1
+    """,
+)
