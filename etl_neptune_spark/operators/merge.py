@@ -45,6 +45,7 @@ def merge_keyed(
     update_cols: Sequence[str] = (),
     create_only_cols: Sequence[str] = (),
     preserve_cols: Sequence[str] = (),
+    null_safe: bool = True,
 ) -> DataFrame:
     """Merge ``incoming`` into ``existing`` on ``keys``.
 
@@ -62,6 +63,13 @@ def merge_keyed(
       upsert the same vertices with disjoint property sets).
     - Rows present only in ``existing`` survive untouched (merge never
       deletes; deletion is the GC operator's job).
+    - ``null_safe``: by default keys match with ``eqNullSafe``. When the
+      key space is non-null by construction (the graph's (label, name)
+      always is), pass ``False``: plain equality keys let Spark reuse a
+      bucketed table's hash distribution, making the merge SHUFFLE-FREE
+      on co-bucketed inputs (``eqNullSafe`` compiles to
+      hashpartitioning(coalesce(k), isnull(k)), which no bucket layout
+      satisfies). Proven by tests/test_bucketing.py.
     - Column order of the output: keys, update_cols, create_only_cols,
       preserve_cols.
     """
@@ -87,7 +95,10 @@ def merge_keyed(
     ex = side(existing, "__ex_", preserve_cols)
     inc = side(incoming, "__inc_")
 
-    cond = [F.col(f"__ex_{k}").eqNullSafe(F.col(f"__inc_{k}")) for k in keys]
+    if null_safe:
+        cond = [F.col(f"__ex_{k}").eqNullSafe(F.col(f"__inc_{k}")) for k in keys]
+    else:
+        cond = [F.col(f"__ex_{k}") == F.col(f"__inc_{k}") for k in keys]
     joined = ex.join(inc, cond, "full_outer")
 
     out = [F.coalesce(f"__ex_{k}", f"__inc_{k}").alias(k) for k in keys]
