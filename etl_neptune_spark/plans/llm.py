@@ -404,3 +404,29 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_ann_ivf", q_ann_ivf)  # rows-only: k-means state is not SQL-expressible
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction plumbing (binary → array<float>);
+    rows-only (the stub encoder is byte-level, not SQL-expressible) —
+    determinism + schema + similarity-compatibility are asserted in
+    tests/test_llm_ops.py."""
+    from ..operators.multimodal import extract_features, with_payload
+
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    return extract_features(docs, dim=16)
+
+
+register("q_mm_features", q_mm_features)  # rows-only: byte-level stub codec
+
+
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing (binary → binary + typed dims);
+    rows-only for the same reason."""
+    from ..operators.multimodal import resize_images, with_payload
+
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    return resize_images(docs, width=64, height=64)
+
+
+register("q_mm_resize", q_mm_resize)  # rows-only: byte-level stub codec
