@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-No reference counterpart (BASELINE.json north star). Three operators:
+No reference counterpart (BASELINE.json north star). Four operators:
 
 - **cosine_neardup_pairs** — exact all-pairs cosine ≥ τ via a BLOCKED
   matrix product: rows are hashed into B blocks, every unordered block
@@ -14,8 +14,11 @@ No reference counterpart (BASELINE.json north star). Three operators:
   scores per block, then a global ranking window over the B × k
   survivors per query (block-local top-k is a superset of the global
   top-k, so the result is exact).
-- **lsh_topk** — the ANN scale path: sign-LSH bucket as an IVF-style
+- **lsh_topk** — ANN scale path #1: sign-LSH bucket as a hash-based
   coarse quantizer, numpy top-k inside each bucket.
+- **ivf_topk** — ANN scale path #2: k-means coarse quantizer trained
+  on a bounded driver-side sample (the FAISS recipe), distributed cell
+  assignment, nprobe-cell exact re-ranking.
 
 Why numpy and not SQL expressions: a 64-term unrolled dot product in a
 join condition or filter lands in one generated-code method past
