@@ -59,10 +59,26 @@ class GraphStore:
             return None
         return spark.read.parquet(os.path.join(self._table_dir(table), f"v={v}"))
 
-    def write(self, df: DataFrame, table: str, version: int) -> None:
-        """Write one snapshot version and atomically flip the pointer."""
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        version: int,
+        partition_by: tuple[str, ...] = (),
+    ) -> None:
+        """Write one snapshot version and atomically flip the pointer.
+
+        ``partition_by`` (e.g. ``("label",)`` for the node table) lays
+        the snapshot out hive-partitioned, so per-label readers — the
+        GC anti-joins, label-scoped enrichment — scan only their
+        partition (PartitionFilters, proven in tests/test_streaming.py).
+        At 100 TB this is the difference between reading one label and
+        reading the store."""
         tdir = self._table_dir(table)
-        df.write.mode("overwrite").parquet(os.path.join(tdir, f"v={version}"))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(tdir, f"v={version}"))
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(version))

@@ -269,3 +269,23 @@ def test_stateful_running_totals_across_restarts(spark, events, tmp_path):
     for k, row in run2.items():
         assert row.calls == exp_total[k], k
         assert row.first_seen_us <= row.last_seen_us
+
+
+def test_store_label_partitioning_prunes(spark, events, tmp_path):
+    """A label-partitioned store snapshot gives per-label readers
+    partition pruning (the scan reads one label's directory only)."""
+    store = GraphStore(str(tmp_path / "store"))
+    nodes = spark.createDataFrame(
+        [("Microservice", "a", 1), ("Microservice", "b", 2), ("EC2Instance", "c", 3)],
+        "label string, name string, v int",
+    )
+    store.write(nodes, "nodes", 0, partition_by=("label",))
+    back = store.read(spark, "nodes")
+    assert sorted((r.label, r.name) for r in back.collect()) == [
+        ("EC2Instance", "c"), ("Microservice", "a"), ("Microservice", "b"),
+    ]
+    one = back.filter(F.col("label") == "Microservice")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    partition_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "label" in partition_filters  # pruned at the partition level
+    assert one.count() == 2
