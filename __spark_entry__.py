@@ -24,6 +24,7 @@ _PLAN_MODULES = [
     "etl_neptune_spark.plans.graph",
     "etl_neptune_spark.plans.llm",
     "etl_neptune_spark.plans.streaming",
+    "etl_neptune_spark.plans.timeseries",
 ]
 
 

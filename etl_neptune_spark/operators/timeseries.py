@@ -1,0 +1,162 @@
+"""Time-series operators: as-of join, bucketed range join, gap
+sessionization.
+
+No reference counterpart (the reference's only temporal logic is the
+sliding-lookback filter, SURVEY §2.8 ST2) — these are the standard
+event-analytics operators a flow/telemetry store at this scale needs,
+implemented with Spark-native plans that stay linear at 100 TB:
+
+- **asof_join** — Spark has no ASOF JOIN; the naive encoding is a
+  theta join (``r.ts <= l.ts`` → BroadcastNestedLoop or a per-key
+  explosion). This implementation uses the classic union-merge
+  layout: tag both sides, union, one window sorted by
+  ``(key, ts, side)``, carry the last non-null right payload forward,
+  keep left rows. ONE shuffle on the join key, linear scan per
+  partition, no row multiplication — the same shape survives a
+  1000-executor sort-merge at 100 TB (skewed keys fall out of AQE or
+  ``operators.skew`` salting).
+- **bucketed_range_join** — a bounded-interval theta join
+  (``l.ts - W <= r.ts < l.ts``) re-expressed as an equi join: bucket
+  timestamps by the window width, replicate the right side to the
+  (at most 2) buckets it can serve, equi-join on ``(key, bucket)``,
+  then re-apply the exact predicate. Replication factor is
+  ``ceil(span/bucket)+1`` = 2, independent of data size — vs the
+  unbounded blowup of a raw inequality join.
+- **sessionize** — gap-based session assignment per key: lag + running
+  sum over one window, so again one shuffle and a linear scan. Session
+  ids are per-key dense integers ordered by time, deterministic under
+  ties via the id column. Boundary convention matches Spark's
+  ``session_window``: a gap of AT MOST ``gap`` keeps the session alive
+  (Spark merges a window whose start touches the previous window's
+  end, so only a gap STRICTLY GREATER than ``gap`` splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    right_order: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right payload with
+    ``right.ts <= left.ts`` on the same key (backward as-of, left outer:
+    unmatched left rows keep null payload).
+
+    ``right_order`` breaks ties among right rows sharing (key, ts) —
+    the greatest value wins; without it, pre-dedupe the right side.
+    All left columns are preserved; payload columns are appended.
+    """
+    l_cols = left.columns
+    order_col = right_order or payload[0]
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.col(order_col).alias("__ord"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
+    )
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(right.schema[order_col].dataType).alias("__ord"),
+        F.lit(1).alias("__side"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
+            for c in payload
+        ],
+        *l_cols,
+    )
+    # Right rows sort before left rows at equal ts (<= semantics); among
+    # equal-ts right rows the greatest __ord lands closest to the left row.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side", "__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r.unionByName(l).select(
+        "*",
+        *[
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in payload
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *l_cols, *[F.col(f"__f_{c}").alias(f"r_{c}") for c in payload]
+    )
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_sec: int,
+) -> DataFrame:
+    """Pairs ``(left, right)`` with the same key and
+    ``left.ts - window <= right.ts < left.ts`` (right strictly before
+    left, within the window), as an equi join on ``(key, time-bucket)``.
+
+    Right rows replicate to 2 buckets (their own and the next); the
+    exact interval predicate filters after the hash join, so Catalyst
+    plans a plain shuffled/broadcast hash join instead of a
+    nested-loop. Column name collisions are avoided by prefixing right
+    columns with ``r_``.
+    """
+    bucket = F.lit(window_sec).cast("long")
+    r_cols = right.columns
+    r = (
+        right.select(
+            F.col(on).alias("__k"),
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c).alias(f"r_{c}") for c in r_cols],
+        )
+        .withColumn("__b0", (F.unix_timestamp(F.col("__rts")) / bucket).cast("long"))
+        .withColumn("__off", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn("__b", F.col("__b0") + F.col("__off"))
+        .drop("__b0", "__off")
+    )
+    l = left.withColumn(
+        "__b", (F.unix_timestamp(F.col(left_ts)) / bucket).cast("long")
+    ).withColumn("__k", F.col(on))
+    pairs = l.join(r, ["__k", "__b"], "inner").filter(
+        (F.col("__rts") >= F.col(left_ts) - F.expr(f"INTERVAL {window_sec} SECONDS"))
+        & (F.col("__rts") < F.col(left_ts))
+    )
+    return pairs.drop("__k", "__b", "__rts")
+
+
+def sessionize(
+    events: DataFrame,
+    on: str,
+    ts_col: str,
+    gap_sec: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign a per-key dense ``session_id`` (1-based, time-ordered):
+    a new session starts when the gap since the previous event is
+    strictly ``> gap_sec`` (Spark ``session_window`` boundary
+    convention — touching windows merge)."""
+    order = [ts_col] + ([order_col] if order_col else [])
+    w = Window.partitionBy(on).orderBy(*order)
+    run = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_ms = F.unix_millis(F.col(ts_col)) - F.unix_millis(F.lag(ts_col).over(w))
+    new_session = F.when(
+        gap_ms.isNull() | (gap_ms > gap_sec * 1000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.withColumn(
+        "session_id", F.sum(new_session).over(run).cast("long")
+    )

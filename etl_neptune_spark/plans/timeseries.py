@@ -1,0 +1,244 @@
+"""Certified queries for the time-series operators (as-of join,
+bucketed range join, gap sessionization, session windows, deterministic
+stratified sampling).
+
+No reference counterpart (SURVEY §2.5/§2.8 note the reference has no
+range/as-of joins and no session windows) — these are the standard
+event-analytics operators the engine adds for flow/telemetry data, cast
+here as purchase-attribution queries over the ``events`` fixture:
+"which view led to this purchase" (as-of), "how many clicks in the hour
+before purchase" (range), "user sessions at a 30-minute gap"
+(sessionize / session_window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import asof_join, bucketed_range_join, sessionize
+from ..sources import load_table
+from .registry import register
+
+GAP_MIN = 30
+SAMPLE_PER_STRATUM = 100
+
+
+def _typed(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == event_type)
+        .select("event_id", "user_id", "ts", "value")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks the latest view by the
+    same user at or before the purchase instant (left outer — purchases
+    with no prior view keep nulls). The right side is pre-deduped to
+    one row per (user, ts) so tie-breaking is engine-independent."""
+    purchases = _typed(spark, sf_dir, "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        _typed(spark, sf_dir, "view")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        payload=["event_id", "ts", "value"],
+        right_order="event_id",
+    )
+    # The matched view's timestamp goes out as epoch millis: a nullable
+    # LongType survives the driver's value hash uniformly across engines
+    # (a null TIMESTAMP would compare NaT-vs-NaT).
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "r_event_id",
+        F.unix_millis("r_ts").alias("r_ts_ms"),
+        "r_value",
+    )
+
+
+register(
+    "q_asof_join",
+    q_asof_join,
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id, user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+    ),
+    v1 AS (SELECT event_id, user_id, ts, value FROM v WHERE rn = 1)
+    SELECT p.purchase_id, p.user_id, p.purchase_ts,
+           v1.event_id AS r_event_id, epoch_ms(v1.ts) AS r_ts_ms,
+           v1.value AS r_value
+    FROM p ASOF LEFT JOIN v1
+      ON p.user_id = v1.user_id AND v1.ts <= p.purchase_ts
+    """,
+)
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval range join: clicks in the hour strictly before
+    each purchase, aggregated per purchase (zero-click purchases kept).
+    Decimal-summed so the value hash is fold-order independent."""
+    purchases = _typed(spark, sf_dir, "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = _typed(spark, sf_dir, "click").select("user_id", "ts", "value")
+    pairs = bucketed_range_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", window_sec=3600
+    )
+    agg = pairs.groupBy("purchase_id").agg(
+        F.count("r_ts").alias("n_clicks"),
+        F.sum(F.col("r_value").cast("decimal(28,2)")).alias("val"),
+    )
+    return purchases.join(agg, "purchase_id", "left").select(
+        "purchase_id",
+        F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+        F.coalesce(F.col("val").cast("double"), F.lit(0.0)).alias("click_value"),
+    )
+
+
+register(
+    "q_range_join",
+    q_range_join,
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id,
+           count(c.ts) AS n_clicks,
+           CAST(coalesce(sum(CAST(c.value AS DECIMAL(28,2))), 0) AS DOUBLE)
+               AS click_value
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    GROUP BY p.purchase_id
+    """,
+)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (30-min gap) per user: dense session ids,
+    per-session event count, bounds, and millisecond duration."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sess = sessionize(events, on="user_id", ts_col="ts", gap_sec=GAP_MIN * 60,
+                      order_col="event_id")
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
+    )
+
+
+_SESSION_CTE = f"""
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                            > {GAP_MIN * 60 * 1000}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+"""
+
+register(
+    "q_sessionize",
+    q_sessionize,
+    f"""
+    WITH {_SESSION_CTE}
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` aggregation — same 30-min gap
+    semantics as q_sessionize but with the half-open [min_ts, max_ts+gap)
+    window bounds Structured Streaming uses for stateful sessions."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", f"{GAP_MIN} minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+register(
+    "q_session_window",
+    q_session_window,
+    f"""
+    WITH {_SESSION_CTE}
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL {GAP_MIN} MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per event_type, the first
+    {k} rows ordered by md5(event_id) — a seedless, engine-independent
+    uniform draw (hash order is uncorrelated with any data order). At
+    scale, pre-filtering on a hash prefix bound cuts the sort input
+    before the per-stratum ranking window."""
+    events = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(h, "event_id")
+    return (
+        events.select("event_id", "event_type", "user_id")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= SAMPLE_PER_STRATUM)
+    )
+
+
+register(
+    "q_sample_stratified",
+    q_sample_stratified,
+    f"""
+    WITH ranked AS (
+        SELECT event_id, event_type, user_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                           event_id) AS rn
+        FROM events
+    )
+    SELECT event_id, event_type, user_id, rn
+    FROM ranked WHERE rn <= {SAMPLE_PER_STRATUM}
+    """,
+)

@@ -1,0 +1,111 @@
+"""Time-series operators: as-of join, bucketed range join, sessionize.
+
+Semantics pinned with hand-built micro-fixtures (exact expected rows),
+plus physical-plan guards: the as-of join must not plan a join operator
+at all (union-merge layout) and the range join must not degrade to a
+nested-loop.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_neptune_spark.operators.timeseries import (
+    asof_join,
+    bucketed_range_join,
+    sessionize,
+)
+
+
+def _ts(minute: int, second: int = 0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(30)), (2, _ts(10))], "k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 100), (1, _ts(10), 200), (1, _ts(20), 300), (3, _ts(1), 900)],
+        "k long, rts timestamp, payload long",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        payload=["payload"], right_order="payload",
+    )
+    got = {(r.k, r.lts.minute): r.r_payload for r in out.collect()}
+    # equal ts matches (<=); latest prior wins; no match → null
+    assert got == {(1, 10): 200, (1, 30): 300, (2, 10): None}
+
+
+def test_asof_tie_on_right_ts_takes_greatest_order(spark):
+    left = spark.createDataFrame([(1, _ts(10))], "k long, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 1), (1, _ts(5), 2)], "k long, rts timestamp, payload long"
+    )
+    out = asof_join(left, right, "k", "lts", "rts", ["payload"], "payload")
+    assert out.collect()[0].r_payload == 2
+
+
+def test_asof_plans_no_join_operator(spark):
+    left = spark.createDataFrame([(1, _ts(1))], "k long, lts timestamp")
+    right = spark.createDataFrame([(1, _ts(0), 1)], "k long, rts timestamp, p long")
+    plan = (
+        asof_join(left, right, "k", "lts", "rts", ["p"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+
+
+def test_range_join_window_is_half_open(spark):
+    left = spark.createDataFrame([(1, 10, _ts(30))], "k long, lid long, lts timestamp")
+    right = spark.createDataFrame(
+        # window_sec=600 → matches rts in [lts-10min, lts)
+        [
+            (1, _ts(19, 59), 1),   # just outside (too old)
+            (1, _ts(20, 0), 2),    # boundary: included (>=)
+            (1, _ts(29, 59), 3),   # inside
+            (1, _ts(30, 0), 4),    # boundary: excluded (< lts)
+            (2, _ts(25), 5),       # wrong key
+        ],
+        "k long, rts timestamp, rid long",
+    )
+    out = bucketed_range_join(left, right, "k", "lts", "rts", window_sec=600)
+    assert sorted(r.r_rid for r in out.collect()) == [2, 3]
+
+
+def test_range_join_no_nested_loop(spark):
+    left = spark.createDataFrame([(1, _ts(1))], "k long, lts timestamp")
+    right = spark.createDataFrame([(1, _ts(0), 1)], "k long, rts timestamp, rid long")
+    plan = (
+        bucketed_range_join(left, right, "k", "lts", "rts", 600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_sessionize_gap_boundary_matches_session_window(spark):
+    # gap=600s: a gap of exactly 600s stays (touching windows merge);
+    # only a strictly greater gap splits — Spark session_window convention
+    events = spark.createDataFrame(
+        [
+            (1, 1, _ts(0)),
+            (2, 1, _ts(10, 0)),   # +600s → same session (touch-merge)
+            (3, 1, _ts(20, 1)),   # +601s → new session
+            (4, 2, _ts(0)),
+        ],
+        "event_id long, k long, ts timestamp",
+    )
+    sess = sessionize(events, on="k", ts_col="ts", gap_sec=600, order_col="event_id")
+    got = {r.event_id: r.session_id for r in sess.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+    native = (
+        events.groupBy("k", F.session_window("ts", "600 seconds"))
+        .agg(F.count("*").alias("n"))
+    )
+    # same partitioning into sessions: (k=1: [2,1]), (k=2: [1])
+    sizes = sorted((r.k, r.n) for r in native.collect())
+    assert sizes == [(1, 1), (1, 2), (2, 1)]

@@ -59,7 +59,8 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
                     | ((sv - dv).abs() <= 1e-9 + 1e-9 * dv.abs())
                 )
             elif pd.api.types.is_datetime64_any_dtype(sv) or pd.api.types.is_datetime64_any_dtype(dv):
-                bad = pd.to_datetime(sv) != pd.to_datetime(dv)
+                sv, dv = pd.to_datetime(sv), pd.to_datetime(dv)
+                bad = ~((sv.isna() & dv.isna()) | (sv == dv))
             else:
                 bad = sv.astype(str) != dv.astype(str)
             n_bad = int(bad.sum())
