@@ -974,3 +974,36 @@ register(
     GROUP BY 1
     """,
 )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of ROLLUP/CUBE (both
+    certified above): order-priority totals per (orderstatus, priority)
+    and per (priority) alone, skipping the grand-total level. One
+    Expand + single hash aggregate, same physical shape the plan tests
+    pin for q_rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double"), 2
+        ).alias("total_price"),
+    )
+
+
+register(
+    "q_grouping_sets",
+    q_grouping_sets,
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 2)
+               AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority))
+    """,
+)
