@@ -10,12 +10,16 @@ Here the ``events`` table plays the flow log (FIXTURES.md): ``user_id``
 protocol, ``value`` → response duration.
 
 All expressions are built-in ``pyspark.sql.functions`` (JVM-side,
-whole-stage-codegen'd); the lookback anchor is a 1-row broadcast
-aggregate joined in rather than a driver-side collect, so the plan
-stays fully declarative and Catalyst pushes the value/ts filters into
-the parquet scan. At 100 TB this is a single shuffle on the group key
-(partial + final hash aggregate) followed by TakeOrderedAndProject —
-the same shape ClickHouse executes for the reference, but distributed.
+whole-stage-codegen'd); the lookback anchor is resolved to a *literal*
+by one tiny footer-stats `max(ts)` action (sources.tables.max_ts_nanos,
+cached per process) so the window predicate reaches the parquet reader
+as a ``PushedFilters`` entry — row-group pruning now, partition pruning
+on a date-partitioned layout at 100 TB. This mirrors the reference's
+source-side literal window (neptune_etl_df.py:641 ``time > now()-300``
+pushed into the store). After the pruned scan, the plan is a single
+shuffle on the group key (partial + final hash aggregate) followed by
+TakeOrderedAndProject — the same shape ClickHouse executes for the
+reference, but distributed.
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dec_avg
-from ..sources import load_table
+from ..sources import load_events_lookback
 from .registry import register
 
 # Deterministic key-space mapping (keeps group counts stable across SF,
@@ -41,16 +45,12 @@ def _flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Mirrors the reference's WHERE clause (neptune_etl_deepflow.py:640-642):
     non-null endpoints (``ip4 != 0``), positive duration, self-pairs
-    dropped, sliding lookback on ``time``.
+    dropped, sliding lookback on ``time`` — the lookback cutoff is a
+    literal, so both it and the value filter are pushed into the scan.
     """
-    events = load_table(spark, sf_dir, "events")
-    bounds = events.agg(F.max("ts").alias("max_ts"))  # 1 row → broadcast
+    events = load_events_lookback(spark, sf_dir, LOOKBACK_DAYS)
     return (
-        events.crossJoin(F.broadcast(bounds))
-        .filter(
-            (F.col("value") > 0)
-            & (F.col("ts") >= F.col("max_ts") - F.expr(f"INTERVAL {LOOKBACK_DAYS} DAYS"))
-        )
+        events.filter(F.col("value") > 0)
         .select(
             (F.col("user_id") % SRC_MOD).cast("bigint").alias("src"),
             (F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("bigint") % DST_MOD).alias(

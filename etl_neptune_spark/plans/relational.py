@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dec_avg, dec_sum, ipv4_to_string, split_part
-from ..sources import load_table
+from ..sources import load_events_lookback, load_table
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -128,13 +128,12 @@ register(
 def q_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/F2/F3/ST2 — sliding lookback window anchored at max(ts)
     (``time > now() - INTERVAL_MIN*60``, neptune_etl_deepflow.py:150,641).
-    The anchor is a 1-row broadcast aggregate, not a driver collect."""
-    ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(F.max("ts").alias("max_ts"))
+    The anchor is resolved to a literal (cached footer-stats action, see
+    sources.tables.max_ts_nanos) so the window predicate is pushed into
+    the parquet scan — partition-prunable at 100 TB."""
+    ev = load_events_lookback(spark, sf_dir, 5)
     return (
-        ev.crossJoin(F.broadcast(bounds))
-        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 5 DAYS"))
-        .groupBy("event_type")
+        ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
             F.round(dec_sum("value"), 2).alias("total_value"),

@@ -5,14 +5,25 @@ from .formats import (
     read_json,
     read_tsv,
 )
-from .tables import TABLES, load_table, load_tables, register_views
+from .tables import (
+    TABLES,
+    load_events_lookback,
+    load_table,
+    load_tables,
+    lookback_cutoff_nanos,
+    max_ts_nanos,
+    register_views,
+)
 
 __all__ = [
     "TABLES",
     "broadcast_dim",
     "explode_nested",
+    "load_events_lookback",
     "load_table",
     "load_tables",
+    "lookback_cutoff_nanos",
+    "max_ts_nanos",
     "parse_template_text",
     "read_json",
     "read_tsv",

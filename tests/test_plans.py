@@ -22,7 +22,11 @@ def plans(spark, sf_dir):
 
     def plan_of(name: str) -> str:
         df = queries[name](spark, sf_dir)
-        return df._jdf.queryExecution().executedPlan().toString()
+        qe = df._jdf.queryExecution()
+        # formatted mode prints PushedFilters un-truncated; append the
+        # tree form too so node-name assertions keep working unchanged.
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        return qe.explainString(mode) + "\n" + qe.executedPlan().toString()
 
     return plan_of
 
@@ -77,6 +81,19 @@ def test_flagship_aggregate_shape(plans):
     assert p.count("HashAggregate") >= 2
     assert "GreaterThan(value,0" in p.replace(" ", "")
     assert "CartesianProduct" not in p
+
+
+def test_lookback_anchor_is_pushed_literal(plans):
+    # The sliding-lookback cutoff must reach the parquet reader as a
+    # pushed literal comparison on the raw ts column (VERDICT r1 item 1):
+    # a non-literal anchor (max_ts crossJoined back) defeats row-group
+    # and partition pruning, turning a 5-minute window into a full-history
+    # scan at 100 TB. Also pin that the old 1-row crossJoin is gone.
+    for q in ("q_flow_edges", "q_time_window"):
+        p = plans(q).replace(" ", "")
+        assert "GreaterThanOrEqual(ts," in p, q
+        assert "BroadcastNestedLoopJoin" not in p, q
+        assert "CartesianProduct" not in p, q
 
 
 def test_no_row_at_a_time_python_in_relational_core(plans):
