@@ -46,6 +46,7 @@ def merge_keyed(
     create_only_cols: Sequence[str] = (),
     preserve_cols: Sequence[str] = (),
     null_safe: bool = True,
+    dedupe_order: str | None = None,
 ) -> DataFrame:
     """Merge ``incoming`` into ``existing`` on ``keys``.
 
@@ -72,12 +73,32 @@ def merge_keyed(
       satisfies). Proven by tests/test_bucketing.py.
     - Column order of the output: keys, update_cols, create_only_cols,
       preserve_cols.
+    - **Precondition: keys are unique per side.** Duplicate keys in
+      ``incoming`` would fan out through the full-outer join and
+      duplicate existing rows, breaking the keyed-store invariant (the
+      reference's mergeV converges because Gremlin merges per key).
+      Pipeline callers guarantee this by pre-aggregating; ad-hoc callers
+      can pass ``dedupe_order`` — a column name whose GREATEST value
+      wins per key (last-write-wins) — to have incoming deduped here.
     """
     missing = [c for c in (*update_cols, *create_only_cols) if c not in set(existing.columns) | set(incoming.columns)]
     if missing:
         raise ValueError(f"merge columns not present in either side: {missing}")
 
     value_cols = [*update_cols, *create_only_cols]
+
+    if dedupe_order is not None:
+        # Last-write-wins per key: one row_number window on the same key
+        # the join shuffles on — the exchange is reused, so the dedupe
+        # adds a sort but no extra shuffle.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(dedupe_order).desc())
+        incoming = (
+            incoming.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
 
     # Column-rename isolation instead of DataFrame-object references:
     # re-merging a merge output against one of its own inputs is the

@@ -24,6 +24,20 @@ from pyspark.sql import functions as F
 _RECOMBINE = {"sum": F.sum, "min": F.min, "max": F.max}
 
 
+def _row_salt(df: DataFrame, salt: int) -> Column:
+    """Deterministic per-row salt from full row content.
+
+    The salt becomes a shuffle grouping/join key, so it must be stable
+    under task retry and stage recomputation — nondeterministic
+    expressions (monotonically_increasing_id, rand) can re-salt rows
+    mid-shuffle and lose/duplicate them (SPARK-23207-class hazard).
+    Content hashing is retry-stable; rows identical in every column
+    share a bucket, which affects spread only in the degenerate
+    all-duplicates case, never correctness.
+    """
+    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt))
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -40,7 +54,7 @@ def salted_agg(
     aggregate already does map-side partials — salting additionally
     splits the REDUCE side of a hot key.)
     """
-    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
+    salted = df.withColumn("__salt", _row_salt(df, salt))
 
     partial_exprs, final_exprs = [], []
     for name, (fn, col) in aggs.items():
@@ -82,8 +96,6 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
-    f = facts.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
-    )
+    f = facts.withColumn("__salt", _row_salt(facts, salt))
     d = dim.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return f.join(d, [key, "__salt"], how).drop("__salt")

@@ -53,6 +53,11 @@ def asof_join(
     ``right_order`` breaks ties among right rows sharing (key, ts) —
     the greatest value wins; without it, pre-dedupe the right side.
     All left columns are preserved; payload columns are appended.
+
+    The payload is carried forward as ONE struct, not per-column: the
+    matched right row is taken atomically, so a NULL field in the
+    latest right row stays NULL instead of back-filling from an older
+    row (which would fabricate a row that never existed).
     """
     l_cols = left.columns
     order_col = right_order or payload[0]
@@ -61,7 +66,7 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.col(order_col).alias("__ord"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
     )
     l = left.select(
@@ -69,10 +74,7 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(None).cast(right.schema[order_col].dataType).alias("__ord"),
         F.lit(1).alias("__side"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
-            for c in payload
-        ],
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
         *l_cols,
     )
     # Right rows sort before left rows at equal ts (<= semantics); among
@@ -82,15 +84,11 @@ def asof_join(
         .orderBy("__ts", "__side", "__ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = r.unionByName(l).select(
-        "*",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in payload
-        ],
+    filled = r.unionByName(l).withColumn(
+        "__f", F.last("__p", ignorenulls=True).over(w)
     )
     return filled.filter(F.col("__side") == 1).select(
-        *l_cols, *[F.col(f"__f_{c}").alias(f"r_{c}") for c in payload]
+        *l_cols, *[F.col("__f")[c].alias(f"r_{c}") for c in payload]
     )
 
 

@@ -152,7 +152,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_CTE = f"""
     flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
                             > {GAP_MIN * 60 * 1000}
@@ -161,8 +161,10 @@ _SESSION_CTE = f"""
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
+        -- (ts, event_id) tie-break mirrors sessionize's deterministic
+        -- ordering; ORDER BY ts alone leaves equal-ts rows unspecified.
         SELECT user_id, ts,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )

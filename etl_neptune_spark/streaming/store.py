@@ -9,10 +9,12 @@ Spark-first equivalent: each micro-batch writes the FULL merged table
 to a fresh ``v=<batch_id>`` directory, then flips a ``_LATEST``
 pointer file via atomic rename. Properties:
 
-- **Idempotent**: re-applying batch N overwrites ``v=N`` with the same
-  bytes and re-points ``_LATEST`` — a no-op.
-- **No read/overwrite conflict**: a merge reads ``v=M`` while writing
-  ``v=N`` (Spark cannot read and overwrite one path in one job).
+- **Idempotent**: re-applying batch N rebuilds ``v=N`` in a staging
+  dir from the same inputs and republishes identical bytes — a no-op.
+- **No read/overwrite conflict**: writes land in a staging dir and
+  rename over, so a merge can read ``v=N`` even while replaying batch
+  N after a crash (Spark cannot read and overwrite one path in one
+  job; staging sidesteps it for every committer/filesystem).
 - **Atomic visibility**: readers resolve ``_LATEST`` then read one
   immutable snapshot — exactly the view a Delta/Iceberg commit gives;
   this class is the no-dependency stand-in, and the interface (read /
@@ -75,10 +77,26 @@ class GraphStore:
         At 100 TB this is the difference between reading one label and
         reading the store."""
         tdir = self._table_dir(table)
+        final = os.path.join(tdir, f"v={version}")
+        # Stage-then-rename: crash-recovery can replay batch N after
+        # _LATEST already points at N, making the merge READ v=N in the
+        # same job that rewrites it — the read-while-overwrite Spark
+        # cannot do against one path. Writing to a staging dir and
+        # renaming over keeps the live dir untouched until the job is
+        # done; re-publishing the same version is then a safe no-op
+        # (the merge re-converges to identical bytes).
+        staging = os.path.join(tdir, f".staging-v={version}")
+        shutil.rmtree(staging, ignore_errors=True)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(os.path.join(tdir, f"v={version}"))
+        writer.parquet(staging)
+        retired = final + ".old"
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.exists(final):
+            os.rename(final, retired)
+        os.rename(staging, final)
+        shutil.rmtree(retired, ignore_errors=True)
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(version))
@@ -87,6 +105,10 @@ class GraphStore:
 
     def _prune(self, table: str, current: int) -> None:
         tdir = self._table_dir(table)
+        # Stale staging/retired dirs can survive a crash mid-publish.
+        for d in os.listdir(tdir):
+            if d.startswith(".staging-v=") or d.endswith(".old"):
+                shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
         versions = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(tdir)

@@ -14,6 +14,23 @@ def _nodes(spark, rows):
     )
 
 
+def test_merge_dedupe_order_takes_last_write_per_key(spark):
+    # Duplicate keys in incoming would fan out through the full-outer
+    # join; dedupe_order keeps only the greatest-ordered row per key.
+    existing = _nodes(spark, [("a", 1.0, "s1", 1)])
+    incoming = _nodes(spark, [("a", 5.0, "x", 2), ("a", 9.0, "y", 3)])
+    out = merge_keyed(
+        existing,
+        incoming,
+        keys=["name"],
+        update_cols=["metric", "segment"],
+        create_only_cols=["created_batch"],
+        dedupe_order="created_batch",
+    ).collect()
+    assert len(out) == 1
+    assert (out[0].metric, out[0].segment, out[0].created_batch) == (9.0, "y", 1)
+
+
 def test_merge_update_create_and_insert(spark):
     existing = _nodes(spark, [("a", 1.0, "s1", 1), ("b", 2.0, "s2", 1)])
     incoming = _nodes(spark, [("b", 20.0, None, 2), ("c", 30.0, "s3", 2)])

@@ -121,6 +121,29 @@ def test_rerun_is_idempotent(spark, events, tmp_path):
     assert _edge_state(spark, store).keys() == n1.keys()
 
 
+def test_crash_replay_rewrites_same_version_safely(spark, events, tmp_path):
+    """At-least-once replay: after a crash between the _LATEST flip and
+    the checkpoint commit, foreachBatch re-delivers batch N while the
+    store already points at N — the merge then READS v=N in the same
+    apply that republishes v=N. Safe only because writes stage and
+    rename (store.py); state must converge to the same bytes."""
+    from etl_neptune_spark.streaming.pipeline import deepflow_batch, flow_projection
+
+    store = GraphStore(str(tmp_path / "store"))
+    batch = flow_projection(events)
+    apply = deepflow_batch(store)
+    apply(batch, 0)
+    assert store.latest_version("edges") == 0
+    state1 = _edge_state(spark, store)
+
+    apply(batch, 0)  # replay of the SAME batch id: read v=0, rewrite v=0
+    assert store.latest_version("edges") == 0
+    state2 = _edge_state(spark, store)
+    assert state1.keys() == state2.keys()
+    for k, r in state1.items():
+        assert state2[k] == r
+
+
 def test_incremental_batches_lww(spark, events, tmp_path):
     """ST2+ST3+ST5: two file-batches processed in order; keyed metrics
     are last-write-wins per key, create-only created_at survives, and

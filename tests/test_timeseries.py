@@ -49,6 +49,24 @@ def test_asof_tie_on_right_ts_takes_greatest_order(spark):
     assert out.collect()[0].r_payload == 2
 
 
+def test_asof_fill_is_row_atomic(spark):
+    # Multi-column payload where the LATEST matching right row has a
+    # NULL field: the match must take that row whole (score=9, name
+    # NULL), not stitch the NULL field from an older row — per-column
+    # forward fill would fabricate (9, 'old'), a row that never existed.
+    left = spark.createDataFrame([(1, _ts(10))], "k long, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(1), 5, "old"), (1, _ts(5), 9, None)],
+        "k long, rts timestamp, score long, name string",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        payload=["score", "name"], right_order="score",
+    )
+    row = out.collect()[0]
+    assert (row.r_score, row.r_name) == (9, None)
+
+
 def test_asof_plans_no_join_operator(spark):
     left = spark.createDataFrame([(1, _ts(1))], "k long, lts timestamp")
     right = spark.createDataFrame([(1, _ts(0), 1)], "k long, rts timestamp, p long")
