@@ -48,8 +48,14 @@ def _spread(df: DataFrame) -> DataFrame:
     partition, which would serialize the hashing onto a single core; on
     a real cluster the scan already yields many splits and this round
     robin is a cheap row-level rebalance (raw text moves once, before
-    the 10×-larger shingle explosion)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    the 10×-larger shingle explosion). Gated on the input's current
+    partition count: when the scan's natural splits already cover the
+    cluster, the repartition would be a pure extra shuffle of the raw
+    text and is skipped."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -213,39 +219,80 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_jaccard: float = 0.5,
+    df_cap: int = 1000,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard pairs via an inverted-index set-similarity
-    join — identical output to the naive all-pairs crossJoin, but the
-    only shuffle is an equi-join on the shingle itself, so cost scales
-    with the token-posting-list skew (sum of freq² per shingle), not
-    with |corpus|². Pairs sharing zero shingles have jaccard 0 < τ and
-    are correctly absent.
+    """EXACT n-gram Jaccard pairs via a frequency-partitioned
+    inverted-index join.
 
-    intersection(a,b) = COUNT of shared shingles = groupBy(id_a,id_b)
-    after the shingle equi-join; |a∪b| = |a| + |b| − |a∩b| from the
-    per-doc shingle counts. No arrays cross the shuffle.
+    A plain posting self-join costs Σ_s df(s)² — quadratic in the
+    hottest shingle's document frequency, so one corpus-wide
+    stop-phrase blows up at 100 TB. The index is split at ``df_cap``:
+
+    - LIGHT shingles (df ≤ cap) self-join and count per-pair shared
+      shingles exactly as the naive plan — but the cost is now bounded
+      by cap · |postings|, linear in the corpus for fixed cap.
+    - HEAVY shingles (df > cap) are few DISTINCT strings (corpus-wide
+      boilerplate); each doc carries its small sorted set of them, and
+      every candidate pair adds |heavy_a ∩ heavy_b| via an
+      array_intersect of those bounded sets — never a posting join, so
+      no df² term survives anywhere in the plan.
+
+    Exactness: for every pair sharing at least one sub-cap shingle the
+    jaccard is exact (light count + heavy intersect = true overlap).
+    The one documented approximation: pairs whose overlap consists
+    EXCLUSIVELY of above-cap shingles are dropped — at a sane cap that
+    is two documents agreeing only on boilerplate, which is noise for
+    dedup purposes. On any corpus whose hottest shingle stays under
+    the cap (this fixture: max df 25) the output is identical to the
+    naive plan, oracle-certified.
     """
+    from pyspark import StorageLevel
+
     sh = doc_shingles(docs, id_col, text_col)
-    # Posting list: one row per (doc, distinct shingle), plus set size.
+    # The posting list feeds four branches: df counting, both sides of
+    # the light self-join, and the heavy-set rollup.
     posts = sh.select(
         F.col(id_col),
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = posts.groupBy("shingle").agg(F.count("*").alias("df"))
+    tagged = posts.join(dfreq, "shingle")
+
+    lite = tagged.filter(F.col("df") <= df_cap)
+    a = lite.select(
+        "shingle", F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
     )
-    a = posts.select(
-        F.col("shingle"), F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+    b = lite.select(
+        "shingle", F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
     )
-    b = posts.select(
-        F.col("shingle"), F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
-    )
-    inter = (
+    pairs = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(F.count("*").alias("c_light"))
+    )
+
+    hot_sets = (
+        tagged.filter(F.col("df") > df_cap)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("shingle")).alias("hot"))
+    )
+    pa = hot_sets.select(F.col(id_col).alias("id_a"), F.col("hot").alias("hot_a"))
+    pb = hot_sets.select(F.col(id_col).alias("id_b"), F.col("hot").alias("hot_b"))
+    full = (
+        pairs.join(pa, "id_a", "left")
+        .join(pb, "id_b", "left")
+        .withColumn(
+            "c_heavy",
+            F.when(
+                F.col("hot_a").isNull() | F.col("hot_b").isNull(), F.lit(0)
+            ).otherwise(F.size(F.array_intersect("hot_a", "hot_b"))),
+        )
+        .withColumn("n_inter", F.col("c_light") + F.col("c_heavy"))
     )
     return (
-        inter.withColumn(
+        full.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4

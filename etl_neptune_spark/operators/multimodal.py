@@ -8,20 +8,32 @@ feature-extract / resize / frame-sample run as ``mapInPandas`` batch
 iterators so each Python crossing handles a whole Arrow batch and the
 operator parallelizes per input split with no shuffle.
 
-The actual codec step is STUBBED: the container has no image/audio
-libraries, so ``decode_image_meta`` uses a deterministic fake decoder
-over the payload bytes (clearly marked), while the Spark-side plumbing
-— schema, batching, UDF signatures, partitioning — is real and tested.
-Swapping in PIL/ffmpeg later changes only ``_decode_payload``.
+The actual codec is resolved at import: PIL is tried first
+(``_HAVE_PIL``) and used for any payload that IS a decodable image;
+everything else — including this container, which ships no image
+libraries, and the driver fixtures, whose payloads are UTF-8 text —
+falls back to a deterministic fake decoder over the payload bytes
+(clearly marked). The Spark-side plumbing — schema, batching, UDF
+signatures, partitioning — is identical on both paths and is what the
+tests pin.
 """
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # real codec when the environment provides it
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except ImportError:  # this container: no image libs — stub path
+    _PILImage = None
+    _HAVE_PIL = False
 
 IMAGE_META_SCHEMA = (
     "doc_id bigint, n_bytes bigint, width int, height int, channels int, format string"
@@ -30,14 +42,13 @@ IMAGE_META_SCHEMA = (
 _FORMATS = ("png", "jpeg", "webp")
 
 
-def _decode_payload(payload: bytes) -> dict:
+def _fake_decode(payload: bytes) -> dict:
     """DETERMINISTIC FAKE decode — stands in for a real image codec.
 
-    Real implementation would be:
-        from PIL import Image; img = Image.open(io.BytesIO(payload))
-    which is unavailable in this environment. The fake derives stable
-    pseudo-metadata from the byte content so the pipeline shape (and the
-    oracle check) is end-to-end real.
+    Derives stable pseudo-metadata from the byte content so the
+    pipeline shape (and the oracle check) is end-to-end real. This is
+    the path every non-image payload takes, and the only path where no
+    image library is installed.
     """
     n = len(payload)
     first = payload[0] if n else 0
@@ -48,6 +59,26 @@ def _decode_payload(payload: bytes) -> dict:
         "channels": 3,
         "format": _FORMATS[first % len(_FORMATS)],
     }
+
+
+def _decode_payload(payload: bytes) -> dict:
+    """Image metadata: PIL when available AND the bytes decode as an
+    image; the deterministic fake otherwise. Fixture payloads are text
+    bytes, so oracle runs always take the fake path — byte-identical
+    with or without PIL installed."""
+    if _HAVE_PIL:
+        try:
+            img = _PILImage.open(io.BytesIO(payload))
+            return {
+                "n_bytes": len(payload),
+                "width": img.width,
+                "height": img.height,
+                "channels": len(img.getbands()),
+                "format": (img.format or "unknown").lower(),
+            }
+        except Exception:
+            pass
+    return _fake_decode(payload)
 
 
 def with_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -90,9 +121,13 @@ def extract_features(
             feats = []
             for b in pdf[bin_col].values:
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
-                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                # float64 histogram/norm, one final round to float32:
+                # engine-reproducible (integer sums are exact in f64;
+                # the f64 quotient rounds to REAL identically in SQL),
+                # unlike all-float32 arithmetic with its double-rounding.
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
                 n = np.linalg.norm(hist)
-                feats.append((hist / n if n else hist).tolist())
+                feats.append((hist / n if n else hist).astype("float32").tolist())
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "features": feats})
 
     return df.select(id_col, bin_col).mapInPandas(
@@ -109,11 +144,17 @@ def resize_images(
 ) -> DataFrame:
     """binary payload → resized binary payload + output dims.
 
-    The codec step is STUBBED (no image library in this container):
-    the fake "resize" is a deterministic byte resample to
-    width*height/64 bytes, preserving the real contract — binary in,
-    binary out, metadata columns typed. Swapping in
-    ``PIL.Image.resize`` changes only the loop body."""
+    Payloads that PIL can decode are really resized
+    (``Image.resize`` → PNG bytes); all others — every payload when no
+    image library is installed, and the text-byte fixtures always —
+    take the deterministic fake resample (width*height/64 bytes),
+    preserving the contract: binary in, binary out, metadata typed."""
+
+    def _fake_resize(raw: bytes, target: int) -> bytes:
+        if not raw:
+            return b""
+        step = max(1, len(raw) // target)
+        return raw[::step][:target]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = max(1, width * height // 64)
@@ -121,11 +162,16 @@ def resize_images(
             out = []
             for b in pdf[bin_col].values:
                 raw = bytes(b)
-                if not raw:
-                    out.append(b"")
-                    continue
-                step = max(1, len(raw) // target)
-                out.append(raw[::step][:target])
+                if _HAVE_PIL:
+                    try:
+                        img = _PILImage.open(io.BytesIO(raw))
+                        buf = io.BytesIO()
+                        img.resize((width, height)).save(buf, format="PNG")
+                        out.append(buf.getvalue())
+                        continue
+                    except Exception:
+                        pass
+                out.append(_fake_resize(raw, target))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,

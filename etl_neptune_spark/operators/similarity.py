@@ -14,8 +14,9 @@ No reference counterpart (BASELINE.json north star). Four operators:
   scores per block, then a global ranking window over the B × k
   survivors per query (block-local top-k is a superset of the global
   top-k, so the result is exact).
-- **lsh_topk** — ANN scale path #1: sign-LSH bucket as a hash-based
-  coarse quantizer, numpy top-k inside each bucket.
+- **lsh_topk** — ANN scale path #1: seeded random-hyperplane sign-LSH
+  bucket as a hash-based coarse quantizer, numpy top-k inside each
+  bucket.
 - **ivf_topk** — ANN scale path #2: k-means coarse quantizer trained
   on a bounded driver-side sample (the FAISS recipe), distributed cell
   assignment, nprobe-cell exact re-ranking.
@@ -202,17 +203,46 @@ def brute_force_topk(
     )
 
 
-def sign_bucket(vec: Column, bits: int = 12) -> Column:
-    """Random-hyperplane sketch: the sign pattern of the first ``bits``
-    components as a bit string (axis-aligned hyperplanes — a fixed,
-    engine-independent projection family)."""
-    return F.array_join(
-        F.transform(
-            F.slice(vec, 1, bits),
-            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
-        ),
-        "",
-    )
+def rademacher_signs(bits: int, dim: int, seed: int = 7) -> np.ndarray:
+    """Seeded ±1 hyperplane matrix (bits × dim). Rademacher entries are
+    a valid random-hyperplane family for cosine LSH (sign of a random
+    ±combination of ALL dimensions) and — unlike Gaussian floats — cross
+    engines as exact literals, so the DuckDB oracle reproduces buckets
+    bit-for-bit."""
+    rng = np.random.default_rng(seed)
+    return rng.choice((1.0, -1.0), size=(bits, dim))
+
+
+def sign_bucket_expr(
+    vec_name: str, bits: int, dim: int, seed: int = 7, one_based: bool = False
+) -> str:
+    """SQL string for the random-hyperplane sign bucket of an
+    array column.
+
+    Each bit is ``sign(Σ_i ±vec[i])`` with seeded Rademacher signs —
+    every dimension participates in every bit, so per-dimension sign
+    correlation in real embedding corpora (which collapses an
+    axis-aligned sketch into one mega-bucket → one quadratic group)
+    spreads across 2^bits buckets. The emitted arithmetic is the same
+    left-fold of doubles in Spark (0-based arrays) and DuckDB
+    (``one_based=True``), so buckets match bit-identically across
+    engines."""
+    signs = rademacher_signs(bits, dim, seed)
+    base = 1 if one_based else 0
+    parts = []
+    for b in range(bits):
+        terms = "0.0" + "".join(
+            f" {'+' if s > 0 else '-'} CAST({vec_name}[{i + base}] AS DOUBLE)"
+            for i, s in enumerate(signs[b])
+        )
+        parts.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def sign_bucket(vec_name: str, bits: int = 12, dim: int = 64, seed: int = 7) -> Column:
+    """Random-hyperplane sketch of an embedding column as a bit string;
+    see ``sign_bucket_expr`` for the projection family."""
+    return F.expr(sign_bucket_expr(vec_name, bits, dim, seed))
 
 
 def lsh_topk(
@@ -221,15 +251,18 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     bits: int = 12,
-    dim: int | None = None,
+    dim: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: candidates share the sign-LSH bucket (IVF-style
     coarse quantizer — widen ``bits`` as the corpus grows), scored by
-    one numpy matmul per bucket. No crossJoin, no quadratic shuffle."""
+    one numpy matmul per bucket. No crossJoin, no quadratic shuffle;
+    random (not axis-aligned) hyperplanes keep bucket sizes balanced on
+    sign-correlated corpora."""
     bucketed = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        sign_bucket(vec_col, bits, dim, seed).alias("bucket"),
     )
 
     def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -316,7 +349,23 @@ def ivf_topk(
     from pyspark.sql import Window
 
     spark = emb.sparkSession
-    sample_pdf = emb.select(vec_col).limit(train_sample).toPandas()
+    # Unbiased bounded training sample: order by a seeded hash of the id
+    # and take the first N — a deterministic uniform draw across the
+    # whole corpus, planned as TakeOrderedAndProject (per-partition
+    # top-N heaps, no full sort). limit() alone would take the head of
+    # the first parquet file — a biased k-means sample on clustered or
+    # partitioned data.
+    sample_pdf = (
+        emb.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias(vec_col),
+            F.hash(F.col(id_col), F.lit(seed)).alias("__r"),
+        )
+        .orderBy("__r", "__id")
+        .limit(train_sample)
+        .select(vec_col)
+        .toPandas()
+    )
     cents = _kmeans(_matrix(sample_pdf[vec_col]), n_clusters, seed=seed)
     bc = spark.sparkContext.broadcast(cents)
 

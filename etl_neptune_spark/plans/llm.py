@@ -17,7 +17,12 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_groups,
 )
-from ..operators.similarity import brute_force_topk, cosine_neardup_pairs, lsh_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    lsh_topk,
+    sign_bucket_expr,
+)
 from ..operators.text import fingerprint, lang_id, quality_features, token_counts
 from ..sources import load_table
 from .registry import register
@@ -207,19 +212,21 @@ register(
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (4-bit sketch at this corpus size; wider at
-    scale): candidates share the bucket, ranked by exact cosine."""
+    """Random-hyperplane sign-LSH bucketed ANN (4-bit sketch at this
+    corpus size; wider at scale): candidates share the bucket, ranked by
+    exact cosine. Seeded Rademacher hyperplanes mix every dimension into
+    every bit, so sign-correlated corpora don't collapse into one
+    quadratic mega-bucket (axis-aligned signs do)."""
     return lsh_topk(load_table(spark, sf_dir, "embeddings"), bits=4, dim=64)
 
 
 register(
     "q_ann_lsh",
     q_ann_lsh,
-    """
+    f"""
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-               array_to_string(list_transform(embedding[1:4],
-                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+               {sign_bucket_expr("embedding", bits=4, dim=64, one_based=True)} AS bucket
         FROM embeddings
     ),
     scored AS (
@@ -407,26 +414,88 @@ register("q_ann_ivf", q_ann_ivf)  # rows-only: k-means state is not SQL-expressi
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction plumbing (binary → array<float>);
-    rows-only (the stub encoder is byte-level, not SQL-expressible) —
-    determinism + schema + similarity-compatibility are asserted in
-    tests/test_llm_ops.py."""
+    """Multimodal feature extraction (binary → array<float>), certified
+    value-exact: the feature vector is exploded to (doc_id, dim_idx,
+    feat) rows so the DuckDB oracle can reproduce the deterministic
+    byte-histogram codec (ASCII fixture ⇒ byte == codepoint) including
+    the final float32 quantization (CAST AS REAL)."""
     from ..operators.multimodal import extract_features, with_payload
 
     docs = with_payload(load_table(spark, sf_dir, "documents"))
-    return extract_features(docs, dim=16)
+    feats = extract_features(docs, dim=16)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim_idx", "feat")
+    ).select("doc_id", F.col("dim_idx").cast("int").alias("dim_idx"), "feat")
 
 
-register("q_mm_features", q_mm_features)  # rows-only: byte-level stub codec
+register(
+    "q_mm_features",
+    q_mm_features,
+    """
+    WITH pos AS (
+        SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents
+    ),
+    hist AS (
+        SELECT doc_id,
+               ascii(substring(text, CAST(i AS INTEGER), 1)) % 16 AS k,
+               count(*) AS c
+        FROM pos GROUP BY doc_id, k
+    ),
+    filled AS (
+        SELECT d.doc_id, gs.k, coalesce(h.c, 0) AS c
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS k) gs
+        LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.k = gs.k
+    ),
+    normed AS (
+        SELECT doc_id, k, c,
+               sqrt(sum(CAST(c AS DOUBLE) * c) OVER (PARTITION BY doc_id)) AS nrm
+        FROM filled
+    )
+    SELECT doc_id, CAST(k AS INTEGER) AS dim_idx,
+           CAST(CASE WHEN nrm = 0 THEN 0 ELSE c / nrm END AS REAL) AS feat
+    FROM normed
+    """,
+)
 
 
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal resize plumbing (binary → binary + typed dims);
-    rows-only for the same reason."""
+    """Multimodal resize (binary → binary + typed dims), certified
+    value-exact: the resized payload is rendered as hex so the DuckDB
+    oracle can rebuild the deterministic byte-resample
+    (``raw[::max(1, n//64)][:64]``) with blob substring + string_agg."""
     from ..operators.multimodal import resize_images, with_payload
 
     docs = with_payload(load_table(spark, sf_dir, "documents"))
-    return resize_images(docs, width=64, height=64)
+    resized = resize_images(docs, width=64, height=64)
+    return resized.select(
+        "doc_id", F.hex("payload").alias("payload_hex"), "width", "height"
+    )
 
 
-register("q_mm_resize", q_mm_resize)  # rows-only: byte-level stub codec
+register(
+    "q_mm_resize",
+    q_mm_resize,
+    """
+    WITH b AS (
+        -- ASCII corpus: char slicing == byte slicing (hex of the
+        -- encoded 1-char substring is the byte; DuckDB substring has
+        -- no BLOB overload)
+        SELECT doc_id, text, length(text) AS n,
+               greatest(1, length(text) // 64) AS step
+        FROM documents
+    ),
+    pieces AS (
+        SELECT doc_id, i, hex(encode(substring(text, CAST(i AS INTEGER), 1))) AS h
+        FROM b, unnest(range(1, n + 1, step)) AS t(i)
+        WHERE i <= 1 + 63 * step
+    )
+    SELECT b.doc_id, coalesce(p.hexstr, '') AS payload_hex,
+           CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height
+    FROM b LEFT JOIN (
+        SELECT doc_id, string_agg(h, '' ORDER BY i) AS hexstr
+        FROM pieces GROUP BY doc_id
+    ) p USING (doc_id)
+    """,
+)

@@ -216,16 +216,35 @@ register(
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: per event_type, the first
     {k} rows ordered by md5(event_id) — a seedless, engine-independent
-    uniform draw (hash order is uncorrelated with any data order). At
-    scale, pre-filtering on a hash prefix bound cuts the sort input
-    before the per-stratum ranking window."""
-    events = load_table(spark, sf_dir, "events")
+    uniform draw (hash order is uncorrelated with any data order).
+
+    Two-phase exact scale path: a hash-prefix pre-filter
+    (``md5 < '1'`` — first hex digit 0, ~1/16 of rows) cuts the window
+    sort's shuffle input 16×; a per-stratum count check routes any
+    stratum with fewer than K surviving rows back to its FULL input
+    (broadcast anti-join on the tiny strata list), so the output is
+    identical to the unfiltered window for every input: a stratum with
+    ≥ K rows under the prefix bound provably has its K smallest hashes
+    under it."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
     h = F.md5(F.col("event_id").cast("string"))
+    pre = events.filter(h < "1")
+    enough = (
+        pre.groupBy("event_type")
+        .agg(F.count("*").alias("n_pre"))
+        .filter(F.col("n_pre") >= SAMPLE_PER_STRATUM)
+        .select("event_type")
+    )
+    kept = pre.join(F.broadcast(enough), "event_type", "inner")
+    fallback = events.join(F.broadcast(enough), "event_type", "left_anti")
+    base = kept.unionByName(fallback)
     w = Window.partitionBy("event_type").orderBy(h, "event_id")
     return (
-        events.select("event_id", "event_type", "user_id")
-        .withColumn("rn", F.row_number().over(w).cast("long"))
+        base.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= SAMPLE_PER_STRATUM)
+        .select("event_id", "event_type", "user_id", "rn")
     )
 
 

@@ -34,6 +34,82 @@ def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
     assert len(exact) > 0
 
 
+def test_ngram_jaccard_hot_shingle_prefix_filter_exact(spark):
+    # Every doc shares one ubiquitous phrase — the hot posting list that
+    # made the pre-prefix-filter plan quadratic. The prefix filter must
+    # keep the output EXACTLY equal to brute-force jaccard over all
+    # pairs: one planted near-dup pair in, all hot-shingle-only pairs
+    # (low jaccard) out.
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (i, f"{base} unique tail number {i} code {i * 7} mark {i * 13}")
+        for i in range(30)
+    ]
+    rows.append((100, f"{base} unique tail number 5 code 35 mark 66"))  # ~dup of 5
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(t, n=3):
+        w = t.lower().split(" ")
+        return {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
+
+    expected = set()
+    for ia, ta in rows:
+        for ib, tb in rows:
+            if ia < ib:
+                sa, sb = shingles(ta), shingles(tb)
+                j = round(len(sa & sb) / len(sa | sb), 4)
+                if j >= 0.5:
+                    expected.add((ia, ib, j))
+
+    got = {(r.id_a, r.id_b, r.jaccard) for r in ngram_jaccard_pairs(docs).collect()}
+    assert got == expected
+    assert (5, 100) in {(a, b) for a, b, _ in got}
+
+
+def test_ngram_jaccard_df_cap_heavy_accounting(spark):
+    # With df_cap BELOW the boilerplate frequency, the shared base
+    # phrase becomes "heavy": its overlap contribution must still be
+    # counted exactly (via the per-doc heavy sets) for any pair that
+    # shares at least one sub-cap shingle, while pairs agreeing ONLY on
+    # boilerplate are dropped (the documented approximation).
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (i, f"{base} unique tail number {i} code {i * 7} mark {i * 13}")
+        for i in range(30)
+    ]
+    rows.append((100, f"{base} unique tail number 5 code 35 mark 66"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 20
+
+    def shingles(t, n=3):
+        w = t.lower().split(" ")
+        return {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    df_count: dict = {}
+    for s in sets.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+
+    expected = set()
+    for ia in sets:
+        for ib in sets:
+            if ia < ib:
+                shared = sets[ia] & sets[ib]
+                if not any(df_count[g] <= cap for g in shared):
+                    continue  # heavy-only overlap: dropped by design
+                j = round(len(shared) / len(sets[ia] | sets[ib]), 4)
+                if j >= 0.5:
+                    expected.add((ia, ib, j))
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, df_cap=cap).collect()
+    }
+    assert got == expected
+    assert (5, 100) in {(a, b) for a, b, _ in got}  # exact incl. heavy part
+
+
 def test_cosine_pairs_symmetric_bound(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     rows = cosine_neardup_pairs(emb, min_cosine=0.35).collect()
@@ -57,6 +133,33 @@ def test_topk_rank_and_self_exclusion(spark, sf_dir):
         assert all(
             ordered[i].cos >= ordered[i + 1].cos for i in range(len(ordered) - 1)
         )
+
+
+def test_lsh_buckets_balanced_on_sign_correlated_vectors(spark):
+    # Real embedding corpora are heavily sign-correlated per dimension:
+    # vectors with ALL-POSITIVE entries collapse an axis-aligned sign
+    # sketch into one mega-bucket (one O(n^2) pandas group). Random
+    # Rademacher hyperplanes mix every dim into every bit and must
+    # spread such a corpus over many buckets.
+    import numpy as np
+
+    from etl_neptune_spark.operators.similarity import sign_bucket
+
+    rng = np.random.default_rng(0)
+    rows = [
+        (i, [float(x) for x in rng.uniform(0.1, 1.0, size=64)]) for i in range(256)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sizes = (
+        emb.select(sign_bucket("embedding", bits=6, dim=64).alias("bucket"))
+        .groupBy("bucket")
+        .count()
+        .collect()
+    )
+    n_buckets = len(sizes)
+    biggest = max(r["count"] for r in sizes)
+    assert n_buckets >= 8, f"collapsed into {n_buckets} buckets"
+    assert biggest <= 0.5 * 256, f"mega-bucket of {biggest}/256"
 
 
 def test_multimodal_plumbing_schema_and_determinism(spark, sf_dir):

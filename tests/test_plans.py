@@ -83,6 +83,16 @@ def test_flagship_aggregate_shape(plans):
     assert "CartesianProduct" not in p
 
 
+def test_stratified_sample_prefilters_sort_input(plans):
+    # The per-stratum ranking window must be fed by the hash-prefix
+    # pre-filter (md5 < '1', ~1/16 of rows), with the small-stratum
+    # fallback as a broadcast anti-join — not a full-table sort.
+    p = plans("q_sample_stratified")
+    assert "md5" in p and "< 1" in p.replace("(", " ").replace(")", " ")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
 def test_lookback_anchor_is_pushed_literal(plans):
     # The sliding-lookback cutoff must reach the parquet reader as a
     # pushed literal comparison on the raw ts column (VERDICT r1 item 1):
