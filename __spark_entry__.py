@@ -25,6 +25,7 @@ _PLAN_MODULES = [
     "etl_neptune_spark.plans.llm",
     "etl_neptune_spark.plans.streaming",
     "etl_neptune_spark.plans.timeseries",
+    "etl_neptune_spark.plans.metrics",
 ]
 
 

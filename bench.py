@@ -39,11 +39,17 @@ def main() -> None:
 
     names = HEADLINE + sorted(set(queries) - set(HEADLINE))
     timings: dict[str, float] = {}
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     for name in names:
-        t0 = time.perf_counter()
-        # count() forces the full plan without driver-side row transfer.
-        queries[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # Best-of-N (default 2): single-shot timings on a shared host
+        # swing 2x with neighbor load; the min is the query's cost.
+        best = float("inf")
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            # count() forces the full plan without driver-side transfer.
+            queries[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

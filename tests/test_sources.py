@@ -115,3 +115,28 @@ def test_sql_function_registry(spark):
     assert row.s == "it\\'s"
     assert row.d == 0.0
     assert row.p == "c"
+
+
+def test_metric_query_plan_batches_and_conditional_catalog(spark):
+    """SRC7 adapter: contiguous batches never exceed the service cap,
+    and conditional specs produce the per-entity catalog the reference
+    builds (EKS nodes get the ContainerInsights rows, others CWAgent)."""
+    from pyspark.sql import functions as F
+
+    from etl_neptune_spark.sources.metrics import metric_query_plan
+
+    ents = spark.range(0, 400).select(F.col("id").alias("ent"))
+    is_even = F.col("ent") % 2 == 0
+    specs = [
+        ("cpu", "ns", "CPUUtilization", "Average", 300, None),
+        ("mem_a", "ci", "node_memory_utilization", "Average", 300, is_even),
+        ("mem_b", "cw", "mem_used_percent", "Average", 300, ~is_even),
+    ]
+    plan = metric_query_plan(ents, "ent", specs, batch_size=100)
+    sizes = {r.batch_id: r.n for r in plan.groupBy("batch_id").agg(
+        F.count("*").alias("n")).collect()}
+    assert max(sizes.values()) <= 100
+    assert sorted(sizes) == list(range(len(sizes)))  # contiguous ids
+    assert sum(sizes.values()) == 400 * 2  # cpu + exactly one mem row each
+    per_ent = plan.groupBy("entity_id").count().collect()
+    assert all(r["count"] == 2 for r in per_ent)
