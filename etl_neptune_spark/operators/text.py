@@ -45,6 +45,32 @@ def lang_id(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def quality_score(text: Column) -> Column:
+    """The blended 0-1 quality score as a standalone column expression
+    (shared by ``quality_features`` and ``curate_corpus``). The
+    weighted sum runs in decimal so the rounded score is identical
+    under any summation order / engine."""
+    words = F.split(F.lower(text), " ")
+    n_chars = F.length(text)
+    n_words = F.size(words)
+    stop_hits = _marker_hits(words, LANG_MARKERS["en"])
+    alpha_chars = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    stop_ratio = F.round(stop_hits / F.greatest(n_words, F.lit(1)), 4)
+    alpha_ratio = F.round(alpha_chars / F.greatest(n_chars, F.lit(1)), 4)
+    dec = "decimal(8,4)"
+    len_term = F.least(n_words / F.lit(100.0), F.lit(1.0)).cast(dec)
+    stop_term = F.least(
+        (stop_ratio.cast(dec) * F.lit("5").cast("decimal(2,0)")).cast(dec),
+        F.lit("1").cast(dec),
+    )
+    return F.round(
+        len_term * F.lit("0.4").cast("decimal(2,1)")
+        + stop_term * F.lit("0.3").cast("decimal(2,1)")
+        + alpha_ratio.cast(dec) * F.lit("0.3").cast("decimal(2,1)"),
+        4,
+    ).cast("double")
+
+
 def quality_features(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -61,21 +87,7 @@ def quality_features(
     )
     stop_ratio = F.round(stop_hits / F.greatest(n_words, F.lit(1)), 4)
     alpha_ratio = F.round(alpha_chars / F.greatest(n_chars, F.lit(1)), 4)
-    # Blend: favor mid-length docs with healthy stopword density. The
-    # weighted sum runs in decimal so the rounded score is identical
-    # under any summation order / engine.
-    dec = "decimal(8,4)"
-    len_term = F.least(n_words / F.lit(100.0), F.lit(1.0)).cast(dec)
-    stop_term = F.least(
-        (stop_ratio.cast(dec) * F.lit("5").cast("decimal(2,0)")).cast(dec),
-        F.lit("1").cast(dec),
-    )
-    score = F.round(
-        len_term * F.lit("0.4").cast("decimal(2,1)")
-        + stop_term * F.lit("0.3").cast("decimal(2,1)")
-        + alpha_ratio.cast(dec) * F.lit("0.3").cast("decimal(2,1)"),
-        4,
-    ).cast("double")
+    score = quality_score(text)
     return docs.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -98,6 +110,88 @@ def token_counts(
         F.size(F.split(text, " ")).alias("ws_tokens"),
         F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).alias("re_tokens"),
         (F.length(text) / 4).cast("bigint").alias("est_tokens"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (tf · ln(N/df), rounded 6 dp,
+    ties broken by word).
+
+    Scale posture: the word explosion is linear in corpus size; the
+    plan is two hash aggregations (term frequency per doc, document
+    frequency per word), one equi-join on the word, and one per-doc
+    ranking window — every shuffle keyed and linear. N is resolved to
+    a driver literal (one bounded count action, the same pattern as
+    the lookback anchor) so the idf is a pushable constant expression.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    n_docs = docs.count()
+    tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    dfreq = words.groupBy("word").agg(F.count_distinct(id_col).alias("df"))
+    scored = tf.join(dfreq, "word").withColumn(
+        "score",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "word", "tf", "df", "score", "rank")
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    keep_lang: str = "en",
+) -> DataFrame:
+    """Training-corpus curation report: language gate, quality gate,
+    and exact-dedup survivorship composed in one pass — the canonical
+    first stage of a 100 TB data pipeline.
+
+    One row per INPUT doc with its verdicts (auditable, unlike a
+    filter-only plan): predicted_lang, quality_score, content_hash,
+    dup_count, is_survivor (min-id per hash), and the final ``kept``
+    flag. Plan: one projection (all native exprs), one groupBy and one
+    join both keyed on content_hash — the exchange is reused, so the
+    whole report costs a single shuffle."""
+    text = F.col(text_col)
+    enriched = docs.select(
+        F.col(id_col),
+        lang_id(text).alias("predicted_lang"),
+        quality_score(text).alias("quality_score"),
+        F.md5(text).alias("content_hash"),
+    )
+    surv = enriched.groupBy("content_hash").agg(
+        F.min(id_col).alias("survivor_id"), F.count("*").alias("dup_count")
+    )
+    return (
+        enriched.join(surv, "content_hash")
+        .withColumn("is_survivor", F.col(id_col) == F.col("survivor_id"))
+        .withColumn(
+            "kept",
+            F.col("is_survivor")
+            & (F.col("predicted_lang") == keep_lang)
+            & (F.col("quality_score") >= min_quality),
+        )
+        .select(
+            id_col,
+            "predicted_lang",
+            "quality_score",
+            "content_hash",
+            "dup_count",
+            "is_survivor",
+            "kept",
+        )
     )
 
 

@@ -133,6 +133,51 @@ def bucketed_range_join(
     return pairs.drop("__k", "__b", "__rts")
 
 
+def scd2_compact(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    ts_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Collapse a keyed event stream into SCD-2 validity intervals:
+    consecutive events with an unchanged ``attr`` merge into one row
+    ``(key, attr, valid_from, valid_to, n_events, is_current)``, where
+    ``valid_to`` is the next interval's start (NULL on the current
+    interval) — the standard slowly-changing-dimension compaction of a
+    change-data stream.
+
+    Plan: one shuffle on the key, then linear window scans (lag to mark
+    change points, running sum to number segments, lead for the
+    interval chain) — the same single-shuffle shape as sessionize, so
+    it holds at 100 TB with AQE handling key skew. NULL attr values
+    compare via null-safe equality (a NULL run is one interval).
+    """
+    order = [ts_col] + ([order_col] if order_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    run = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag(attr).over(w)
+    first = F.row_number().over(w) == 1
+    changed = F.when(first | ~prev.eqNullSafe(F.col(attr)), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    seg = df.withColumn("__seg", F.sum(changed).over(run))
+    intervals = seg.groupBy(key, "__seg", attr).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    chain = Window.partitionBy(key).orderBy("valid_from")
+    return (
+        intervals.withColumn("valid_to", F.lead("valid_from").over(chain))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(key, attr, "valid_from", "valid_to", "n_events", "is_current")
+    )
+
+
 def sessionize(
     events: DataFrame,
     on: str,

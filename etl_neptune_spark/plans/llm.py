@@ -23,7 +23,14 @@ from ..operators.similarity import (
     lsh_topk,
     sign_bucket_expr,
 )
-from ..operators.text import fingerprint, lang_id, quality_features, token_counts
+from ..operators.text import (
+    curate_corpus,
+    fingerprint,
+    lang_id,
+    quality_features,
+    tfidf_top_terms,
+    token_counts,
+)
 from ..sources import load_table
 from .registry import register
 
@@ -497,5 +504,141 @@ register(
         SELECT doc_id, string_agg(h, '' ORDER BY i) AS hexstr
         FROM pieces GROUP BY doc_id
     ) p USING (doc_id)
+    """,
+)
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF terms — tf · ln(N/df), 6-dp rounded, word
+    tiebreak (operators.text.tfidf_top_terms)."""
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+register(
+    "q_tfidf",
+    q_tfidf,
+    """
+    WITH words AS (
+        SELECT doc_id, w AS word
+        FROM documents, unnest(string_split(lower(text), ' ')) AS t(w)
+        WHERE w != ''
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+    dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+               round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+        FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, word) AS rank
+        FROM scored
+    )
+    SELECT doc_id, word, tf, df, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation report: language gate + quality gate + exact-dedup
+    survivorship, one verdict row per input doc
+    (operators.text.curate_corpus)."""
+    return curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "q_corpus_curation",
+    q_corpus_curation,
+    """
+    WITH base AS (
+        SELECT doc_id, text, md5(text) AS content_hash,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('the','a','and','of','to'))) AS en_hits,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('der','die','das','und','ist'))) AS de_hits,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('el','la','de','y','es'))) AS es_hits,
+               length(text) AS n_chars,
+               len(string_split(lower(text), ' ')) AS n_words,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('the','a','and','of','to'))) AS stop_hits,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+        FROM documents
+    ),
+    enriched AS (
+        SELECT doc_id, content_hash,
+               CASE WHEN greatest(en_hits, de_hits, es_hits) = 0 THEN 'und'
+                    WHEN es_hits >= en_hits AND es_hits >= de_hits THEN 'es'
+                    WHEN en_hits >= de_hits THEN 'en'
+                    ELSE 'de' END AS predicted_lang,
+               CAST(round(
+                   CAST(least(n_words / 100.0, 1.0) AS DECIMAL(8,4))
+                       * CAST(0.4 AS DECIMAL(2,1))
+                   + (CASE WHEN CAST(CAST(round(stop_hits * 1.0 / greatest(n_words, 1), 4)
+                                          AS DECIMAL(8,4))
+                                 * CAST(5 AS DECIMAL(2,0)) AS DECIMAL(8,4))
+                                >= CAST(1 AS DECIMAL(8,4))
+                           THEN CAST(1 AS DECIMAL(8,4))
+                           ELSE CAST(CAST(round(stop_hits * 1.0 / greatest(n_words, 1), 4)
+                                          AS DECIMAL(8,4))
+                                     * CAST(5 AS DECIMAL(2,0)) AS DECIMAL(8,4)) END)
+                     * CAST(0.3 AS DECIMAL(2,1))
+                   + CAST(round(alpha_chars * 1.0 / greatest(n_chars, 1), 4)
+                          AS DECIMAL(8,4))
+                     * CAST(0.3 AS DECIMAL(2,1)),
+                   4) AS DOUBLE) AS quality_score
+        FROM base
+    ),
+    surv AS (
+        SELECT content_hash, min(doc_id) AS survivor_id, count(*) AS dup_count
+        FROM enriched GROUP BY content_hash
+    )
+    SELECT e.doc_id, e.predicted_lang, e.quality_score, e.content_hash,
+           s.dup_count, e.doc_id = s.survivor_id AS is_survivor,
+           e.doc_id = s.survivor_id AND e.predicted_lang = 'en'
+               AND e.quality_score >= 0.5 AS kept
+    FROM enriched e JOIN surv s USING (content_hash)
+    """,
+)
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the exact
+    near-dup pair graph (operators.components) — the transitive closure
+    that turns pairwise dedup output into per-group survivors. Certified
+    against DuckDB's recursive-CTE closure of the same pair set."""
+    from ..operators.components import connected_components
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return connected_components(pairs, src="id_a", dst="id_b")
+
+
+register(
+    "q_dup_clusters",
+    q_dup_clusters,
+    f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+    nonempty AS (SELECT * FROM sh WHERE len(sh) > 0),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+                    / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM sym),
+    reach AS (
+        SELECT v, v AS r FROM verts
+        UNION
+        SELECT reach.v, s.b AS r FROM reach JOIN sym s ON s.a = reach.r
+    )
+    SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
     """,
 )

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.timeseries import asof_join, bucketed_range_join, sessionize
+from ..operators.timeseries import (
+    asof_join,
+    bucketed_range_join,
+    scd2_compact,
+    sessionize,
+)
 from ..sources import load_table
 from .registry import register
 
@@ -261,5 +266,50 @@ register(
     )
     SELECT event_id, event_type, user_id, rn
     FROM ranked WHERE rn <= {SAMPLE_PER_STRATUM}
+    """,
+)
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 change compaction: per user, collapse the event stream into
+    event_type validity intervals (operators.timeseries.scd2_compact)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return scd2_compact(
+        events, key="user_id", attr="event_type", ts_col="ts", order_col="event_id"
+    )
+
+
+register(
+    "q_scd2",
+    q_scd2,
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    segs AS (
+        SELECT *, sum(CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type
+                           THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS seg
+        FROM ordered
+    ),
+    intervals AS (
+        SELECT user_id, seg, event_type,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM segs GROUP BY user_id, seg, event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to,
+           n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               IS NULL AS is_current
+    FROM intervals
     """,
 )

@@ -91,6 +91,22 @@ def flow_projection(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: at-least-once sources (file re-delivery,
+    Kinesis/Kafka replays) re-emit rows; ``dropDuplicates`` over the key
+    keeps first-arrival-wins state, and the watermark bounds that state
+    — keys older than the horizon are evicted, so memory is
+    O(keys per watermark window), not O(stream). Works identically on a
+    batch frame (watermark is a no-op there), which is how the test
+    certifies batch-stream equivalence."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
+
+
 def windowed_flow_metrics(
     flows: DataFrame,
     window: str = "5 minutes",

@@ -196,6 +196,34 @@ def _edge_agg_keys(events_half):
     )
 
 
+def test_stream_dedup_across_batches_matches_batch(spark, events, tmp_path):
+    """Streaming exact dedup: the same rows delivered in TWO separate
+    micro-batches (at-least-once re-delivery) come out once — state
+    carries across batches; result equals batch dropDuplicates."""
+    from etl_neptune_spark.streaming.pipeline import dedup_stream, flow_stream
+
+    sample = events.filter(F.col("event_id") % 20 == 0)
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    _add_flat_batch(sample, src, "first")
+    _add_flat_batch(sample, src, "second")  # full duplicate delivery
+
+    out = str(tmp_path / "out")
+    stream = dedup_stream(flow_stream(spark, src, max_files_per_trigger=1))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    n = sample.count()
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+
+
 def test_health_reset_then_degrade(spark, events, tmp_path):
     """ST7: every batch resets to healthy, then alarms degrade — and a
     later alarm-free application resets previously degraded nodes."""

@@ -127,3 +127,46 @@ def test_sessionize_gap_boundary_matches_session_window(spark):
     # same partitioning into sessions: (k=1: [2,1]), (k=2: [1])
     sizes = sorted((r.k, r.n) for r in native.collect())
     assert sizes == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_scd2_compact_intervals(spark):
+    rows = [
+        (1, 1, "a", _ts(0)),
+        (2, 1, "a", _ts(5)),
+        (3, 1, "b", _ts(10)),
+        (4, 1, "a", _ts(20)),   # attr returns: NEW interval, not merged
+        (5, 2, None, _ts(0)),
+        (6, 2, None, _ts(5)),   # NULL run stays one interval
+        (7, 2, "x", _ts(9)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k long, attr string, ts timestamp")
+    from etl_neptune_spark.operators.timeseries import scd2_compact
+
+    out = scd2_compact(df, key="k", attr="attr", ts_col="ts", order_col="event_id")
+    got = sorted(
+        (
+            (r.k, r.attr, r.valid_from.minute,
+             r.valid_to.minute if r.valid_to else None,
+             r.n_events, r.is_current)
+            for r in out.collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == [
+        (1, "a", 0, 10, 2, False),
+        (1, "b", 10, 20, 1, False),
+        (1, "a", 20, None, 1, True),
+        (2, None, 0, 9, 2, False),
+        (2, "x", 9, None, 1, True),
+    ]
+
+
+def test_connected_components_clusters_and_convergence(spark):
+    # two components: {1,2,3,4} via a chain, {10,11}; 99 isolated (no edge -> absent)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    from etl_neptune_spark.operators.components import connected_components
+
+    got = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
