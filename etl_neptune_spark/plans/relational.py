@@ -1006,3 +1006,100 @@ register(
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority))
     """,
 )
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated two-phase aggregate (operators.skew.salted_agg):
+    output must equal the plain one-shuffle GROUP BY — the salt fans a
+    hot key over reducers and re-combines exactly. Sums run in decimal
+    so the recombination is reassociation-proof; the salt is a
+    row-content hash (retry-stable, see skew._row_salt)."""
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "total_dec": ("sum", F.col("value").cast("decimal(28,2)")),
+            "n": ("count", "value"),
+            "mx": ("max", F.col("value")),
+        },
+        salt=8,
+    )
+    return out.select(
+        "event_type",
+        F.round(F.col("total_dec").cast("double"), 2).alias("total_value"),
+        "n",
+        "mx",
+    )
+
+
+register(
+    "q_salted_agg",
+    q_salted_agg,
+    """
+    SELECT event_type,
+           round(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE), 2)
+               AS total_value,
+           count(value) AS n,
+           max(value) AS mx
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window offset functions: per-user previous/next values along the
+    event timeline (lag/lead with deterministic (ts, event_id) order)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+register(
+    "q_lead_lag",
+    q_lead_lag,
+    """
+    SELECT event_id, user_id,
+           lag(value) OVER w AS prev_value,
+           lead(event_type) OVER w AS next_type,
+           round(value - lag(value) OVER w, 2) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+
+
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles, percent_rank and
+    cume_dist per user over the value ordering (event_id tiebreak)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+register(
+    "q_ntile",
+    q_ntile,
+    """
+    SELECT event_id, user_id,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
