@@ -95,10 +95,24 @@ register(
         SELECT entity_id, 'disk_util', 'disk_used_percent', 300
         FROM ent WHERE NOT is_eks AND entity_id % 5 = 0
     ),
+    bucketed AS (SELECT *, entity_id % 8 AS bkt FROM tall),
+    cnts AS (SELECT bkt, count(*) AS c FROM bucketed GROUP BY bkt),
+    offs AS (
+        SELECT bkt,
+               coalesce(sum(CAST(ceil(c * 1.0 / 500) AS BIGINT))
+                   OVER (ORDER BY bkt
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS off
+        FROM cnts
+    ),
+    ranked AS (
+        SELECT b.*, row_number() OVER (PARTITION BY bkt
+                                       ORDER BY entity_id, metric_key) AS rn
+        FROM bucketed b
+    ),
     batched AS (
-        SELECT *, (row_number() OVER (ORDER BY entity_id, metric_key) - 1) // 500
-                      AS batch_id
-        FROM tall
+        SELECT ranked.*, off + (rn - 1) // 500 AS batch_id
+        FROM ranked JOIN offs USING (bkt)
     ),
     fetched AS (
         SELECT *,

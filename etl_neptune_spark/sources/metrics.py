@@ -54,13 +54,23 @@ def metric_query_plan(
     id_col: str,
     specs: Sequence[MetricSpec],
     batch_size: int = METRIC_BATCH_SIZE,
+    n_packers: int = 8,
 ) -> DataFrame:
     """Tall query catalog: one row per (entity, metric) with batch id.
 
     Columns: entity_id, metric_key, namespace, metric_name, stat,
-    period, batch_id. Batch ids pack queries contiguously in
-    (entity_id, metric_key) order, ≤ ``batch_size`` per batch — each
-    batch is one service call (one fetch task).
+    period, batch_id. Batch ids are dense (0..n_batches−1) with
+    ≤ ``batch_size`` queries per batch — each batch is one service call
+    (one fetch task).
+
+    Packing is PARALLEL, not a global sort: rows hash to ``n_packers``
+    buckets by entity id (all of an entity's queries stay together),
+    each bucket ranks its own rows (a partitioned window — no
+    single-partition exchange), and each bucket's batches start at a
+    prefix-sum offset computed from the ``n_packers`` bucket counts —
+    one bounded driver action over ≤ n_packers rows, the same pattern
+    as the time-anchor literal. Batch ids are globally dense and every
+    batch respects the cap.
     """
     parts = []
     for key, namespace, metric, stat, period, cond in specs:
@@ -78,13 +88,29 @@ def metric_query_plan(
     tall = parts[0]
     for p in parts[1:]:
         tall = tall.unionByName(p)
-    # Global contiguous packing, like the reference's range(0, n, 500).
-    # The catalog is dimension-sized (entities × ~5 metrics), so one
-    # ranking window over it is bounded even at cluster scale.
-    w = Window.orderBy("entity_id", "metric_key")
-    return tall.withColumn(
-        "batch_id",
-        F.floor((F.row_number().over(w) - 1) / F.lit(batch_size)).cast("long"),
+    tall = tall.withColumn("__bkt", F.pmod(F.col("entity_id"), F.lit(n_packers)))
+    counts = {
+        r["__bkt"]: r["c"]
+        for r in tall.groupBy("__bkt").agg(F.count("*").alias("c")).collect()
+    }
+    off, offsets = 0, {}
+    for b in sorted(counts):
+        offsets[b] = off
+        off += -(-counts[b] // batch_size)  # ceil division
+    omap = F.create_map(
+        *[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]
+    )
+    w = Window.partitionBy("__bkt").orderBy("entity_id", "metric_key")
+    return (
+        tall.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "batch_id",
+            (
+                omap[F.col("__bkt")]
+                + F.floor((F.col("__rn") - 1) / F.lit(batch_size))
+            ).cast("long"),
+        )
+        .drop("__bkt", "__rn")
     )
 
 
