@@ -8,9 +8,11 @@ and ``foreachBatch`` driving the engine's MERGE/GC operators against a
 versioned parquet store.
 """
 
+from .dedup import flag_neardups_batch, run_neardup_stream
 from .pipeline import (
     EVENTS_SCHEMA,
     apply_health_alarms,
+    dedup_stream,
     deepflow_batch,
     flow_projection,
     flow_stream,
@@ -23,7 +25,9 @@ __all__ = [
     "EVENTS_SCHEMA",
     "GraphStore",
     "apply_health_alarms",
+    "dedup_stream",
     "deepflow_batch",
+    "flag_neardups_batch",
     "flow_projection",
     "flow_stream",
     "run_deepflow_stream",

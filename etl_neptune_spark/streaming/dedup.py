@@ -1,0 +1,139 @@
+"""Streaming near-duplicate detection — MinHash banding against a
+persistent signature store.
+
+The batch dedup operators (operators.dedup) find pairs WITHIN a corpus;
+an ingest pipeline needs the other shape: does each ARRIVING document
+near-duplicate anything seen before? This module runs that as a
+Structured Streaming ``foreachBatch`` body over the versioned
+GraphStore:
+
+1. Each micro-batch computes MinHash band keys for its documents
+   (operators.dedup.minhash_band_entries — the same Arrow kernel as the
+   batch path, so batch and stream agree bit-for-bit).
+2. Arriving band keys equi-join the STORE's band index: any (band,
+   band_hash) collision marks the arriving doc as a near-dup CANDIDATE
+   of the stored corpus (LSH semantics: collision probability follows
+   the banding S-curve; exact verification can follow on the flagged
+   subset only).
+3. Non-duplicate (or all, by policy) documents' band keys merge into
+   the store for the next batch — first-arrival-wins, idempotent under
+   replay because the merge key is (doc, band) and the store publish is
+   stage-then-rename.
+
+At 100 TB the band index is the only state: ``bands × 1`` short rows
+per document, hash-partitionable on (band, band_hash), pruned by the
+store's versioning. No shuffle touches raw text after step 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import doc_shingles, minhash_band_entries
+from .store import GraphStore
+
+BANDS_TABLE = "minhash_bands"
+
+
+def batch_band_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 6,
+) -> DataFrame:
+    """(doc_id, band, band_hash) for one batch of documents."""
+    sh = doc_shingles(docs, id_col, text_col)
+    return minhash_band_entries(sh, id_col, num_hashes, bands)
+
+
+def flag_neardups_batch(
+    store: GraphStore,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 6,
+    admit_dups: bool = False,
+):
+    """``foreachBatch`` body: flag arriving docs that LSH-collide with
+    the stored corpus, then merge the admitted docs' band keys into the
+    store. Returns the per-batch verdict frame via ``store`` table
+    ``verdicts_v<batch>`` — (doc_id, is_neardup, n_collisions).
+
+    ``admit_dups``: False (default) keeps the store canonical — only
+    novel docs index; True indexes everything (audit mode).
+    """
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        keys = batch_band_keys(batch, id_col, text_col, num_hashes, bands)
+
+        existing = store.read(spark, BANDS_TABLE)
+        if existing is None:
+            existing = spark.createDataFrame([], keys.schema)
+
+        collisions = (
+            keys.join(
+                existing.select(
+                    F.col("band"),
+                    F.col("band_hash"),
+                    F.col(id_col).alias("__stored_id"),
+                ),
+                ["band", "band_hash"],
+            )
+            .filter(F.col(id_col) != F.col("__stored_id"))
+            .groupBy(id_col)
+            .agg(F.count_distinct("__stored_id").alias("n_collisions"))
+        )
+        verdicts = (
+            batch.select(id_col)
+            .distinct()
+            .join(collisions, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("n_collisions") > 0, F.lit(False)).alias(
+                    "is_neardup"
+                ),
+                F.coalesce("n_collisions", F.lit(0)).alias("n_collisions"),
+            )
+        )
+        store.write(verdicts, f"verdicts_{batch_id}", batch_id)
+
+        admitted = (
+            keys
+            if admit_dups
+            else keys.join(
+                verdicts.filter(~F.col("is_neardup")).select(id_col), id_col
+            )
+        )
+        merged = existing.unionByName(admitted).dropDuplicates(
+            [id_col, "band"]
+        )
+        store.write(merged, BANDS_TABLE, batch_id)
+
+    return apply
+
+
+def run_neardup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    store: GraphStore,
+    schema: str = "doc_id long, text string",
+    checkpoint: str | None = None,
+) -> None:
+    """Drain a file-arrival stream of documents through the near-dup
+    flagger with availableNow (deterministic catch-up)."""
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    q = (
+        stream.writeStream.foreachBatch(flag_neardups_batch(store))
+        .option(
+            "checkpointLocation",
+            checkpoint or f"{store.root}/_checkpoints/neardup",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -59,7 +59,29 @@ class GraphStore:
         v = self.latest_version(table)
         if v is None:
             return None
-        return spark.read.parquet(os.path.join(self._table_dir(table), f"v={v}"))
+        return self.read_version(spark, table, v)
+
+    def read_version(
+        self, spark: SparkSession, table: str, version: int
+    ) -> DataFrame | None:
+        """Time travel: read one retained snapshot version (None if it
+        was pruned or never written) — the Delta/Iceberg `VERSION AS OF`
+        surface for this store. ``keep_versions`` bounds how far back."""
+        path = os.path.join(self._table_dir(table), f"v={version}")
+        if not os.path.isdir(path):
+            return None
+        return spark.read.parquet(path)
+
+    def versions(self, table: str) -> list[int]:
+        """Retained snapshot versions, oldest first."""
+        tdir = self._table_dir(table)
+        if not os.path.isdir(tdir):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(tdir)
+            if d.startswith("v=") and d.split("=", 1)[1].lstrip("-").isdigit()
+        )
 
     def write(
         self,
