@@ -83,6 +83,34 @@ def test_flagship_aggregate_shape(plans):
     assert "CartesianProduct" not in p
 
 
+def test_round2_queries_have_clean_shapes(plans):
+    # Round-2 additions must keep the same posture as the core: no
+    # cartesian products, no broadcast nested loops, and (q_metric_batch
+    # specifically) no single-partition global window — its batch
+    # packing is the parallel bucket + prefix-offset layout.
+    for q in ("q_tfidf", "q_corpus_curation", "q_scd2", "q_metric_batch",
+              "q_salted_agg", "q_lead_lag", "q_ntile"):
+        p = plans(q)
+        assert "CartesianProduct" not in p, q
+        assert "BroadcastNestedLoopJoin" not in p, q
+    assert "SinglePartition" not in plans("q_metric_batch")
+
+
+def test_tfidf_is_two_aggregates_and_a_window(plans):
+    p = plans("q_tfidf")
+    assert p.count("HashAggregate") >= 4  # partial+final for tf and df
+    assert "RunningWindowFunction" in p or "Window" in p
+
+
+def test_curation_reuses_content_hash_exchange(plans):
+    # groupBy(content_hash) + join(content_hash) must not add a second
+    # scan-side exchange pair beyond the shared hash distribution: the
+    # plan has exactly one Exchange hashpartitioning(content_hash...) on
+    # the enriched side reused by both consumers.
+    p = plans("q_corpus_curation")
+    assert "ReusedExchange" in p or p.count("hashpartitioning(content_hash") <= 3
+
+
 def test_stratified_sample_prefilters_sort_input(plans):
     # The per-stratum ranking window must be fed by the hash-prefix
     # pre-filter (md5 < '1', ~1/16 of rows), with the small-stratum
