@@ -26,6 +26,7 @@ _PLAN_MODULES = [
     "etl_neptune_spark.plans.streaming",
     "etl_neptune_spark.plans.timeseries",
     "etl_neptune_spark.plans.metrics",
+    "etl_neptune_spark.plans.corpus",
 ]
 
 

@@ -61,13 +61,19 @@ def _spread(df: DataFrame) -> DataFrame:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a lowercased text column."""
     words = F.split(F.lower(text), " ")
-    count = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        )
-    )
+    count = F.size(words) - (n - 1)
+    # Guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, and
+    # slice(words, 0, n) then throws — a doc with < n words must map
+    # to an empty shingle set, not an error.
+    return F.when(
+        count >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

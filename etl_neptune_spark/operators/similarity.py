@@ -432,3 +432,27 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid of an embedding column, emitted exploded as
+    (label, pos, centroid) so downstream consumers (and the SQL
+    oracle) need no array reassembly.
+
+    Scale posture: posexplode is linear (dim × rows) and the single
+    shuffle is the keyed hash aggregation on (label, pos) with partial
+    map-side combine — the canonical distributed column-mean layout.
+    Rounded to 4 dp to pin float32 summation-order noise.
+    """
+    return (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid"))
+    )

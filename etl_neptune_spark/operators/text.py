@@ -209,3 +209,133 @@ def fingerprint(
         F.col(id_col),
         F.coalesce(fp, F.md5(F.lower(F.col(text_col)))).alias("fingerprint"),
     )
+
+
+def _run_fold(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array — i.e.
+    the count of the most frequent element — as a single O(n) codegen
+    fold (state: previous element, current run, best run). Shuffle-free
+    per-row alternative to explode + groupBy."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_word_frac: float = 0.2,
+    max_top_bigram_frac: float = 0.2,
+    min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition filters: fraction of words taken by the
+    single most frequent word / bigram, distinct-word ratio, and the
+    keep/drop verdict. Entirely per-row native expressions (sort +
+    fold), so a 100 TB pass is shuffle-free whole-stage codegen with
+    cost O(words · log words) per document."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                                  F.element_at(words, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_word = _run_fold(F.array_sort(words))
+    top_bigram = F.when(n >= 2, _run_fold(F.array_sort(bigrams))).otherwise(F.lit(0))
+    n_safe = F.greatest(n, F.lit(1))
+    top_word_frac = F.round(top_word / n_safe, 4)
+    top_bigram_frac = F.round(top_bigram * 2 / n_safe, 4)
+    distinct_ratio = F.round(F.size(F.array_distinct(words)) / n_safe, 4)
+    keep = (
+        (top_word_frac <= max_top_word_frac)
+        & (top_bigram_frac <= max_top_bigram_frac)
+        & (distinct_ratio >= min_distinct_ratio)
+    )
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        top_word_frac.alias("top_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        distinct_ratio.alias("distinct_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word ``n``-gram with the (small) eval/benchmark set.
+
+    Scale posture: the eval side's distinct shingles are broadcast, so
+    the corpus side is a single broadcast-semi pass over the exploded
+    shingles — the only shuffle is the per-doc hit aggregation, and it
+    carries hit rows only (tiny under a clean corpus). Never joins
+    corpus-to-corpus.
+    """
+    from .dedup import word_shingles
+
+    def shingled(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+
+    bench = shingled(eval_docs).select("shingle").distinct()
+    hits = (
+        shingled(docs)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_hit_shingles"))
+    )
+    return hits.orderBy(id_col)
+
+
+# Redaction patterns kept to RE2-safe syntax so the Spark (java.util
+# .regex) and DuckDB (RE2) engines agree byte-for-byte.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
+PHONE_RE = "[0-9]{3}-[0-9]{3,}"
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrub: replace email addresses and phone-shaped digit runs
+    with fixed tags, reporting per-doc replacement counts. Pure
+    regexp_replace / regexp_extract_all — per-row codegen, no shuffle."""
+    text = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
+    n_phones = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), F.lit(PHONE_RE), 0
+        )
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(clean).alias("clean_hash"),
+    )

@@ -1,0 +1,219 @@
+"""Certified queries for corpus-assembly operators (no reference
+counterpart — BASELINE.json north star): repetition-based quality
+filters, benchmark decontamination, deterministic train/val/test
+split, concat-and-chunk sequence packing, PII redaction, and per-label
+embedding centroids. Operators live in ``operators.text`` /
+``operators.packing`` / ``operators.similarity``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.packing import assign_split, pack_sequences
+from ..operators.similarity import label_centroids
+from ..operators.text import decontaminate, redact_pii, repetition_features
+from ..sources import load_table
+from .registry import register
+
+# DuckDB fragment: distinct word n-gram shingles of lower(text) —
+# mirrors operators.dedup.word_shingles (n = 3).
+_SH3_SQL = """
+    list_distinct(list_transform(
+        range(1, greatest(len(string_split(lower(text), ' ')) - 2, 0) + 1),
+        i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' ')))
+"""
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features + keep/drop verdict, computed
+    as shuffle-free per-row sort+fold expressions."""
+    return repetition_features(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "q_repetition_filter",
+    q_repetition_filter,
+    """
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS word,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS i
+        FROM documents
+    ),
+    uni AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+    top1 AS (
+        SELECT doc_id, max(c) AS top_c, sum(c) AS n, count(*) AS n_distinct
+        FROM uni GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT a.doc_id, a.word || ' ' || b.word AS bigram
+        FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+    top2 AS (SELECT doc_id, max(c) AS top_bc FROM bgc GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n AS INTEGER) AS n_words,
+           round(t.top_c * 1.0 / greatest(t.n, 1), 4) AS top_word_frac,
+           round(coalesce(b.top_bc, 0) * 2.0 / greatest(t.n, 1), 4)
+               AS top_bigram_frac,
+           round(t.n_distinct * 1.0 / greatest(t.n, 1), 4) AS distinct_ratio,
+           (round(t.top_c * 1.0 / greatest(t.n, 1), 4) <= 0.2
+            AND round(coalesce(b.top_bc, 0) * 2.0 / greatest(t.n, 1), 4) <= 0.2
+            AND round(t.n_distinct * 1.0 / greatest(t.n, 1), 4) >= 0.3) AS keep
+    FROM top1 t LEFT JOIN top2 b ON t.doc_id = b.doc_id
+    """,
+)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 3-gram
+    with the held-out eval slice (doc_id % 97 == 0), via a broadcast
+    of the eval shingle set — never corpus-to-corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    return decontaminate(docs.filter(~is_eval), docs.filter(is_eval), n=3)
+
+
+register(
+    "q_decontaminate",
+    q_decontaminate,
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SH3_SQL}) AS shingle FROM documents
+    ),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT sh.doc_id, count(DISTINCT sh.shingle) AS n_hit_shingles
+    FROM sh JOIN bench USING (shingle)
+    WHERE sh.doc_id % 97 != 0
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """,
+)
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test assignment (75/12.5/
+    12.5) — stable under corpus growth, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_split(docs)
+
+
+register(
+    "q_split_assign",
+    q_split_assign,
+    """
+    SELECT doc_id, source,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing into 2048-token windows: global token
+    offsets via the two-phase (per-block + broadcast offsets) prefix
+    sum — no single-partition window over the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return pack_sequences(docs, token_col="n_tokens", capacity=2048)
+
+
+register(
+    "q_pack_sequences",
+    q_pack_sequences,
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           cum - n_tokens AS start,
+           (cum - n_tokens) // 2048 AS seq_id,
+           (cum - n_tokens) // 2048 != (cum - 1) // 2048 AS crosses_boundary
+    FROM c
+    """,
+)
+
+
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub certification. The fixture corpus is digit-free word
+    soup, so a deterministic contact line (email + phone derived from
+    doc_id) is appended first — then both engines must agree on the
+    match counts and the md5 of the redacted text."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail-"),
+            F.col("source"),
+            F.lit(".com or 555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
+register(
+    "q_redact",
+    q_redact,
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail-' || source || '.com or 555-'
+                    || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+')) AS n_emails,
+               regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+',
+                              '<EMAIL>', 'g') AS no_email
+        FROM aug
+    )
+    SELECT doc_id,
+           CAST(n_emails AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(no_email, '[0-9]{3}-[0-9]{3,}'))
+                AS INTEGER) AS n_phones,
+           md5(regexp_replace(no_email, '[0-9]{3}-[0-9]{3,}', '<PHONE>', 'g'))
+               AS clean_hash
+    FROM e
+    """,
+)
+
+
+def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, exploded (label, pos, centroid) —
+    the keyed (label, pos) hash aggregation with map-side combine."""
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+register(
+    "q_centroids",
+    q_centroids,
+    """
+    SELECT label, CAST(t.range AS INTEGER) AS pos,
+           round(avg(CAST(embedding[t.range + 1] AS DOUBLE)), 4) AS centroid
+    FROM embeddings, range(0, 64) t
+    GROUP BY label, t.range
+    """,
+)
