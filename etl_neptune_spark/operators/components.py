@@ -42,6 +42,10 @@ def connected_components(
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        # Pre-partition on the per-round join key: the cached frame's
+        # hashpartitioning(b) is reused every iteration, so only the
+        # (much smaller) label frame shuffles per round.
+        .repartition(F.col("b"))
         .persist()
     )
     labels = (
@@ -51,30 +55,33 @@ def connected_components(
         .persist()
     )
     labels.count()  # materialize seed + edge cache before iterating
+    cached = labels  # the persisted frame backing `labels`
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["v"])
             .groupBy("a")
             .agg(F.min("component").alias("nbr"))
         )
-        new_labels = (
+        # Keep the old label alongside the new one: the convergence
+        # check is then a filter-count on this same frame, not a
+        # second labels join.
+        stepped = (
             labels.join(nbr_min, labels["v"] == nbr_min["a"], "left")
             .select(
                 F.col("v"),
+                F.col("component").alias("old_component"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
                 ).alias("component"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.filter(
+            F.col("component") != F.col("old_component")
+        ).count()
+        cached.unpersist()
+        cached = stepped
+        labels = stepped.select("v", "component")
         if changed == 0:
             return labels.select(F.col("v").alias("vertex"), "component")
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

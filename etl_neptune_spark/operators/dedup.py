@@ -252,18 +252,23 @@ def ngram_jaccard_pairs(
     the cap (this fixture: max df 25) the output is identical to the
     naive plan, oracle-certified.
     """
-    from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     sh = doc_shingles(docs, id_col, text_col)
-    # The posting list feeds four branches: df counting, both sides of
-    # the light self-join, and the heavy-set rollup.
+    # The posting list feeds three branches: both sides of the light
+    # self-join and the heavy-set rollup. Document frequency comes from
+    # a count window over the shingle partitioning — NOT a separate
+    # groupBy + join — so all three branches sit on ONE exchange
+    # (hashpartitioning(shingle)) that Spark reuses, and the self-join
+    # below needs no further shuffle of the postings.
     posts = sh.select(
         F.col(id_col),
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    dfreq = posts.groupBy("shingle").agg(F.count("*").alias("df"))
-    tagged = posts.join(dfreq, "shingle")
+    )
+    tagged = posts.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    )
 
     lite = tagged.filter(F.col("df") <= df_cap)
     a = lite.select(

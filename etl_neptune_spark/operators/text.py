@@ -293,7 +293,7 @@ def decontaminate(
     carries hit rows only (tiny under a clean corpus). Never joins
     corpus-to-corpus.
     """
-    from .dedup import word_shingles
+    from .dedup import _spread, word_shingles
 
     def shingled(df: DataFrame) -> DataFrame:
         return df.select(
@@ -302,13 +302,12 @@ def decontaminate(
         )
 
     bench = shingled(eval_docs).select("shingle").distinct()
-    hits = (
-        shingled(docs)
+    return (
+        shingled(_spread(docs))
         .join(F.broadcast(bench), "shingle")
         .groupBy(id_col)
         .agg(F.count_distinct("shingle").alias("n_hit_shingles"))
     )
-    return hits.orderBy(id_col)
 
 
 # Redaction patterns kept to RE2-safe syntax so the Spark (java.util
