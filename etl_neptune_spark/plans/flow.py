@@ -11,7 +11,7 @@ protocol, ``value`` → response duration.
 
 All expressions are built-in ``pyspark.sql.functions`` (JVM-side,
 whole-stage-codegen'd); the lookback anchor is resolved to a *literal*
-by one tiny footer-stats `max(ts)` action (sources.tables.max_ts_nanos,
+by one tiny footer-stats `max(ts)` action (sources.tables.max_ts_micros,
 cached per process) so the window predicate reaches the parquet reader
 as a ``PushedFilters`` entry — row-group pruning now, partition pruning
 on a date-partitioned layout at 100 TB. This mirrors the reference's

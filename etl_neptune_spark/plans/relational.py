@@ -129,7 +129,7 @@ def q_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/F2/F3/ST2 — sliding lookback window anchored at max(ts)
     (``time > now() - INTERVAL_MIN*60``, neptune_etl_deepflow.py:150,641).
     The anchor is resolved to a literal (cached footer-stats action, see
-    sources.tables.max_ts_nanos) so the window predicate is pushed into
+    sources.tables.max_ts_micros) so the window predicate is pushed into
     the parquet scan — partition-prunable at 100 TB."""
     ev = load_events_lookback(spark, sf_dir, 5)
     return (

@@ -10,8 +10,8 @@ from .tables import (
     load_events_lookback,
     load_table,
     load_tables,
-    lookback_cutoff_nanos,
-    max_ts_nanos,
+    lookback_cutoff_micros,
+    max_ts_micros,
     register_views,
 )
 
@@ -22,8 +22,8 @@ __all__ = [
     "load_events_lookback",
     "load_table",
     "load_tables",
-    "lookback_cutoff_nanos",
-    "max_ts_nanos",
+    "lookback_cutoff_micros",
+    "max_ts_micros",
     "parse_template_text",
     "read_json",
     "read_tsv",

@@ -34,11 +34,13 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# The driver parquet stores timestamps as TIMESTAMP(NANOS), which Spark
-# surfaces as nanos-since-epoch longs under
-# spark.sql.legacy.parquet.nanosAsLong (see session.get_spark). These
-# columns are restored to TimestampType (microsecond precision — same
-# truncation DuckDB applies when reading TIMESTAMP_NS).
+# Driver parquet generations have stored timestamps either as
+# TIMESTAMP(MICROS) (read natively as TimestampType) or as
+# TIMESTAMP(NANOS), which Spark surfaces as nanos-since-epoch longs
+# under spark.sql.legacy.parquet.nanosAsLong (see session.get_spark).
+# Raw-long columns are restored to TimestampType (microsecond precision
+# — the same truncation DuckDB applies when reading TIMESTAMP_NS), so
+# downstream plans see one schema either way.
 _NANOS_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -75,44 +77,56 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, raw_filter=None) -> 
 # predicate partition-prune instead of reading all history. Mirrors the
 # reference's source-side literal window (etl_df/neptune_etl_df.py:641,
 # `time > now() - 300` pushed into the store).
-_ANCHOR_CACHE: dict[tuple[str, str, str], int | None] = {}
+# Cache value: (max epoch-micros | None, raw column is nanos-as-bigint).
+_ANCHOR_CACHE: dict[tuple[str, str, str], tuple[int | None, bool]] = {}
 
 
-def max_ts_nanos(spark: SparkSession, sf_dir: str, table: str = "events", col: str = "ts") -> int | None:
-    """Max raw-nanos value of a TIMESTAMP(NANOS)-as-bigint column."""
+def _ts_anchor(
+    spark: SparkSession, sf_dir: str, table: str = "events", col: str = "ts"
+) -> tuple[int | None, bool]:
+    """(max epoch-micros of the time column, raw-dtype-is-bigint).
+
+    Works for both parquet encodings: TIMESTAMP(MICROS) (TimestampType,
+    ``unix_micros`` post-agg) and TIMESTAMP(NANOS)-as-bigint (``div
+    1000``). The aggregate is answerable from parquet footer stats
+    (aggregatePushdown), so the action is bounded regardless of table
+    size.
+    """
     key = (sf_dir.rstrip("/"), table, col)
     if key not in _ANCHOR_CACHE:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{key[0]}/{table}.parquet")
+        raw_nanos = dict(df.dtypes).get(col) == "bigint"
         prev = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
         spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
         try:
-            row = (
-                spark.read.parquet(f"{key[0]}/{table}.parquet")
-                .agg(F.max(col).alias("mx"))
-                .first()
-            )
+            agg = df.agg(F.max(col).alias("mx"))
+            # cast handles both TIMESTAMP and TIMESTAMP_NTZ raw columns;
+            # the session is pinned to UTC so the NTZ round-trip through
+            # epoch micros (here and in load_events_lookback) is exact.
+            mx = F.expr("mx div 1000") if raw_nanos else F.unix_micros(F.col("mx").cast("timestamp"))
+            row = agg.select(mx.alias("mx_us")).first()
         finally:
             spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
-        _ANCHOR_CACHE[key] = None if row is None else row["mx"]
+        _ANCHOR_CACHE[key] = (None if row is None else row["mx_us"], raw_nanos)
     return _ANCHOR_CACHE[key]
 
 
-def lookback_cutoff_nanos(
+def max_ts_micros(spark: SparkSession, sf_dir: str, table: str = "events", col: str = "ts") -> int | None:
+    """Max value of a snapshot table's time column, as epoch micros."""
+    return _ts_anchor(spark, sf_dir, table, col)[0]
+
+
+def lookback_cutoff_micros(
     spark: SparkSession, sf_dir: str, days: int, table: str = "events", col: str = "ts"
 ) -> int | None:
-    """Raw-nanos cutoff for a trailing ``days`` window ending at max(ts).
-
-    Computed in microsecond-truncated space — ``floor(ns/1000) >= C_us``
-    iff ``ns >= C_us * 1000`` — so a raw-column comparison against this
-    literal is bit-identical to filtering the restored TimestampType
-    column with ``ts >= max_ts - INTERVAL days DAYS`` (both sides
-    microsecond precision), while remaining a plain pushable predicate.
-    """
-    max_ns = max_ts_nanos(spark, sf_dir, table, col)
-    if max_ns is None:
+    """Epoch-micros cutoff for a trailing ``days`` window ending at
+    max(ts) — bit-identical to ``ts >= max_ts - INTERVAL days DAYS`` on
+    the microsecond-precision TimestampType column."""
+    max_us = max_ts_micros(spark, sf_dir, table, col)
+    if max_us is None:
         return None
-    lookback_us = days * 86_400 * 1_000_000
-    return (max_ns // 1_000 - lookback_us) * 1_000
+    return max_us - days * 86_400 * 1_000_000
 
 
 def load_events_lookback(spark: SparkSession, sf_dir: str, days: int) -> DataFrame:
@@ -121,10 +135,22 @@ def load_events_lookback(spark: SparkSession, sf_dir: str, days: int) -> DataFra
     scan (``PushedFilters`` / row-group stats / partition pruning on a
     date-partitioned layout). At 100 TB this is the difference between
     scanning 5 minutes and scanning all history (VERDICT r1 §Perf)."""
-    cutoff = lookback_cutoff_nanos(spark, sf_dir, days)
-    if cutoff is None:
+    cutoff_us = lookback_cutoff_micros(spark, sf_dir, days)
+    if cutoff_us is None:
         return load_table(spark, sf_dir, "events", raw_filter=F.lit(False))
-    return load_table(spark, sf_dir, "events", raw_filter=F.col("ts") >= F.lit(cutoff))
+    _, raw_nanos = _ts_anchor(spark, sf_dir, "events", "ts")
+    # Every branch constant-folds to a pushable literal predicate on the
+    # raw scan column; in nanos space `floor(ns/1000) >= C_us` iff
+    # `ns >= C_us * 1000`, so the encodings filter identically.
+    if raw_nanos:
+        raw_filter = F.col("ts") >= F.lit(cutoff_us * 1_000)
+    else:
+        cut = F.timestamp_micros(F.lit(cutoff_us))
+        raw_dt = dict(load_table(spark, sf_dir, "events").dtypes).get("ts")
+        if raw_dt == "timestamp_ntz":
+            cut = cut.cast("timestamp_ntz")
+        raw_filter = F.col("ts") >= cut
+    return load_table(spark, sf_dir, "events", raw_filter=raw_filter)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
