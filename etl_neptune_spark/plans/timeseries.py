@@ -69,7 +69,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "purchase_ts",
         "r_event_id",
-        F.unix_millis("r_ts").alias("r_ts_ms"),
+        # cast: no-op on TimestampType, exact NTZ reinterpretation under
+        # the UTC session pin (unix_millis rejects NTZ input).
+        F.unix_millis(F.col("r_ts").cast("timestamp")).alias("r_ts_ms"),
         "r_value",
     )
 
@@ -151,7 +153,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts").alias("start_ts"),
         F.max("ts").alias("end_ts"),
-        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
+        (F.unix_millis(F.max("ts").cast("timestamp"))
+         - F.unix_millis(F.min("ts").cast("timestamp"))).alias("duration_ms"),
     )
 
 

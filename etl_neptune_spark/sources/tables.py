@@ -35,12 +35,16 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Driver parquet generations have stored timestamps either as
-# TIMESTAMP(MICROS) (read natively as TimestampType) or as
-# TIMESTAMP(NANOS), which Spark surfaces as nanos-since-epoch longs
-# under spark.sql.legacy.parquet.nanosAsLong (see session.get_spark).
-# Raw-long columns are restored to TimestampType (microsecond precision
-# — the same truncation DuckDB applies when reading TIMESTAMP_NS), so
-# downstream plans see one schema either way.
+# TIMESTAMP(MICROS) — which Spark reads as TIMESTAMP_NTZ when the file
+# carries isAdjustedToUTC=false — or as TIMESTAMP(NANOS), which Spark
+# surfaces as nanos-since-epoch longs under
+# spark.sql.legacy.parquet.nanosAsLong (see session.get_spark).
+# load_table normalizes BOTH encodings to plain TimestampType
+# (microsecond precision — the same truncation DuckDB applies when
+# reading TIMESTAMP_NS), so downstream plans see one schema either way
+# and time functions like unix_millis/unix_timestamp (which reject NTZ)
+# always analyze. The session is pinned to UTC so the NTZ→TIMESTAMP
+# reinterpretation is exact.
 _NANOS_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -48,11 +52,19 @@ _NANOS_TS_COLS = {
 }
 
 
+def _pin_utc(spark: SparkSession) -> None:
+    # All NTZ↔instant round-trips in this module assume a UTC session;
+    # pin it defensively for sessions not built by session.get_spark
+    # (e.g. the verification driver's own session), matching the
+    # nanosAsLong defensive set below.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str, raw_filter=None) -> DataFrame:
     """Read one snapshot table. Plain parquet scan → full pushdown.
 
     ``raw_filter`` (a Column predicate over the *raw* parquet schema,
-    i.e. before the nanos→timestamp restoration) is applied directly on
+    i.e. before the timestamp restoration) is applied directly on
     the scan so simple comparisons against literals reach the reader as
     ``PushedFilters`` — the hook the lookback-window plans use to get
     row-group / partition pruning on the time axis.
@@ -60,12 +72,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, raw_filter=None) -> 
     # Runtime-settable; required even when the session wasn't built by
     # session.get_spark (e.g. the verification driver's own session).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _pin_utc(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if raw_filter is not None:
         df = df.filter(raw_filter)
+    dtypes = dict(df.dtypes)
     for c in _NANOS_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        # `div` truncates toward zero; identical to floor division for
+        # the post-1970 (non-negative) epochs this data model uses.
+        if c in df.columns and dtypes[c] == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    # NTZ→TIMESTAMP: a pure reinterpretation under the UTC session pin,
+    # applied to every NTZ column (not just the known time columns) so
+    # the "one schema either way" contract holds for any future table.
+    for c, dt in dtypes.items():
+        if dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -77,38 +99,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, raw_filter=None) -> 
 # predicate partition-prune instead of reading all history. Mirrors the
 # reference's source-side literal window (etl_df/neptune_etl_df.py:641,
 # `time > now() - 300` pushed into the store).
-# Cache value: (max epoch-micros | None, raw column is nanos-as-bigint).
-_ANCHOR_CACHE: dict[tuple[str, str, str], tuple[int | None, bool]] = {}
+# Cache value: (max epoch-micros | None, raw parquet dtype string).
+_ANCHOR_CACHE: dict[tuple[str, str, str], tuple[int | None, str]] = {}
 
 
 def _ts_anchor(
     spark: SparkSession, sf_dir: str, table: str = "events", col: str = "ts"
-) -> tuple[int | None, bool]:
-    """(max epoch-micros of the time column, raw-dtype-is-bigint).
+) -> tuple[int | None, str]:
+    """(max epoch-micros of the time column, raw parquet dtype string).
 
-    Works for both parquet encodings: TIMESTAMP(MICROS) (TimestampType,
-    ``unix_micros`` post-agg) and TIMESTAMP(NANOS)-as-bigint (``div
-    1000``). The aggregate is answerable from parquet footer stats
-    (aggregatePushdown), so the action is bounded regardless of table
-    size.
+    Works for both parquet encodings: TIMESTAMP(MICROS) (TimestampType
+    or TIMESTAMP_NTZ, ``unix_micros`` post-agg) and
+    TIMESTAMP(NANOS)-as-bigint (``div 1000``). The aggregate is
+    answerable from parquet footer stats (aggregatePushdown), so the
+    action is bounded regardless of table size.
     """
     key = (sf_dir.rstrip("/"), table, col)
     if key not in _ANCHOR_CACHE:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _pin_utc(spark)
         df = spark.read.parquet(f"{key[0]}/{table}.parquet")
-        raw_nanos = dict(df.dtypes).get(col) == "bigint"
+        raw_dt = dict(df.dtypes).get(col, "")
+        raw_nanos = raw_dt == "bigint"
         prev = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
         spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
         try:
             agg = df.agg(F.max(col).alias("mx"))
             # cast handles both TIMESTAMP and TIMESTAMP_NTZ raw columns;
-            # the session is pinned to UTC so the NTZ round-trip through
-            # epoch micros (here and in load_events_lookback) is exact.
+            # the session is pinned to UTC (above) so the NTZ round-trip
+            # through epoch micros (here and in load_events_lookback) is
+            # exact.
             mx = F.expr("mx div 1000") if raw_nanos else F.unix_micros(F.col("mx").cast("timestamp"))
             row = agg.select(mx.alias("mx_us")).first()
         finally:
             spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
-        _ANCHOR_CACHE[key] = (None if row is None else row["mx_us"], raw_nanos)
+        _ANCHOR_CACHE[key] = (None if row is None else row["mx_us"], raw_dt)
     return _ANCHOR_CACHE[key]
 
 
@@ -138,15 +163,15 @@ def load_events_lookback(spark: SparkSession, sf_dir: str, days: int) -> DataFra
     cutoff_us = lookback_cutoff_micros(spark, sf_dir, days)
     if cutoff_us is None:
         return load_table(spark, sf_dir, "events", raw_filter=F.lit(False))
-    _, raw_nanos = _ts_anchor(spark, sf_dir, "events", "ts")
+    _, raw_dt = _ts_anchor(spark, sf_dir, "events", "ts")
     # Every branch constant-folds to a pushable literal predicate on the
-    # raw scan column; in nanos space `floor(ns/1000) >= C_us` iff
-    # `ns >= C_us * 1000`, so the encodings filter identically.
-    if raw_nanos:
+    # raw scan column; in nanos space `ns div 1000 >= C_us` iff
+    # `ns >= C_us * 1000` for the post-1970 (non-negative) epochs this
+    # data model uses, so the encodings filter identically.
+    if raw_dt == "bigint":
         raw_filter = F.col("ts") >= F.lit(cutoff_us * 1_000)
     else:
         cut = F.timestamp_micros(F.lit(cutoff_us))
-        raw_dt = dict(load_table(spark, sf_dir, "events").dtypes).get("ts")
         if raw_dt == "timestamp_ntz":
             cut = cut.cast("timestamp_ntz")
         raw_filter = F.col("ts") >= cut

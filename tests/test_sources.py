@@ -117,6 +117,51 @@ def test_sql_function_registry(spark):
     assert row.p == "c"
 
 
+def test_timestamp_encoding_drift(spark, tmp_path):
+    """Regression (VERDICT r2): the driver regenerates testdata with
+    different parquet timestamp physical types — TIMESTAMP(MICROS)
+    (read as TIMESTAMP_NTZ when isAdjustedToUTC=false), TIMESTAMP(UTC)
+    (TimestampType), and TIMESTAMP(NANOS) (nanos-as-bigint under
+    nanosAsLong). load_table must normalize ALL of them to plain
+    TimestampType with identical values, and the timeseries queries
+    must analyze against each."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_neptune_spark.sources.tables import load_table
+
+    base = {
+        "event_id": [1, 2, 3, 4],
+        "user_id": [10, 10, 11, 11],
+        "event_type": ["view", "purchase", "view", "purchase"],
+        "value": [1.0, 2.0, 3.0, 4.0],
+    }
+    ts_us = [1_700_000_000_000_000 + i * 60_000_000 for i in range(4)]
+
+    encodings = {
+        "micros_ntz": pa.array(ts_us, type=pa.timestamp("us")),
+        "micros_utc": pa.array(ts_us, type=pa.timestamp("us", tz="UTC")),
+        "nanos": pa.array([u * 1000 for u in ts_us], type=pa.timestamp("ns")),
+    }
+    for name, ts_arr in encodings.items():
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table({**{k: pa.array(v) for k, v in base.items()}, "ts": ts_arr})
+        pq.write_table(tbl, str(d / "events.parquet"), version="2.6",
+                       coerce_timestamps=None)
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+        got = sorted(
+            r.us for r in df.select(F.unix_micros("ts").alias("us")).collect()
+        )
+        assert got == ts_us, name
+
+        from etl_neptune_spark.plans.timeseries import q_asof_join, q_sessionize
+
+        assert q_asof_join(spark, str(d)).count() == 2
+        assert q_sessionize(spark, str(d)).count() > 0
+
+
 def test_metric_query_plan_batches_and_conditional_catalog(spark):
     """SRC7 adapter: contiguous batches never exceed the service cap,
     and conditional specs produce the per-entity catalog the reference
