@@ -18,7 +18,11 @@ GraphStore:
 3. Non-duplicate (or all, by policy) documents' band keys merge into
    the store for the next batch — first-arrival-wins, idempotent under
    replay because the merge key is (doc, band) and the store publish is
-   stage-then-rename.
+   stage-then-rename. The merge is INCREMENTAL: only the batch's novel
+   (doc, band) keys (anti-join against the store) land in an appended
+   ``delta=<batch>`` partition, so each micro-batch writes O(batch)
+   rows, never O(store); every ``compact_every`` batches the deltas
+   fold into one snapshot to bound the file count.
 
 At 100 TB the band index is the only state: ``bands × 1`` short rows
 per document, hash-partitionable on (band, band_hash), pruned by the
@@ -55,6 +59,7 @@ def flag_neardups_batch(
     num_hashes: int = 12,
     bands: int = 6,
     admit_dups: bool = False,
+    compact_every: int = 16,
 ):
     """``foreachBatch`` body: flag arriving docs that LSH-collide with
     the stored corpus, then merge the admitted docs' band keys into the
@@ -63,6 +68,10 @@ def flag_neardups_batch(
 
     ``admit_dups``: False (default) keeps the store canonical — only
     novel docs index; True indexes everything (audit mode).
+
+    ``compact_every``: fold the band-index delta log into one snapshot
+    every N batches (amortized O(store) housekeeping; the per-batch
+    write itself is always O(batch)).
     """
 
     def apply(batch: DataFrame, batch_id: int) -> None:
@@ -71,7 +80,10 @@ def flag_neardups_batch(
         spark = batch.sparkSession
         keys = batch_band_keys(batch, id_col, text_col, num_hashes, bands)
 
-        existing = store.read(spark, BANDS_TABLE)
+        # delta_before=batch_id: a crash-replay of this batch must not
+        # see its own prior attempt's delta (verdicts and the novel-key
+        # set would drift from the first run otherwise).
+        existing = store.read(spark, BANDS_TABLE, delta_before=batch_id)
         if existing is None:
             existing = spark.createDataFrame([], keys.schema)
 
@@ -109,10 +121,18 @@ def flag_neardups_batch(
                 verdicts.filter(~F.col("is_neardup")).select(id_col), id_col
             )
         )
-        merged = existing.unionByName(admitted).dropDuplicates(
-            [id_col, "band"]
+        # Incremental merge on (doc, band): only keys NOT already in the
+        # index land in this batch's delta — an O(batch) append, never a
+        # rewrite of the store (VERDICT r2 #5). The anti-join scans the
+        # index but shuffles only the (small) batch side; at scale the
+        # delta log is hash-partitioned on (band, band_hash) and the
+        # probe prunes to the batch's buckets.
+        novel = admitted.join(
+            existing.select(id_col, "band"), [id_col, "band"], "left_anti"
         )
-        store.write(merged, BANDS_TABLE, batch_id)
+        store.append_delta(novel, BANDS_TABLE, batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            store.compact(spark, BANDS_TABLE, batch_id)
 
     return apply
 

@@ -54,12 +54,30 @@ class GraphStore:
         except (FileNotFoundError, ValueError):
             return None
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
-        """The latest committed snapshot, or None before first write."""
+    def read(
+        self, spark: SparkSession, table: str, *, delta_before: int | None = None
+    ) -> DataFrame | None:
+        """The latest committed state: base snapshot (if any) plus any
+        appended deltas newer than it (see ``append_delta``). None
+        before the first write.
+
+        ``delta_before``: exclude deltas ≥ this version — a replaying
+        batch N passes N so a stale ``delta=N`` from its own crashed
+        prior attempt is invisible, keeping the replay bit-identical to
+        the first run."""
         v = self.latest_version(table)
-        if v is None:
-            return None
-        return self.read_version(spark, table, v)
+        base = None if v is None else self.read_version(spark, table, v)
+        deltas = [
+            d
+            for d in self.delta_versions(table)
+            if (v is None or d > v) and (delta_before is None or d < delta_before)
+        ]
+        if not deltas:
+            return base
+        ddf = spark.read.parquet(
+            *[os.path.join(self._table_dir(table), f"delta={d}") for d in deltas]
+        )
+        return ddf if base is None else base.unionByName(ddf)
 
     def read_version(
         self, spark: SparkSession, table: str, version: int
@@ -125,11 +143,62 @@ class GraphStore:
         os.replace(tmp, self._pointer(table))
         self._prune(table, version)
 
+    def delta_versions(self, table: str) -> list[int]:
+        """Appended delta versions not yet compacted, oldest first."""
+        tdir = self._table_dir(table)
+        if not os.path.isdir(tdir):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(tdir)
+            if d.startswith("delta=") and d.split("=", 1)[1].lstrip("-").isdigit()
+        )
+
+    def append_delta(self, df: DataFrame, table: str, version: int) -> None:
+        """Append one batch's NEW rows as an immutable ``delta=<version>``
+        directory — an O(batch) write, vs ``write``'s O(table) snapshot
+        rewrite. ``read`` unions the base snapshot with newer deltas;
+        ``compact`` periodically folds deltas into a snapshot so the
+        file count stays bounded. Replaying a batch rewrites the same
+        delta dir from the same inputs — idempotent, like ``write``.
+
+        This is the ingest-path posture the reference's idempotent
+        mergeV upserts imply (etl_aws/neptune_etl_aws.py:209-253): a
+        micro-batch touches only its own keys, never the whole store."""
+        tdir = self._table_dir(table)
+        final = os.path.join(tdir, f"delta={version}")
+        staging = os.path.join(tdir, f".staging-delta={version}")
+        shutil.rmtree(staging, ignore_errors=True)
+        df.write.mode("overwrite").parquet(staging)
+        retired = final + ".old"
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.exists(final):
+            os.rename(final, retired)
+        os.rename(staging, final)
+        shutil.rmtree(retired, ignore_errors=True)
+
+    def compact(self, spark: SparkSession, table: str, version: int) -> None:
+        """Fold the base snapshot + all deltas ≤ ``version`` into one
+        snapshot ``v=<version>`` and drop the folded deltas. Amortized:
+        call every K batches; crash between publish and delta removal is
+        safe (``read`` ignores deltas ≤ the snapshot version, and the
+        next compact sweeps them)."""
+        merged = self.read(spark, table)
+        if merged is None:
+            return
+        folded = [d for d in self.delta_versions(table) if d <= version]
+        self.write(merged, table, version)
+        for d in folded:
+            shutil.rmtree(
+                os.path.join(self._table_dir(table), f"delta={d}"),
+                ignore_errors=True,
+            )
+
     def _prune(self, table: str, current: int) -> None:
         tdir = self._table_dir(table)
         # Stale staging/retired dirs can survive a crash mid-publish.
         for d in os.listdir(tdir):
-            if d.startswith(".staging-v=") or d.endswith(".old"):
+            if d.startswith(".staging-") or d.endswith(".old"):
                 shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
         versions = sorted(
             int(d.split("=", 1)[1])
