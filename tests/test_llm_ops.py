@@ -162,6 +162,37 @@ def test_lsh_buckets_balanced_on_sign_correlated_vectors(spark):
     assert biggest <= 0.5 * 256, f"mega-bucket of {biggest}/256"
 
 
+def test_lsh_bucket_cap_enforced_on_skewed_corpus(spark):
+    """VERDICT r2 #6: a groupBy().applyInPandas bucket must fit one
+    worker's memory. A tightly-clustered corpus (one direction + noise)
+    collapses a small hyperplane family into one mega-bucket; the
+    refinement loop must re-band it under the configured row cap."""
+    import numpy as np
+
+    from etl_neptune_spark.operators.similarity import lsh_topk, refined_sign_buckets
+
+    rng = np.random.default_rng(3)
+    base = rng.uniform(0.5, 1.0, size=16)
+    rows = [
+        (i, [float(x) for x in base + rng.normal(0, 0.35, size=16)])
+        for i in range(1200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cap = 200
+    bucketed = refined_sign_buckets(
+        emb, bits=2, dim=16, max_bucket_rows=cap, split_bits=3
+    )
+    sizes = [r["count"] for r in bucketed.groupBy("bucket").count().collect()]
+    assert max(sizes) <= cap, f"bucket of {max(sizes)} exceeds cap {cap}"
+    assert sum(sizes) == 1200  # refinement never drops or duplicates rows
+
+    # The scorer still produces ranked neighbors under the cap.
+    out = lsh_topk(emb, k=3, bits=2, dim=16, max_bucket_rows=cap)
+    assert out.count() > 0
+    one = out.filter(F.col("rank") == 1).limit(5).collect()
+    assert all(r.query_id != r.neighbor_id for r in one)
+
+
 def test_multimodal_plumbing_schema_and_determinism(spark, sf_dir):
     docs = with_payload(load_table(spark, sf_dir, "documents"))
     meta = decode_image_meta(docs)
