@@ -343,16 +343,14 @@ def simhash16(text: Column) -> Column:
     return F.array_join(bits, "")
 
 
-def simhash_groups(
+def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash, n_same): per-doc signature plus its bucket size —
-    hamming-0 dedup; band the signature for hamming>0 at scale.
+    """(id, simhash): per-doc 16-bit signature as a bit string.
 
     Same vote semantics as ``simhash16``, computed per Arrow batch in
     Python (one md5 per word, 16 hex-digit votes); only the 16-char
-    signature leaves the worker. The bucket-size join stays in Spark
-    (one shuffle on the signature)."""
+    signature leaves the worker."""
 
     def gen(batches):
         md5 = hashlib.md5
@@ -373,8 +371,89 @@ def simhash_groups(
                 {id_col: pd.Series(ids, dtype="int64"), "simhash": sigs}
             )
 
-    sh = _spread(docs.select(id_col, text_col)).mapInPandas(
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} long, simhash string"
     )
+
+
+def simhash_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash, n_same): per-doc signature plus its bucket size —
+    hamming-0 dedup (``simhash_band_pairs`` is the hamming>0 path).
+
+    The bucket-size join stays in Spark (one shuffle on the signature)."""
+    sh = simhash_signatures(docs, id_col, text_col)
     sizes = sh.groupBy("simhash").agg(F.count("*").alias("n_same"))
     return sh.join(sizes, "simhash").select(id_col, "simhash", "n_same")
+
+
+def hamming16(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 16-char bit strings as a flat
+    16-term sum — portable to the DuckDB oracle verbatim, no bit
+    twiddling on string-encoded signatures."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    terms = [
+        F.when(a.substr(p, 1) != b.substr(p, 1), F.lit(1)).otherwise(F.lit(0))
+        for p in range(1, 17)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_band_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 2,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate pairs with signature
+    hamming distance ≤ ``max_hamming``, via banded LSH on the 16-bit
+    SimHash — the hamming>0 scale path ``simhash_groups`` points to.
+
+    The signature splits into ``bands`` equal bit-bands (4×4 by
+    default); candidates are pairs sharing at least one exact band
+    (pigeonhole: a pair within hamming < ``bands`` MUST agree on some
+    band, so for ``max_hamming`` ≤ bands−1 the banding is EXACT, not
+    approximate), verified by the full 16-bit hamming distance. The
+    join is equi on (band index, band bits) — never all-pairs; band
+    buckets behave like the MinHash banding the corpus pipeline already
+    relies on, so the Σdf² hot-bucket caveats and remedies are shared.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded candidate generation is exact only for max_hamming < bands "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    width = 16 // bands
+    sh = simhash_signatures(docs, id_col, text_col)
+    entries = sh.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(bands)])
+        ).alias("band"),
+    ).withColumn(
+        "band_bits", F.expr(f"substring(simhash, band * {width} + 1, {width})")
+    )
+    a = entries.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "band_bits"
+    )
+    b = entries.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "band_bits"
+    )
+    cand = (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming16("sig_a", "sig_b"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -15,6 +15,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_band_pairs,
     simhash_groups,
 )
 from ..operators.similarity import (
@@ -139,11 +140,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_groups(load_table(spark, sf_dir, "documents"))
 
 
-register(
-    "q_dedup_simhash",
-    q_dedup_simhash,
-    """
-    WITH sh AS (
+# Shared with q_simhash_band: the engine-portable 16-bit signature.
+_SIMHASH_SIG_SQL = """
         SELECT doc_id,
                array_to_string(list_transform(range(1, 17), p ->
                    CASE WHEN list_sum(list_transform(string_split(lower(text), ' '),
@@ -152,9 +150,52 @@ register(
                              THEN 1 ELSE -1 END)) > 0
                    THEN '1' ELSE '0' END), '') AS simhash
         FROM documents
-    )
+"""
+
+register(
+    "q_dedup_simhash",
+    q_dedup_simhash,
+    f"""
+    WITH sh AS ({_SIMHASH_SIG_SQL})
     SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same
     FROM sh
+    """,
+)
+
+
+def q_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming≤2 near-dup pairs via 4×4-bit banding — exact by
+    pigeonhole (hamming<4 pairs must share a band), candidates from an
+    equi self-join on (band, band bits), verified by full-signature
+    hamming distance."""
+    return simhash_band_pairs(load_table(spark, sf_dir, "documents"), max_hamming=2)
+
+
+_HAMMING_SQL = " + ".join(
+    f"CASE WHEN substr(sig_a, {p}, 1) <> substr(sig_b, {p}, 1) THEN 1 ELSE 0 END"
+    for p in range(1, 17)
+)
+
+register(
+    "q_simhash_band",
+    q_simhash_band,
+    f"""
+    WITH sh AS ({_SIMHASH_SIG_SQL}),
+    bands AS (
+        SELECT doc_id, simhash, b.band,
+               substr(simhash, b.band * 4 + 1, 4) AS band_bits
+        FROM sh, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sig_a, b.simhash AS sig_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_bits = b.band_bits
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, {_HAMMING_SQL} AS hamming
+    FROM cand
+    WHERE {_HAMMING_SQL} <= 2
     """,
 )
 

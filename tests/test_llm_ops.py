@@ -162,6 +162,39 @@ def test_lsh_buckets_balanced_on_sign_correlated_vectors(spark):
     assert biggest <= 0.5 * 256, f"mega-bucket of {biggest}/256"
 
 
+def test_simhash_band_pairs_exact_vs_brute_force(spark, sf_dir):
+    """Pigeonhole exactness: 4×4-bit banding must recover EVERY pair
+    with hamming ≤ 2 (any pair differing in <4 bits shares a band) —
+    compare against the all-pairs hamming computed from raw signatures."""
+    from etl_neptune_spark.operators.dedup import (
+        hamming16,
+        simhash_band_pairs,
+        simhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_band_pairs(docs, max_hamming=2).collect()
+    }
+    sh = simhash_signatures(docs)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    brute = {
+        (r.id_a, r.id_b): r.hamming
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming16("sig_a", "sig_b"))
+        .filter(F.col("hamming") <= 2)
+        .collect()
+    }
+    assert banded == brute
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_band_pairs(docs, max_hamming=4, bands=4)  # not exact → refuse
+
+
 def test_lsh_bucket_cap_enforced_on_skewed_corpus(spark):
     """VERDICT r2 #6: a groupBy().applyInPandas bucket must fit one
     worker's memory. A tightly-clustered corpus (one direction + noise)
