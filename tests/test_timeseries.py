@@ -170,3 +170,30 @@ def test_connected_components_clusters_and_convergence(spark):
 
     got = {r.vertex: r.component for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """Large-star/small-star contraction: a 128-vertex chain (diameter
+    127, the worst case for plain label propagation) must converge in
+    O(log d) alternations — max_iter=10 would fail propagation hard."""
+    from etl_neptune_spark.operators.components import connected_components
+
+    n = 128
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {r.vertex: r.component
+           for r in connected_components(chain, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+    # Reversed ids exercise the greatest/least orientation; two chains
+    # must not merge.
+    two = spark.createDataFrame(
+        [(i + 1, i) for i in range(50)]
+        + [(1000 + i, 1001 + i) for i in range(50)],
+        "src long, dst long",
+    )
+    got2 = {r.vertex: r.component
+            for r in connected_components(two, max_iter=10).collect()}
+    assert all(got2[i] == 0 for i in range(51))
+    assert all(got2[1000 + i] == 1000 for i in range(51))
