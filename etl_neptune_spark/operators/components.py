@@ -27,7 +27,7 @@ recursive CTE computes the same closure exactly, which is how
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -35,11 +35,14 @@ def _large_star(e: DataFrame) -> DataFrame:
     """Large-star: for every vertex u, connect each STRICTLY LARGER
     neighbor v to m = min(N(u) ∪ {u}). Keeps every component connected
     (each emitted edge stays within the component) while hanging deep
-    branches directly off local minima."""
+    branches directly off local minima.
+
+    The per-vertex minimum is a window aggregate over the symmetrized
+    edges — ONE shuffle on the vertex, no groupBy+join round trip."""
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    m = F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
     return (
-        sym.join(mins, "a")
+        sym.withColumn("m", m)
         .filter(F.col("b") > F.col("a"))
         # m ≤ a < b, so (b, m) is never a self loop.
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
@@ -51,7 +54,8 @@ def _small_star(e: DataFrame) -> DataFrame:
     """Small-star: orient every edge (larger → smaller); for every
     vertex u, connect u and all its (smaller) neighbors to
     m = min(N(u) ∪ {u}) = min(N(u)). Contracts the shallow fringe that
-    large-star leaves behind."""
+    large-star leaves behind. Same one-window-shuffle shape as
+    large-star."""
     d = (
         e.select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
@@ -59,9 +63,10 @@ def _small_star(e: DataFrame) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    mins = d.groupBy("a").agg(F.min("b").alias("m"))
-    nbr_edges = d.join(mins, "a").select(F.col("b").alias("a"), F.col("m").alias("b"))
-    self_edges = mins.select(F.col("a"), F.col("m").alias("b"))
+    w = Window.partitionBy("a")
+    dm = d.withColumn("m", F.min("b").over(w))
+    nbr_edges = dm.select(F.col("b").alias("a"), F.col("m").alias("b"))
+    self_edges = dm.select("a", F.col("m").alias("b"))
     return (
         nbr_edges.unionByName(self_edges)
         .filter(F.col("a") != F.col("b"))
@@ -69,39 +74,82 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _union_find(edge_rows, vert_rows) -> list[tuple]:
+    """Driver-side union-find with path compression — the finishing
+    move once the (contracted) graph fits the driver cap."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the component label is the min vertex id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(v, find(v)) for v in vert_rows]
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    driver_cap: int = 100_000,
 ) -> DataFrame:
     """(vertex, component) for every vertex incident to an edge, where
     ``component`` is the minimum vertex id in its connected component.
 
-    Alternates large-star/small-star until the edge set is a star
-    forest (fixpoint — detected by an order-insensitive edge-set
-    digest, one tiny action per round); raises if ``max_iter`` rounds
-    do not converge. O(log d) rounds on any graph shape, including the
-    chain graphs that defeat plain propagation.
+    Two regimes:
+
+    - **Above ``driver_cap`` edges**: alternating large-star/small-star
+      contraction until the edge set is a star forest (fixpoint —
+      detected by an order-insensitive edge-set digest, one tiny action
+      per round); raises if ``max_iter`` rounds do not converge.
+      O(log d) rounds on any graph shape, including the chain graphs
+      that defeat plain propagation.
+    - **At or below the cap**: one driver-side union-find pass. A
+      near-dup pair graph is tiny relative to its corpus, and each
+      contraction round shrinks the edge set monotonically, so this is
+      a BOUNDED driver action (≤ cap short rows — the same posture as
+      the k-means training sample in operators.similarity), not a
+      collect-the-data anti-pattern; it replaces several whole-cluster
+      job launches with microseconds of driver work. Set
+      ``driver_cap=0`` to force the fully distributed path.
     """
-    verts = (
-        edges.select(F.col(src).alias("vertex"))
-        .unionByName(edges.select(F.col(dst).alias("vertex")))
-        .distinct()
-        .persist()
-    )
-    # Each star round references `e` several times (symmetrize + two
-    # joins), so lineage grows GEOMETRICALLY round over round — without
-    # truncation the analyzer itself OOMs after ~10 rounds. Eager
-    # localCheckpoint cuts the plan at every round boundary (the
-    # standard iterative-graph recipe; a production cluster would use a
-    # reliable checkpoint dir to also survive executor loss).
-    e = (
+    # ONE eager checkpoint of the canonicalized input: the edge frame's
+    # lineage is often expensive (a similarity join), and both the
+    # vertex universe and the contraction loop read it — checkpointing
+    # first guarantees that lineage runs exactly once. Self loops are
+    # kept here (a self-loop-only vertex is still incident to an edge)
+    # and dropped from the contraction input below.
+    raw = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("a"),
             F.least(F.col(src), F.col(dst)).alias("b"),
         )
-        .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )
+    verts = (
+        raw.select(F.col("a").alias("vertex"))
+        .unionByName(raw.select(F.col("b").alias("vertex")))
+        .distinct()
+    )
+    # Each star round references `e` several times (symmetrize + the
+    # window), so lineage grows GEOMETRICALLY round over round — without
+    # truncation the analyzer itself OOMs after ~10 rounds. Lazy
+    # localCheckpoint cuts the plan at every round boundary and is
+    # materialized BY the digest action, one job per round (the standard
+    # iterative-graph recipe; a production cluster would use a reliable
+    # checkpoint dir to also survive executor loss).
+    e = raw.filter(F.col("a") != F.col("b"))
 
     def digest(df: DataFrame):
         # Order-insensitive fixpoint fingerprint: (n, XOR xxhash64(a,b))
@@ -116,21 +164,31 @@ def connected_components(
         return (row["n"], row["h"])
 
     prev = digest(e)
+    converged = False
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        cur = digest(e)
+        if prev[0] <= driver_cap:
+            # Bounded driver finish: the contracted graph fits the cap.
+            spark = edges.sparkSession
+            edge_rows = [(r["a"], r["b"]) for r in e.collect()]
+            vert_rows = [r["vertex"] for r in verts.collect()]
+            vt = verts.schema[0].dataType.simpleString()
+            return spark.createDataFrame(
+                _union_find(edge_rows, vert_rows),
+                schema=f"vertex {vt}, component {vt}",
+            )
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        cur = digest(e)  # this action materializes the checkpoint
         if cur == prev:
+            converged = True
             break
         prev = cur
-    else:
-        verts.unpersist()
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
 
     # Star forest: every non-root has exactly one edge (v → root); the
-    # root itself has none → component = self. `verts` and `e` stay
-    # cached — they back this lazy result.
+    # root itself has none → component = self.
     return verts.join(
         e.select(F.col("a").alias("vertex"), F.col("b").alias("component")),
         "vertex",

@@ -353,18 +353,32 @@ def simhash_signatures(
     signature leaves the worker."""
 
     def gen(batches):
+        import numpy as np
+        from collections import Counter
+
         md5 = hashlib.md5
         odd = set(HEX_ODD)
+        # Word → ±1 vote vector memo: corpus vocabulary is tiny next to
+        # total word count, so this drops md5 work by orders of
+        # magnitude; Counter folds repeated words into one scaled add.
+        memo: dict = {}
         for pdf in batches:
             ids, sigs = [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 if t is None:
                     continue
-                votes = [0] * 16
-                for w in t.lower().split(" "):
-                    h = md5(w.encode()).hexdigest()
-                    for p in range(16):
-                        votes[p] += 1 if h[p] in odd else -1
+                votes = np.zeros(16, dtype=np.int64)
+                for w, n in Counter(t.lower().split(" ")).items():
+                    v = memo.get(w)
+                    if v is None:
+                        h = md5(w.encode()).hexdigest()
+                        v = np.array(
+                            [1 if h[p] in odd else -1 for p in range(16)],
+                            dtype=np.int64,
+                        )
+                        if len(memo) < 2_000_000:  # bound worker memory
+                            memo[w] = v
+                    votes += n * v
                 ids.append(i)
                 sigs.append("".join("1" if v > 0 else "0" for v in votes))
             yield pd.DataFrame(
@@ -430,30 +444,53 @@ def simhash_band_pairs(
             f"(got max_hamming={max_hamming}, bands={bands})"
         )
     width = 16 // bands
-    sh = simhash_signatures(docs, id_col, text_col)
-    entries = sh.select(
-        F.col(id_col).alias("id"),
+    sh = simhash_signatures(docs, id_col, text_col).persist()
+
+    # All band/hamming work runs on DISTINCT signatures — bounded by
+    # 2^16 corpus-wide, so the quadratic-ish candidate step has a
+    # CONSTANT ceiling no matter the corpus size; doc-level fan-out
+    # happens only at the end, via two equi-joins on the signature.
+    usig = sh.select("simhash").distinct()
+    entries = usig.select(
         "simhash",
-        F.explode(
-            F.array(*[F.lit(b) for b in range(bands)])
-        ).alias("band"),
+        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
     ).withColumn(
         "band_bits", F.expr(f"substring(simhash, band * {width} + 1, {width})")
     )
-    a = entries.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "band_bits"
-    )
-    b = entries.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "band_bits"
-    )
-    cand = (
+    a = entries.select(F.col("simhash").alias("sig_a"), "band", "band_bits")
+    b = entries.select(F.col("simhash").alias("sig_b"), "band", "band_bits")
+    sig_pairs = (
         a.join(b, ["band", "band_bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("hamming", hamming16("sig_a", "sig_b"))
+        .filter(F.col("sig_a") < F.col("sig_b"))
+        .select("sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", hamming16("sig_a", "sig_b"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+
+    # Cross-signature doc pairs: each qualifying signature pair fans
+    # out to its member docs (a doc has exactly one signature, so no
+    # pair is emitted twice); normalize id order after the fan-out.
+    ma = sh.select(F.col("simhash").alias("sig_a"), F.col(id_col).alias("ida"))
+    mb = sh.select(F.col("simhash").alias("sig_b"), F.col(id_col).alias("idb"))
+    cross = (
+        sig_pairs.join(ma, "sig_a")
+        .join(mb, "sig_b")
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    # Same-signature doc pairs are hamming 0 by construction.
+    same = (
+        sh.select("simhash", F.col(id_col).alias("ida"))
+        .join(sh.select("simhash", F.col(id_col).alias("idb")), "simhash")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.col("ida").alias("id_a"),
+            F.col("idb").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)

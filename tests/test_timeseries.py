@@ -183,7 +183,7 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
     got = {r.vertex: r.component
-           for r in connected_components(chain, max_iter=10).collect()}
+           for r in connected_components(chain, max_iter=10, driver_cap=0).collect()}
     assert got == {i: 0 for i in range(n)}
 
     # Reversed ids exercise the greatest/least orientation; two chains
@@ -194,6 +194,11 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
         "src long, dst long",
     )
     got2 = {r.vertex: r.component
-            for r in connected_components(two, max_iter=10).collect()}
+            for r in connected_components(two, max_iter=10, driver_cap=0).collect()}
     assert all(got2[i] == 0 for i in range(51))
     assert all(got2[1000 + i] == 1000 for i in range(51))
+
+    # Driver union-find regime (the default for sub-cap graphs) must
+    # produce the identical labeling.
+    got3 = {r.vertex: r.component for r in connected_components(two).collect()}
+    assert got3 == got2
