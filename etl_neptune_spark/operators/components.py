@@ -74,6 +74,66 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    reset: float = 0.15,
+) -> DataFrame:
+    """(vertex, rank) after a FIXED number of power iterations of the
+    GraphX-style PageRank recurrence (reset-probability formulation, no
+    dangling-mass redistribution):
+
+        rank_0(v) = 1.0
+        rank_{t+1}(v) = reset + (1-reset) · Σ_{(u,v)∈E} rank_t(u)/outdeg(u)
+
+    Fixed ``iters`` (not convergence-tested) keeps the result exactly
+    reproducible in any engine — the DuckDB recursive-CTE oracle runs
+    the same recurrence (q_pagerank certifies values to 4 dp).
+
+    Plan: the weighted edge list (w = 1/outdeg, plus zero-weight self
+    edges so rank-source-only vertices persist through the join+agg) is
+    checkpointed ONCE; each iteration is one equi-join of the rank
+    frame into it plus one keyed sum — the canonical Pregel shuffle
+    shape, linear per iteration, skew handled by AQE. Rank frames stay
+    O(|V|); nothing collects to the driver.
+    """
+    raw = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = raw.groupBy("u").agg(F.count("*").alias("d"))
+    verts = (
+        raw.select(F.col("u").alias("x"))
+        .unionByName(raw.select(F.col("v").alias("x")))
+        .distinct()
+    )
+    weighted = raw.join(deg, "u").select(
+        "u", "v", (F.lit(1.0) / F.col("d")).alias("w")
+    )
+    # Zero-weight self edges keep every vertex present in each
+    # iteration's aggregate (its sum contribution is 0 → rank = reset
+    # when it has no real in-edges).
+    e2 = weighted.unionByName(
+        verts.select(F.col("x").alias("u"), F.col("x").alias("v"), F.lit(0.0).alias("w"))
+    ).localCheckpoint()
+
+    ranks = verts.select(F.col("x").alias("u"), F.lit(1.0).alias("r"))
+    for _ in range(iters):
+        ranks = (
+            e2.join(ranks, "u")
+            .groupBy("v")
+            .agg(
+                (F.lit(reset) + F.lit(1.0 - reset) * F.sum(F.col("r") * F.col("w"))).alias("r")
+            )
+            .select(F.col("v").alias("u"), "r")
+        )
+    return ranks.select(F.col("u").alias("vertex"), F.round("r", 4).alias("rank"))
+
+
 def _union_find(edge_rows, vert_rows) -> list[tuple]:
     """Driver-side union-find with path compression — the finishing
     move once the (contracted) graph fits the driver cap."""

@@ -45,20 +45,37 @@ def asof_join(
     right_ts: str,
     payload: list[str],
     right_order: str | None = None,
+    direction: str = "backward",
+    tolerance_sec: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right payload with
-    ``right.ts <= left.ts`` on the same key (backward as-of, left outer:
-    unmatched left rows keep null payload).
+    """For each left row, attach one right payload row on the same key
+    (left outer: unmatched left rows keep null payload) — pandas
+    ``merge_asof`` semantics, distributed:
+
+    - ``direction='backward'``: latest right with ``r.ts <= l.ts``.
+    - ``direction='forward'``: earliest right with ``r.ts >= l.ts``.
+    - ``direction='nearest'``: whichever of the two is closer in time
+      (ties break backward, like pandas).
+    - ``tolerance_sec``: matches farther than this from the left
+      timestamp are nulled out.
 
     ``right_order`` breaks ties among right rows sharing (key, ts) —
     the greatest value wins; without it, pre-dedupe the right side.
     All left columns are preserved; payload columns are appended.
 
-    The payload is carried forward as ONE struct, not per-column: the
-    matched right row is taken atomically, so a NULL field in the
-    latest right row stays NULL instead of back-filling from an older
-    row (which would fabricate a row that never existed).
+    The payload is carried as ONE struct, not per-column: the matched
+    right row is taken atomically, so a NULL field in the matched row
+    stays NULL instead of back-filling from an older row (which would
+    fabricate a row that never existed).
+
+    Plan shape: tag both sides, union, ONE window sorted by
+    ``(key, ts, side)`` carrying the last (and for forward/nearest the
+    next) non-null payload struct; keep left rows. One shuffle on the
+    join key, linear scan per partition, no row multiplication — the
+    same shape survives a 1000-executor sort-merge at 100 TB.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     l_cols = left.columns
     order_col = right_order or payload[0]
     r = right.select(
@@ -66,7 +83,10 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.col(order_col).alias("__ord"),
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__p"),
+        F.struct(
+            F.col(right_ts).alias("__mts"),
+            *[F.col(c).alias(c) for c in payload],
+        ).alias("__p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
     )
     l = left.select(
@@ -77,17 +97,57 @@ def asof_join(
         F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
         *l_cols,
     )
-    # Right rows sort before left rows at equal ts (<= semantics); among
-    # equal-ts right rows the greatest __ord lands closest to the left row.
-    w = (
+    both = r.unionByName(l)
+    # Backward scan (ascending ts): right rows sort before left rows at
+    # equal ts (<= semantics); among equal-ts right rows the greatest
+    # __ord is seen last, i.e. wins. Forward scan (descending ts): right
+    # rows again before left at equal ts (>= includes equality; __side
+    # ascending), so last-seen = the smallest right ts at or after the
+    # left row, greatest __ord winning among equal-ts rights.
+    w_back = (
         Window.partitionBy("__k")
         .orderBy("__ts", "__side", "__ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = r.unionByName(l).withColumn(
-        "__f", F.last("__p", ignorenulls=True).over(w)
+    w_fwd = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc(), F.col("__ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return filled.filter(F.col("__side") == 1).select(
+    need_back = direction in ("backward", "nearest")
+    need_fwd = direction in ("forward", "nearest")
+    if need_back:
+        both = both.withColumn("__fb", F.last("__p", ignorenulls=True).over(w_back))
+    if need_fwd:
+        both = both.withColumn("__ff", F.last("__p", ignorenulls=True).over(w_fwd))
+
+    out = both.filter(F.col("__side") == 1)
+    lts = F.col("__ts").cast("timestamp")
+
+    def within(match):
+        if tolerance_sec is None:
+            return match
+        gap = F.abs(
+            F.unix_millis(lts) - F.unix_millis(match["__mts"].cast("timestamp"))
+        )
+        return F.when(gap <= tolerance_sec * 1000, match)
+
+    if direction == "backward":
+        chosen = within(F.col("__fb"))
+    elif direction == "forward":
+        chosen = within(F.col("__ff"))
+    else:
+        b, f = within(F.col("__fb")), within(F.col("__ff"))
+        gap_b = F.unix_millis(lts) - F.unix_millis(b["__mts"].cast("timestamp"))
+        gap_f = F.unix_millis(f["__mts"].cast("timestamp")) - F.unix_millis(lts)
+        chosen = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(gap_f < gap_b, f)  # ties (gap_f == gap_b) go backward
+            .otherwise(b)
+        )
+    out = out.withColumn("__f", chosen)
+    return out.select(
         *l_cols, *[F.col("__f")[c].alias(f"r_{c}") for c in payload]
     )
 

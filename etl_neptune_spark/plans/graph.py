@@ -340,3 +340,64 @@ register(
     FROM outs FULL OUTER JOIN ins ON outs.node = ins.node
     """,
 )
+
+
+PR_MOD = 200
+PR_ITERS = 5
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (operators.components.pagerank) over the
+    interaction graph derived from events (user bucket → props.k
+    bucket): 5 fixed power iterations of the GraphX-style recurrence,
+    certified value-exact (4 dp) against DuckDB's recursive-CTE run of
+    the same recurrence."""
+    from ..operators.components import pagerank
+
+    events = load_table(spark, sf_dir, "events")
+    edges = events.select(
+        (F.col("user_id") % PR_MOD).cast("bigint").alias("src"),
+        (F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("bigint") % PR_MOD)
+        .alias("dst"),
+    )
+    return pagerank(edges, iters=PR_ITERS)
+
+
+register(
+    "q_pagerank",
+    q_pagerank,
+    f"""
+    WITH RECURSIVE
+    raw AS (
+        SELECT DISTINCT CAST(user_id % {PR_MOD} AS BIGINT) AS u,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                   % {PR_MOD} AS v
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+              IS NOT NULL
+    ),
+    deg AS (SELECT u, count(*) AS d FROM raw GROUP BY u),
+    verts AS (
+        SELECT DISTINCT x FROM (SELECT u AS x FROM raw UNION SELECT v FROM raw)
+    ),
+    e2 AS (
+        SELECT r.u, r.v, CAST(1.0 AS DOUBLE) / deg.d AS w
+        FROM raw r JOIN deg USING (u)
+        UNION ALL
+        SELECT x, x, CAST(0.0 AS DOUBLE) FROM verts
+    ),
+    pr AS (
+        SELECT x AS u, CAST(1.0 AS DOUBLE) AS r, 0 AS it FROM verts
+        UNION ALL
+        SELECT e2.v AS u,
+               CAST(0.15 AS DOUBLE)
+                   + CAST(0.85 AS DOUBLE) * sum(pr.r * e2.w) AS r,
+               min(pr.it) + 1 AS it
+        FROM pr JOIN e2 ON e2.u = pr.u
+        WHERE pr.it < {PR_ITERS}
+        GROUP BY e2.v
+    )
+    SELECT u AS vertex, round(r, 4) AS rank FROM pr WHERE it = {PR_ITERS}
+    """,
+)

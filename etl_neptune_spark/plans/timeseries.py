@@ -100,6 +100,130 @@ register(
 )
 
 
+def _asof_frames(spark: SparkSession, sf_dir: str):
+    purchases = _typed(spark, sf_dir, "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        _typed(spark, sf_dir, "view")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return purchases, views
+
+
+_ASOF_CTES = """
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id, user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+    ),
+    v1 AS (SELECT event_id, user_id, ts, value FROM v WHERE rn = 1)
+"""
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each purchase picks the
+    EARLIEST view at or after the purchase instant, but only within one
+    day — matches farther out are nulled (pandas merge_asof
+    direction='forward', tolerance semantics)."""
+    purchases, views = _asof_frames(spark, sf_dir)
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        payload=["event_id", "ts", "value"],
+        right_order="event_id",
+        direction="forward",
+        tolerance_sec=86_400,
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "r_event_id",
+        F.unix_millis(F.col("r_ts").cast("timestamp")).alias("r_ts_ms"),
+        "r_value",
+    )
+
+
+register(
+    "q_asof_forward",
+    q_asof_forward,
+    f"""
+    WITH {_ASOF_CTES},
+    j AS (
+        SELECT p.purchase_id, p.user_id, p.purchase_ts,
+               v1.event_id, v1.ts, v1.value,
+               row_number() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY v1.ts ASC, v1.event_id DESC) AS rn
+        FROM p LEFT JOIN v1
+          ON v1.user_id = p.user_id AND v1.ts >= p.purchase_ts
+         AND v1.ts <= p.purchase_ts + INTERVAL 1 DAY
+    )
+    SELECT purchase_id, user_id, purchase_ts,
+           event_id AS r_event_id, epoch_ms(ts) AS r_ts_ms, value AS r_value
+    FROM j WHERE rn = 1
+    """,
+)
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each purchase picks the view closest in time
+    on either side, ties breaking backward (pandas merge_asof
+    direction='nearest')."""
+    purchases, views = _asof_frames(spark, sf_dir)
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        payload=["event_id", "ts", "value"],
+        right_order="event_id",
+        direction="nearest",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "r_event_id",
+        F.unix_millis(F.col("r_ts").cast("timestamp")).alias("r_ts_ms"),
+        "r_value",
+    )
+
+
+register(
+    "q_asof_nearest",
+    q_asof_nearest,
+    f"""
+    WITH {_ASOF_CTES},
+    j AS (
+        SELECT p.purchase_id, p.user_id, p.purchase_ts,
+               v1.event_id, v1.ts, v1.value,
+               row_number() OVER (
+                   PARTITION BY p.purchase_id
+                   ORDER BY abs(epoch_ms(v1.ts) - epoch_ms(p.purchase_ts)) ASC,
+                            (v1.ts > p.purchase_ts) ASC,
+                            v1.event_id DESC) AS rn
+        FROM p LEFT JOIN v1 ON v1.user_id = p.user_id
+    )
+    SELECT purchase_id, user_id, purchase_ts,
+           event_id AS r_event_id, epoch_ms(ts) AS r_ts_ms, value AS r_value
+    FROM j WHERE rn = 1
+    """,
+)
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-interval range join: clicks in the hour strictly before
     each purchase, aggregated per purchase (zero-click purchases kept).

@@ -172,6 +172,52 @@ def test_connected_components_clusters_and_convergence(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_asof_join_directions_and_tolerance(spark):
+    """pandas merge_asof parity: backward/forward/nearest directions
+    plus tolerance nulling, on a hand-checked fixture."""
+    from etl_neptune_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 10:00:00"), (2, "k", "2024-01-01 12:00:00")],
+        "lid long, k string, lts string",
+    ).select("lid", "k", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(10, "k", "2024-01-01 09:00:00", 1.0),
+         (11, "k", "2024-01-01 11:30:00", 2.0),
+         (12, "k", "2024-01-01 18:00:00", 3.0)],
+        "rid long, k string, rts string, val double",
+    ).select("rid", "k", F.col("rts").cast("timestamp").alias("rts"), "val")
+
+    def run(**kw):
+        out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                        payload=["rid", "val"], right_order="rid", **kw)
+        return {r.lid: r.r_rid for r in out.collect()}
+
+    assert run() == {1: 10, 2: 11}                              # backward
+    assert run(direction="forward") == {1: 11, 2: 12}           # forward
+    # nearest: lid1 gap back 1h vs fwd 1.5h → 10; lid2 back 0.5h vs fwd 6h → 11
+    assert run(direction="nearest") == {1: 10, 2: 11}
+    # tolerance 45 min: backward match for lid1 (1h away) nulls out
+    assert run(tolerance_sec=2700) == {1: None, 2: 11}
+    # forward + tolerance 2h: lid2's next view is 6h away → null
+    assert run(direction="forward", tolerance_sec=7200) == {1: 11, 2: None}
+
+
+def test_pagerank_hand_computed(spark):
+    """3-vertex cycle with one chord, 2 iterations, hand-computed:
+    r0=1; r1(1)=.15+.85*1=1.0, r1(2)=.15+.85*.5=.575,
+    r1(3)=.15+.85*1.5=1.425; r2(1)=.15+.85*1.425=1.36125,
+    r2(2)=.575, r2(3)=.15+.85*(.5+.575)=1.06375. (1.36125 is
+    1.361249999… as a double, so 4-dp rounding gives 1.3612.)"""
+    from etl_neptune_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    got = {r.vertex: r.rank for r in pagerank(edges, iters=2).collect()}
+    assert got == {1: 1.3612, 2: 0.575, 3: 1.0638}
+
+
 def test_connected_components_chain_converges_in_log_rounds(spark):
     """Large-star/small-star contraction: a 128-vertex chain (diameter
     127, the worst case for plain label propagation) must converge in
