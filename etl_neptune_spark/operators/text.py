@@ -113,6 +113,39 @@ def token_counts(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style fluency proxy: score each document by the MEAN LOG
+    PROBABILITY of its words under the corpus's own unigram
+    distribution — gibberish and boilerplate-free outliers score low,
+    typical prose scores high. The standard cheap stand-in for a KenLM
+    perplexity gate in a training-data quality pipeline.
+
+    Plan: one word explosion feeding a corpus-frequency hash agg, one
+    equi-join back on the word, one per-doc agg — all keyed, all
+    linear. The corpus word total resolves to a driver literal (one
+    bounded count action, the lookback-anchor pattern) so the log-prob
+    expression is a constant-folded scalar.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    total = words.count()
+    freq = words.groupBy("word").agg(F.count("*").alias("c"))
+    return (
+        words.join(freq, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.lit(float(total)))), 4
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
 ) -> DataFrame:

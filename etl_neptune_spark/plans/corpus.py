@@ -217,3 +217,31 @@ register(
     GROUP BY label, t.range
     """,
 )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency gate: mean log-probability of each document's
+    words under the corpus's own unigram distribution
+    (operators.text.unigram_logprob)."""
+    from ..operators.text import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "q_unigram_logprob",
+    q_unigram_logprob,
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ),
+    w2 AS (SELECT * FROM w WHERE word <> ''),
+    tot AS (SELECT count(*) AS n FROM w2),
+    freq AS (SELECT word, count(*) AS c FROM w2 GROUP BY word)
+    SELECT w2.doc_id, count(*) AS n_words,
+           round(avg(ln(CAST(freq.c AS DOUBLE) / tot.n)), 4) AS avg_logprob
+    FROM w2 JOIN freq USING (word), tot
+    GROUP BY w2.doc_id
+    """,
+)

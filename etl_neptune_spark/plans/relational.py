@@ -1103,3 +1103,94 @@ register(
     WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
     """,
 )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the response-duration distribution:
+    50-unit buckets with count and decimal-exact bucket mass — the
+    profiling primitive behind latency heatmaps. One hash agg on the
+    bucket key; the bucket expression is codegen'd arithmetic, so the
+    scan stays a single pass."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(50.0)).cast("long")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            dec_sum("value").alias("mass"),
+        )
+        .withColumn("lo", (F.col("bucket") * 50).cast("double"))
+        .withColumn("hi", ((F.col("bucket") + 1) * 50).cast("double"))
+        .select("bucket", "lo", "hi", "n", "mass")
+    )
+
+
+register(
+    "q_histogram",
+    q_histogram,
+    """
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           CAST(CAST(floor(value / 50.0) AS BIGINT) * 50 AS DOUBLE) AS lo,
+           CAST((CAST(floor(value / 50.0) AS BIGINT) + 1) * 50 AS DOUBLE) AS hi,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS mass
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over the orders snapshot: per column — row
+    count, null count, exact distinct count, min and max (rendered as
+    strings so one result schema covers all column types). The
+    data-quality first-look every pipeline run wants; each column's
+    stats are one aggregate over a shared scan, unioned — Spark
+    executes them as parallel aggregates over one exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def col_stats(c: str) -> DataFrame:
+        return orders.agg(
+            F.lit(c).alias("column"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            F.min(F.col(c)).cast("string").alias("min_val"),
+            F.max(F.col(c)).cast("string").alias("max_val"),
+        )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    out = col_stats(cols[0])
+    for c in cols[1:]:
+        out = out.unionByName(col_stats(c))
+    return out
+
+
+register(
+    "q_profile",
+    q_profile,
+    """
+    SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)

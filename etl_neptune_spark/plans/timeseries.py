@@ -440,3 +440,53 @@ register(
     FROM intervals
     """,
 )
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 5-event trailing moving average and running total of
+    the event value — the rolling-metric window every telemetry
+    dashboard computes. Decimal-summed so the value hash is fold-order
+    independent; one shuffle on the user key, linear window scan."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = F.col("value").cast("decimal(28,2)")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(
+            (F.sum(dec).over(w) / F.count("*").over(w)).cast("double"), 4
+        ).alias("mov_avg_5"),
+        F.sum(dec).over(run).cast("double").alias("running_total"),
+    )
+
+
+register(
+    "q_moving_avg",
+    q_moving_avg,
+    """
+    SELECT event_id, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(28,2)))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                      AS DOUBLE)
+                 / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                 4) AS mov_avg_5,
+           CAST(sum(CAST(value AS DECIMAL(28,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS running_total
+    FROM events
+    """,
+)
