@@ -683,3 +683,48 @@ register(
     SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
     """,
 )
+
+
+BOILER_DF = 10
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate signal (the C4 'remove boilerplate'
+    stage, shingle-space form): per document, the fraction of its
+    distinct 3-gram shingles that are corpus-wide HOT (document
+    frequency > 10) — high fractions mark templated/recrawled content.
+    One shingle explosion feeding a df hash agg and a join back: the
+    same single reused exchange shape as the n-gram index."""
+    from ..operators.dedup import doc_shingles
+
+    sh = doc_shingles(load_table(spark, sf_dir, "documents"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        ex.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count_if(F.col("df") > BOILER_DF).alias("n_boiler"),
+            F.round(
+                F.count_if(F.col("df") > BOILER_DF) / F.count("*"), 4
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+register(
+    "q_boilerplate",
+    q_boilerplate,
+    f"""
+    WITH sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0),
+    dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s)
+    SELECT doc_id, count(*) AS n_shingles,
+           count(*) FILTER (WHERE df > {BOILER_DF}) AS n_boiler,
+           round((count(*) FILTER (WHERE df > {BOILER_DF})) * 1.0 / count(*), 4)
+               AS boiler_frac
+    FROM ex JOIN dfreq USING (s)
+    GROUP BY doc_id
+    """,
+)

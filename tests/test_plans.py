@@ -157,3 +157,33 @@ def test_count_distinct_two_phase(plans):
     assert "HashAggregate" in p
     # only the two needed columns reach the scan
     assert "props" not in p and "value:double" not in p
+
+
+def test_round3_queries_have_clean_shapes(plans):
+    # Round-3 additions keep the core posture: no cartesian products,
+    # no broadcast nested loops, no row-at-a-time Python.
+    for q in ("q_asof_forward", "q_asof_nearest", "q_moving_avg",
+              "q_histogram", "q_simhash_band", "q_unigram_logprob",
+              "q_boilerplate", "q_pagerank"):
+        p = plans(q)
+        assert "CartesianProduct" not in p, q
+        assert "BroadcastNestedLoopJoin" not in p, q
+        assert "BatchEvalPython" not in p, q
+
+
+def test_asof_join_is_single_union_window(plans):
+    # The as-of family must stay the union + one-window plan: exactly
+    # zero joins (a per-key theta join or range explosion would show as
+    # SortMergeJoin/BroadcastHashJoin), windows partitioned by the key
+    # (never a single-partition global window).
+    for q in ("q_asof_join", "q_asof_forward", "q_asof_nearest"):
+        p = plans(q)
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, q
+        assert "SinglePartition" not in p, q
+
+
+def test_histogram_is_single_scan_single_agg(plans):
+    p = plans("q_histogram")
+    assert p.count("FileScan") == 1
+    # partial + final hash aggregate on the bucket key
+    assert p.count("HashAggregate") >= 2
