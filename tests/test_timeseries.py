@@ -203,6 +203,66 @@ def test_asof_join_directions_and_tolerance(spark):
     assert run(direction="forward", tolerance_sec=7200) == {1: 11, 2: None}
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized equivalence against pandas.merge_asof — every
+    direction × tolerance combination must agree exactly on seeded
+    random keyed event data (the right side pre-deduped to one row per
+    (key, ts), as the certified queries do)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_neptune_spark.operators.timeseries import asof_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 60, 80
+    left_pd = pd.DataFrame(
+        {
+            "lid": np.arange(n_l),
+            "k": rng.integers(0, 5, n_l),
+            "lts": pd.to_datetime(rng.integers(0, 10_000, n_l), unit="s"),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_r),
+            "rts": pd.to_datetime(rng.integers(0, 10_000, n_r), unit="s"),
+            "val": rng.normal(size=n_r).round(3),
+        }
+    ).drop_duplicates(subset=["k", "rts"], keep="last")
+
+    left_df = spark.createDataFrame(left_pd)
+    right_df = spark.createDataFrame(right_pd)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 1800):
+            expected = pd.merge_asof(
+                left_pd.sort_values("lts", kind="stable"),
+                right_pd.sort_values("rts", kind="stable"),
+                left_on="lts",
+                right_on="rts",
+                by="k",
+                direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+            )
+            exp = {
+                int(r.lid): None if pd.isna(r.val) else float(r.val)
+                for r in expected.itertuples()
+            }
+            got = asof_join(
+                left_df,
+                right_df,
+                on="k",
+                left_ts="lts",
+                right_ts="rts",
+                payload=["rts", "val"],
+                right_order="val",
+                direction=direction,
+                tolerance_sec=tol,
+            )
+            gm = {int(r.lid): r.r_val for r in got.collect()}
+            assert gm == exp, (direction, tol)
+
+
 def test_pagerank_hand_computed(spark):
     """3-vertex cycle with one chord, 2 iterations, hand-computed:
     r0=1; r1(1)=.15+.85*1=1.0, r1(2)=.15+.85*.5=.575,
