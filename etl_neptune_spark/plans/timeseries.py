@@ -490,3 +490,115 @@ register(
     FROM events
     """,
 )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase): per user, the
+    first view, the first click AT OR AFTER that view, and the first
+    purchase AT OR AFTER that click; output is the per-step distinct
+    user count — the conversion funnel every event-analytics store
+    computes. Three keyed aggregates chained by broadcast-size joins on
+    the user key; no step ever re-scans more than its own event type."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    steps = (
+        v.agg(F.lit(1).alias("step"), F.lit("view").alias("event_type"),
+              F.count("*").cast("long").alias("users"))
+        .unionByName(
+            c.agg(F.lit(2).alias("step"), F.lit("click").alias("event_type"),
+                  F.count("*").cast("long").alias("users")))
+        .unionByName(
+            p.agg(F.lit(3).alias("step"), F.lit("purchase").alias("event_type"),
+                  F.count("*").cast("long").alias("users")))
+    )
+    return steps
+
+
+register(
+    "q_funnel",
+    q_funnel,
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS event_type, count(*) AS users FROM v
+    UNION ALL
+    SELECT 2, 'click', count(*) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', count(*) FROM p
+    """,
+)
+
+
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event; for each (cohort week, whole-week offset) the distinct
+    users active in that week — the retention triangle. Two keyed
+    aggregates and one join on the user key."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        events.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(
+                (F.unix_millis(F.date_trunc("week", F.col("ts")).cast("timestamp"))
+                 - F.unix_millis(F.col("cohort_week").cast("timestamp")))
+                / F.lit(604_800_000)
+            ).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+register(
+    "q_cohort",
+    q_cohort,
+    """
+    WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(floor((epoch_ms(date_trunc('week', e.ts))
+                       - epoch_ms(f.cohort_week)) / 604800000.0) AS BIGINT)
+               AS week_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
