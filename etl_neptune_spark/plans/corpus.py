@@ -245,3 +245,50 @@ register(
     GROUP BY w2.doc_id
     """,
 )
+
+
+SAMPLE_WEIGHTED_K = 100
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sampling without replacement
+    (Efraimidis–Spirakis A-Res): each doc draws u from md5(doc_id) (a
+    seedless uniform both engines reproduce bit-for-bit) and keeps key
+    u^(1/w) with w = text length; the k largest keys are the sample —
+    longer docs proportionally likelier, exactly the quality- or
+    length-weighted subsampling a training-data mix needs. The top-k is
+    orderBy+limit, so Spark plans TakeOrderedAndProject (distributed
+    partial top-k, no single-partition window); keys are rounded to
+    10 dp so libm pow ulp differences can't flip the ranking across
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = F.length("text").cast("double")
+    key = F.round(F.pow((h + F.lit(1)) / F.lit(4294967297.0), F.lit(1.0) / w), 10)
+    return (
+        docs.select(
+            "doc_id", w.alias("weight"), key.alias("skey")
+        )
+        .orderBy(F.desc("skey"), "doc_id")
+        .limit(SAMPLE_WEIGHTED_K)
+    )
+
+
+register(
+    "q_sample_weighted",
+    q_sample_weighted,
+    f"""
+    WITH s AS (
+        SELECT doc_id, CAST(length(text) AS DOUBLE) AS weight,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS UBIGINT) + 1) / 4294967297.0 AS u
+        FROM documents
+    )
+    SELECT doc_id, weight, round(pow(u, 1.0 / weight), 10) AS skey
+    FROM s
+    ORDER BY skey DESC, doc_id
+    LIMIT {SAMPLE_WEIGHTED_K}
+    """,
+)
