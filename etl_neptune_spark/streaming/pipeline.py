@@ -107,6 +107,45 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
 
 
+def attribution_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_sec: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase pairs with the same
+    user's clicks in the preceding ``window_sec`` — the streaming form
+    of ``operators.timeseries.bucketed_range_join``'s attribution
+    query. Both sides carry event-time watermarks and the join
+    condition bounds the click's age relative to the purchase, so
+    Spark's state store retains each side only within the watermark +
+    interval horizon (state is O(rate × horizon), not O(stream)).
+    Works identically on batch frames (watermarks are no-ops there),
+    which is how the test certifies stream-batch equivalence.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"c_user = p_user AND c_ts >= p_ts - INTERVAL {window_sec} SECONDS "
+            "AND c_ts < p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "c_ts", "c_value")
+
+
 def windowed_flow_metrics(
     flows: DataFrame,
     window: str = "5 minutes",

@@ -342,6 +342,51 @@ def test_store_label_partitioning_prunes(spark, events, tmp_path):
     assert one.count() == 2
 
 
+def test_stream_stream_attribution_join_matches_batch(spark, events, tmp_path):
+    """Stream-stream interval join (watermarked both sides) must produce
+    exactly the batch interval-join result on the same data — including
+    pairs whose click and purchase arrive in DIFFERENT micro-batches."""
+    from etl_neptune_spark.streaming.pipeline import attribution_stream
+
+    typed = events.select("event_id", "user_id", "ts", "value", "event_type")
+    clicks_b = typed.filter(F.col("event_type") == "click")
+    purch_b = typed.filter(F.col("event_type") == "purchase")
+
+    # Batch reference: the same operator on batch frames.
+    expected = sorted(
+        (r.purchase_id, r.c_ts, r.c_value)
+        for r in attribution_stream(clicks_b, purch_b).collect()
+    )
+    assert len(expected) > 0
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    os.makedirs(cdir), os.makedirs(pdir)
+    # Interleave arrivals so many joins span micro-batch boundaries.
+    _add_flat_batch(clicks_b.filter(F.col("event_id") % 2 == 0), cdir, "c0")
+    _add_flat_batch(purch_b.filter(F.col("event_id") % 2 == 1), pdir, "p0")
+    _add_flat_batch(clicks_b.filter(F.col("event_id") % 2 == 1), cdir, "c1")
+    _add_flat_batch(purch_b.filter(F.col("event_id") % 2 == 0), pdir, "p1")
+
+    schema = "event_id long, user_id long, ts timestamp, value double, event_type string"
+    cs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(cdir)
+    ps = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(pdir)
+    out = attribution_stream(cs, ps)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.purchase_id, r.c_ts, r.c_value)
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    )
+    assert got == expected
+
+
 def test_neardup_stream_flags_cross_batch_collisions(spark, tmp_path):
     """Streaming near-dup: a doc arriving in batch 2 that minhash-collides
     with a batch-1 doc is flagged; novel docs are not, and only novel
