@@ -17,7 +17,6 @@ OPTIMIZATION-CHANGELOG.md:44, is the natural Spark plan).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

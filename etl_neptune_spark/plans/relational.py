@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import dec_avg, dec_sum, ipv4_to_string, split_part
+from ..functions import dec_sum, ipv4_to_string, split_part
 from ..sources import load_events_lookback, load_table
 from .registry import register
 
