@@ -1,0 +1,95 @@
+"""Physical-plan audit over the whole query registry.
+
+Dumps ``explain(formatted)`` for every ``queries()`` entry and flags the
+scale anti-patterns the 100 TB posture forbids:
+
+- ``CartesianProduct`` / unexpected ``BroadcastNestedLoopJoin`` — a
+  quadratic join slipped past the equi-join design (the one sanctioned
+  BNLJ is q_join_theta's ≤8-row literal build side).
+- ``SinglePartition`` windows — a global window serializes the stage.
+- ``BatchEvalPython`` — row-at-a-time Python in a hot path (Arrow
+  ``ArrowEvalPython``/``mapInPandas`` are the sanctioned Python paths).
+- Scans with no pushed filters on queries that filter (informational).
+
+Usage: ``python tools/audit_plans.py [sf_dir]`` → prints a per-query
+table and writes ``PLAN_AUDIT.md``; exits 1 if any hard anti-pattern
+appears outside the allowlist.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+# Sanctioned exceptions, each with the reason the pattern is fine there.
+ALLOW = {
+    "q_join_theta": {"BroadcastNestedLoopJoin"},  # ≤8-row literal build side
+    # driver-cap union-find path materializes a local result: no
+    # distributed plan survives to audit, so these markers never appear;
+    # entry kept for documentation.
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as e
+    from etl_neptune_spark.session import get_spark
+
+    spark = get_spark("audit_plans")
+    queries = e.queries()
+
+    hard = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+    soft = ("SinglePartition",)
+    rows, failures = [], []
+    for name, fn in sorted(queries.items()):
+        try:
+            df = fn(spark, sf_dir)
+            qe = df._jdf.queryExecution()
+            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+            plan = qe.explainString(mode) + "\n" + qe.executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            rows.append((name, f"ERROR {type(exc).__name__}"))
+            failures.append(name)
+            continue
+        flags = [m for m in hard + soft if m in plan]
+        bad = [m for m in flags if m in hard and m not in ALLOW.get(name, set())]
+        if bad:
+            failures.append(name)
+        note_bits = []
+        if flags:
+            note_bits.append(",".join(flags))
+        pushed = [
+            seg.split("]", 1)[0]
+            for seg in plan.split("PushedFilters: [")[1:]
+        ]
+        if any(p.strip() for p in pushed):
+            note_bits.append("pushdown")
+        if "WholeStageCodegen" in plan or "*(" in plan:
+            note_bits.append("codegen")
+        rows.append((name, " ".join(note_bits) or "clean"))
+
+    lines = [
+        "# Plan audit",
+        "",
+        f"{len(rows)} queries audited at `{sf_dir}`; "
+        f"{len(failures)} with hard anti-patterns.",
+        "",
+        "| query | plan markers |",
+        "|---|---|",
+    ]
+    for name, note in rows:
+        marker = " **<-- FAIL**" if name in failures else ""
+        lines.append(f"| {name} | {note}{marker} |")
+    out = "\n".join(lines) + "\n"
+    with open("PLAN_AUDIT.md", "w") as f:
+        f.write(out)
+    print(out)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
