@@ -183,33 +183,22 @@ def connected_components(
       job launches with microseconds of driver work. Set
       ``driver_cap=0`` to force the fully distributed path.
     """
-    # ONE eager checkpoint of the canonicalized input: the edge frame's
-    # lineage is often expensive (a similarity join), and both the
-    # vertex universe and the contraction loop read it — checkpointing
-    # first guarantees that lineage runs exactly once. Self loops are
-    # kept here (a self-loop-only vertex is still incident to an edge)
-    # and dropped from the contraction input below.
+    # Persist the canonicalized input: the edge frame's lineage is often
+    # expensive (a similarity join); the digest action below materializes
+    # the cache in the same job, so that lineage runs exactly once. Self
+    # loops are kept here (a self-loop-only vertex is still incident to
+    # an edge) and dropped from the contraction input below.
+    spark = edges.sparkSession
     raw = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("a"),
             F.least(F.col(src), F.col(dst)).alias("b"),
         )
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
-    verts = (
-        raw.select(F.col("a").alias("vertex"))
-        .unionByName(raw.select(F.col("b").alias("vertex")))
-        .distinct()
-    )
-    # Each star round references `e` several times (symmetrize + the
-    # window), so lineage grows GEOMETRICALLY round over round — without
-    # truncation the analyzer itself OOMs after ~10 rounds. Lazy
-    # localCheckpoint cuts the plan at every round boundary and is
-    # materialized BY the digest action, one job per round (the standard
-    # iterative-graph recipe; a production cluster would use a reliable
-    # checkpoint dir to also survive executor loss).
     e = raw.filter(F.col("a") != F.col("b"))
+    vt = raw.schema[0].dataType.simpleString()
 
     def digest(df: DataFrame):
         # Order-insensitive fixpoint fingerprint: (n, XOR xxhash64(a,b))
@@ -224,24 +213,48 @@ def connected_components(
         return (row["n"], row["h"])
 
     prev = digest(e)
+    if prev[0] <= driver_cap:
+        # Common case, minimal jobs: one cached scan hands the whole
+        # (tiny) pair graph to the driver; vertex set derives in Python.
+        rows = [(r["a"], r["b"]) for r in raw.collect()]
+        raw.unpersist()
+        vert_rows = sorted({x for ab in rows for x in ab})
+        edge_rows = [ab for ab in rows if ab[0] != ab[1]]
+        return spark.createDataFrame(
+            _union_find(edge_rows, vert_rows),
+            schema=f"vertex {vt}, component {vt}",
+        )
+
+    verts = (
+        raw.select(F.col("a").alias("vertex"))
+        .unionByName(raw.select(F.col("b").alias("vertex")))
+        .distinct()
+    )
+    # Each star round references `e` several times (symmetrize + the
+    # window), so lineage grows GEOMETRICALLY round over round — without
+    # truncation the analyzer itself OOMs after ~10 rounds. Lazy
+    # localCheckpoint cuts the plan at every round boundary and is
+    # materialized BY the digest action, one job per round (the standard
+    # iterative-graph recipe; a production cluster would use a reliable
+    # checkpoint dir to also survive executor loss).
     converged = False
     for _ in range(max_iter):
-        if prev[0] <= driver_cap:
-            # Bounded driver finish: the contracted graph fits the cap.
-            spark = edges.sparkSession
-            edge_rows = [(r["a"], r["b"]) for r in e.collect()]
-            vert_rows = [r["vertex"] for r in verts.collect()]
-            vt = verts.schema[0].dataType.simpleString()
-            return spark.createDataFrame(
-                _union_find(edge_rows, vert_rows),
-                schema=f"vertex {vt}, component {vt}",
-            )
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = digest(e)  # this action materializes the checkpoint
         if cur == prev:
             converged = True
             break
         prev = cur
+        if cur[0] <= driver_cap:
+            # Contraction shrank the graph under the cap: finish on the
+            # driver (verts must come from the ORIGINAL graph — the
+            # contracted edge set no longer names every vertex).
+            edge_rows = [(r["a"], r["b"]) for r in e.collect()]
+            vert_rows = [r["vertex"] for r in verts.collect()]
+            return spark.createDataFrame(
+                _union_find(edge_rows, vert_rows),
+                schema=f"vertex {vt}, component {vt}",
+            )
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
