@@ -423,50 +423,73 @@ def simhash_band_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 2,
-    bands: int = 4,
+    bands: int = 4,  # retained for API compat; enumeration needs no bands
 ) -> DataFrame:
-    """(id_a, id_b, hamming): near-duplicate pairs with signature
-    hamming distance ≤ ``max_hamming``, via banded LSH on the 16-bit
-    SimHash — the hamming>0 scale path ``simhash_groups`` points to.
-
-    The signature splits into ``bands`` equal bit-bands (4×4 by
-    default); candidates are pairs sharing at least one exact band
-    (pigeonhole: a pair within hamming < ``bands`` MUST agree on some
-    band, so for ``max_hamming`` ≤ bands−1 the banding is EXACT, not
-    approximate), verified by the full 16-bit hamming distance. The
-    join is equi on (band index, band bits) — never all-pairs; band
-    buckets behave like the MinHash banding the corpus pipeline already
-    relies on, so the Σdf² hot-bucket caveats and remedies are shared.
+    """(id_a, id_b, hamming): EXACT near-duplicate pairs with signature
+    hamming distance ≤ ``max_hamming`` — the hamming>0 scale path
+    ``simhash_groups`` points to. Candidate generation is mask
+    enumeration over DISTINCT signatures (see inline comment); at a
+    64-bit signature width banding would return as the pruning step,
+    which is why the banded name stays.
     """
-    if max_hamming >= bands:
+    if max_hamming > 3:
         raise ValueError(
-            f"banded candidate generation is exact only for max_hamming < bands "
-            f"(got max_hamming={max_hamming}, bands={bands})"
+            f"mask enumeration is bounded only for max_hamming <= 3 "
+            f"(C(16,h) masks per signature; got max_hamming={max_hamming})"
         )
-    width = 16 // bands
     sh = simhash_signatures(docs, id_col, text_col).persist()
 
-    # All band/hamming work runs on DISTINCT signatures — bounded by
-    # 2^16 corpus-wide, so the quadratic-ish candidate step has a
-    # CONSTANT ceiling no matter the corpus size; doc-level fan-out
-    # happens only at the end, via two equi-joins on the signature.
+    # All hamming work runs on DISTINCT signatures — bounded by 2^16
+    # corpus-wide, so the candidate step has a CONSTANT ceiling no
+    # matter the corpus size; doc-level fan-out happens only at the
+    # end, via two equi-joins on the signature.
+    #
+    # Candidates come from exact MASK ENUMERATION, not banding: each
+    # distinct signature emits every signature within ``max_hamming``
+    # bit flips (Σ C(16,h) ≤ 697 masks), and a plain identity
+    # equi-join against the signature list finds exactly the true
+    # pairs — each once, since the flip mask IS the pair's XOR — with
+    # the hamming distance known at generation. Banding on 4-bit bands
+    # prunes almost nothing at this signature width (40% of all
+    # signature pairs share a band at sf0.1); enumeration replaces a
+    # near-quadratic candidate set + verify with output-sized work.
     usig = sh.select("simhash").distinct()
-    entries = usig.select(
-        "simhash",
-        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
-    ).withColumn(
-        "band_bits", F.expr(f"substring(simhash, band * {width} + 1, {width})")
+
+    def enumerate_flips(batches):
+        def flip(s: str, i: int) -> str:
+            return s[:i] + ("1" if s[i] == "0" else "0") + s[i + 1 :]
+
+        for pdf in batches:
+            sig, flipped, ham = [], [], []
+            for s in pdf["simhash"] if max_hamming >= 1 else ():
+                for i in range(16):
+                    f1 = flip(s, i)
+                    sig.append(s)
+                    flipped.append(f1)
+                    ham.append(1)
+                    if max_hamming >= 2:
+                        for j in range(i + 1, 16):
+                            f2 = flip(f1, j)
+                            sig.append(s)
+                            flipped.append(f2)
+                            ham.append(2)
+                            if max_hamming >= 3:
+                                for k in range(j + 1, 16):
+                                    sig.append(s)
+                                    flipped.append(flip(f2, k))
+                                    ham.append(3)
+            yield pd.DataFrame(
+                {"sig_a": sig, "sig_b": flipped, "hamming": ham}
+            )
+
+    flips = usig.mapInPandas(
+        enumerate_flips, schema="sig_a string, sig_b string, hamming int"
     )
-    a = entries.select(F.col("simhash").alias("sig_a"), "band", "band_bits")
-    b = entries.select(F.col("simhash").alias("sig_b"), "band", "band_bits")
-    sig_pairs = (
-        a.join(b, ["band", "band_bits"])
-        .filter(F.col("sig_a") < F.col("sig_b"))
-        .select("sig_a", "sig_b")
-        .distinct()
-        .withColumn("hamming", hamming16("sig_a", "sig_b"))
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    # sig_a < sig_b keeps each unordered pair once (every true pair is
+    # generated from both endpoints' mask sets).
+    sig_pairs = flips.join(
+        usig.select(F.col("simhash").alias("sig_b")), "sig_b"
+    ).filter(F.col("sig_a") < F.col("sig_b"))
 
     # Cross-signature doc pairs: each qualifying signature pair fans
     # out to its member docs (a doc has exactly one signature, so no
