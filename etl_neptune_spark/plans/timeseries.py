@@ -602,3 +602,78 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: for each purchase, the SCD-2
+    state interval (built by scd2_compact from the same stream) that is
+    ACTIVE one hour after the purchase — the warehouse 'dimension AS OF
+    fact time' join. Because SCD-2 intervals tile each key's timeline
+    (valid_to = next valid_from), the covering interval is exactly the
+    backward as-of match on valid_from, so the lookup rides the same
+    single-shuffle union-window plan as every as-of join — no range
+    join, no interval explosion."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    intervals = scd2_compact(
+        events, key="user_id", attr="event_type", ts_col="ts", order_col="event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("at_ts"),
+    )
+    out = asof_join(
+        purchases,
+        intervals,
+        on="user_id",
+        left_ts="at_ts",
+        right_ts="valid_from",
+        payload=["event_type", "valid_from", "n_events"],
+        right_order="valid_from",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.unix_millis(F.col("at_ts").cast("timestamp")).alias("at_ts_ms"),
+        F.col("r_event_type").alias("state"),
+        F.unix_millis(F.col("r_valid_from").cast("timestamp")).alias("state_since_ms"),
+        F.col("r_n_events").alias("state_events"),
+    )
+
+
+register(
+    "q_scd2_lookup",
+    q_scd2_lookup,
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    segs AS (
+        SELECT *, sum(CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type
+                           THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS seg
+        FROM ordered
+    ),
+    intervals AS (
+        SELECT user_id, seg, event_type,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM segs GROUP BY user_id, seg, event_type
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts + INTERVAL 1 HOUR AS at_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, epoch_ms(p.at_ts) AS at_ts_ms,
+           i.event_type AS state, epoch_ms(i.valid_from) AS state_since_ms,
+           i.n_events AS state_events
+    FROM p ASOF LEFT JOIN intervals i
+      ON p.user_id = i.user_id AND i.valid_from <= p.at_ts
+    """,
+)
