@@ -401,3 +401,59 @@ register(
     SELECT u AS vertex, round(r, 4) AS rank FROM pr WHERE it = {PR_ITERS}
     """,
 )
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the events interaction graph
+    (operators.components.triangle_counts — ordered-wedge plan, every
+    triangle found once in vertex-sorted order)."""
+    from ..operators.components import triangle_counts
+
+    events = load_table(spark, sf_dir, "events")
+    edges = events.select(
+        (F.col("user_id") % PR_MOD).cast("bigint").alias("src"),
+        (F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("bigint") % PR_MOD)
+        .alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return triangle_counts(edges)
+
+
+register(
+    "q_triangles",
+    q_triangles,
+    f"""
+    WITH raw AS (
+        SELECT DISTINCT
+               least(CAST(user_id % {PR_MOD} AS BIGINT),
+                     TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                         % {PR_MOD}) AS a,
+               greatest(CAST(user_id % {PR_MOD} AS BIGINT),
+                        TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                            % {PR_MOD}) AS b
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+              IS NOT NULL
+    ),
+    e AS (SELECT a, b FROM raw WHERE a <> b),
+    tri AS (
+        SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        FROM e ab
+        JOIN e bc ON bc.a = ab.b
+        JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    members AS (
+        SELECT x AS vertex FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ),
+    verts AS (
+        SELECT DISTINCT vertex
+        FROM (SELECT a AS vertex FROM e UNION SELECT b FROM e)
+    )
+    SELECT v.vertex, coalesce(m.triangles, 0) AS triangles
+    FROM verts v
+    LEFT JOIN (SELECT vertex, count(*) AS triangles FROM members GROUP BY vertex) m
+      USING (vertex)
+    """,
+)

@@ -278,6 +278,18 @@ def test_pagerank_hand_computed(spark):
     assert got == {1: 1.3612, 2: 0.575, 3: 1.0638}
 
 
+def test_triangle_counts_hand_checked(spark):
+    """K4: every vertex sits in C(3,2)=3 triangles; a 4-cycle has none;
+    duplicate/reversed edges must not double-count."""
+    from etl_neptune_spark.operators.components import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10), (11, 10)]  # + dup reversed
+    edges = spark.createDataFrame(k4 + square, "src long, dst long")
+    got = {r.vertex: r.triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 0, 11: 0, 12: 0, 13: 0}
+
+
 def test_connected_components_chain_converges_in_log_rounds(spark):
     """Large-star/small-star contraction: a 128-vertex chain (diameter
     127, the worst case for plain label propagation) must converge in
