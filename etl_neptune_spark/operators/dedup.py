@@ -402,20 +402,175 @@ def simhash_groups(
     return sh.join(sizes, "simhash").select(id_col, "simhash", "n_same")
 
 
-def hamming16(a: Column | str, b: Column | str) -> Column:
-    """Hamming distance between two 16-char bit strings as a flat
-    16-term sum — portable to the DuckDB oracle verbatim, no bit
+def hamming_bits(a: Column | str, b: Column | str, width: int = 16) -> Column:
+    """Hamming distance between two ``width``-char bit strings as a flat
+    per-position sum — portable to the DuckDB oracle verbatim, no bit
     twiddling on string-encoded signatures."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     terms = [
         F.when(a.substr(p, 1) != b.substr(p, 1), F.lit(1)).otherwise(F.lit(0))
-        for p in range(1, 17)
+        for p in range(1, width + 1)
     ]
     out = terms[0]
     for t in terms[1:]:
         out = out + t
     return out
+
+
+def hamming16(a: Column | str, b: Column | str) -> Column:
+    """16-bit form of ``hamming_bits`` (kept for the signature tests)."""
+    return hamming_bits(a, b, 16)
+
+
+def simhash64_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash64): 64-bit SimHash as a bit string — the
+    production-width signature (16 bits saturates: on a 5k-doc corpus a
+    16-bit space already collapses distinct content into shared
+    signatures; 64 bits keeps hamming distance meaningful at corpus
+    scale). Bit p votes by bit ``p%4`` of hex digit ``p//4`` of
+    md5(word) — derived from the HEX STRING exactly as the DuckDB
+    oracle derives it, so signatures match bit-for-bit."""
+
+    def gen(batches):
+        import numpy as np
+        from collections import Counter
+
+        md5 = hashlib.md5
+        memo: dict = {}
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                votes = np.zeros(64, dtype=np.int64)
+                for w, n in Counter(t.lower().split(" ")).items():
+                    v = memo.get(w)
+                    if v is None:
+                        h = md5(w.encode()).hexdigest()
+                        v = np.array(
+                            [
+                                1
+                                if (int(h[p // 4], 16) >> (3 - p % 4)) & 1
+                                else -1
+                                for p in range(64)
+                            ],
+                            dtype=np.int64,
+                        )
+                        if len(memo) < 2_000_000:
+                            memo[w] = v
+                    votes += n * v
+                ids.append(i)
+                sigs.append("".join("1" if v > 0 else "0" for v in votes))
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"), "simhash64": sigs}
+            )
+
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
+        gen, schema=f"{id_col} long, simhash64 string"
+    )
+
+
+def simhash64_band_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming): EXACT near-duplicate pairs with 64-bit
+    SimHash hamming ≤ ``max_hamming`` via banded candidates — the true
+    100 TB design. At 64-bit width mask enumeration explodes (C(64,3)
+    ≈ 42k masks) but banding actually prunes: a 16-bit band match has
+    probability ~2^-16 for unrelated docs, so the candidate join is
+    output-sized. Pigeonhole keeps it exact for ``max_hamming`` <
+    ``bands``; verification is the flat per-position hamming sum. All
+    quadratic-ish work runs on DISTINCT signatures; doc fan-out is two
+    signature equi-joins at the end, same-signature pairs emitted
+    directly at hamming 0."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded candidates are exact only for max_hamming < bands "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    width = 64 // bands
+    # Eagerly materialize the signature cache: five downstream branches
+    # (distinct sigs, both fan-out sides, both same-sig sides) read it
+    # inside ONE action, and a lazily-persisted frame gets recomputed by
+    # each concurrently-launched stage before the cache fills — that
+    # races the (Python) signature kernel 4-5×. One bounded count fills
+    # the cache first.
+    sh = simhash64_signatures(docs, id_col, text_col).persist()
+    sh.count()
+
+    # Candidate generation runs on INTEGER band words, not bit strings:
+    # each distinct signature parses once into ``bands`` longs, the
+    # band join keys on (band, long) instead of a 16-char string, and
+    # hamming is Σ bit_count(wᵢ_a XOR wᵢ_b) — a handful of codegen'd
+    # integer ops per candidate instead of 64 substring compares. On a
+    # correlated corpus (skewed band buckets → large candidate
+    # multiset) this is what keeps the verify step cheap; the dedupe
+    # runs after the hamming filter, on the tiny survivor set.
+    wcols = [
+        F.conv(F.expr(f"substring(simhash64, {i * width + 1}, {width})"), 2, 10)
+        .cast("long")
+        .alias(f"w{i}")
+        for i in range(bands)
+    ]
+    usig = sh.select("simhash64").distinct().select("simhash64", *wcols).persist()
+    usig.count()
+    warr = F.array(*[f"w{i}" for i in range(bands)])
+    ent = usig.withColumn(
+        "band", F.explode(F.array(*[F.lit(i) for i in range(bands)]))
+    ).withColumn("bv", F.element_at(warr, F.col("band") + 1))
+    a = ent.select(
+        F.col("simhash64").alias("sig_a"),
+        *[F.col(f"w{i}").alias(f"wa{i}") for i in range(bands)],
+        "band",
+        "bv",
+    )
+    b = ent.select(
+        F.col("simhash64").alias("sig_b"),
+        *[F.col(f"w{i}").alias(f"wb{i}") for i in range(bands)],
+        "band",
+        "bv",
+    )
+    ham = None
+    for i in range(bands):
+        t = F.bit_count(F.col(f"wa{i}").bitwiseXOR(F.col(f"wb{i}")))
+        ham = t if ham is None else ham + t
+    sig_pairs = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("sig_a") < F.col("sig_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("sig_a", "sig_b", "hamming")
+        .distinct()
+    )
+    ma = sh.select(F.col("simhash64").alias("sig_a"), F.col(id_col).alias("ida"))
+    mb = sh.select(F.col("simhash64").alias("sig_b"), F.col(id_col).alias("idb"))
+    cross = (
+        sig_pairs.join(ma, "sig_a")
+        .join(mb, "sig_b")
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    same = (
+        sh.select("simhash64", F.col(id_col).alias("ida"))
+        .join(sh.select("simhash64", F.col(id_col).alias("idb")), "simhash64")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.col("ida").alias("id_a"),
+            F.col("idb").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def simhash_band_pairs(
@@ -437,7 +592,10 @@ def simhash_band_pairs(
             f"mask enumeration is bounded only for max_hamming <= 3 "
             f"(C(16,h) masks per signature; got max_hamming={max_hamming})"
         )
+    # Eager materialization: see simhash64_band_pairs — concurrent
+    # stages would otherwise race the signature kernel.
     sh = simhash_signatures(docs, id_col, text_col).persist()
+    sh.count()
 
     # All hamming work runs on DISTINCT signatures — bounded by 2^16
     # corpus-wide, so the candidate step has a CONSTANT ceiling no

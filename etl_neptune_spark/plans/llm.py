@@ -728,3 +728,72 @@ register(
     GROUP BY doc_id
     """,
 )
+
+
+_SIMHASH64_SIG_SQL = """
+        SELECT doc_id,
+               array_to_string(list_transform(range(0, 64), p ->
+                   CASE WHEN list_sum(list_transform(
+                            string_split(lower(text), ' '), w ->
+                       CASE WHEN ((CAST(('0x' || substr(md5(w),
+                                         CAST(p // 4 AS INTEGER) + 1, 1))
+                                        AS INTEGER)
+                                   >> CAST(3 - (p % 4) AS INTEGER)) & 1) = 1
+                            THEN 1 ELSE -1 END)) > 0
+                   THEN '1' ELSE '0' END), '') AS simhash64
+        FROM documents
+"""
+
+_HAMMING64_SQL = " + ".join(
+    f"CASE WHEN substr(sig_a, {p}, 1) <> substr(sig_b, {p}, 1) THEN 1 ELSE 0 END"
+    for p in range(1, 65)
+)
+
+
+def q_simhash64_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash hamming≤3 near-dup pairs via 4×16-bit banding —
+    the production-width signature where banding genuinely prunes
+    (unrelated docs match a 16-bit band with probability ~2^-16);
+    pigeonhole-exact for hamming < 4."""
+    from ..operators.dedup import simhash64_band_pairs
+
+    return simhash64_band_pairs(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "q_simhash64_band",
+    q_simhash64_band,
+    f"""
+    WITH sh AS ({_SIMHASH64_SIG_SQL}),
+    usig AS (SELECT DISTINCT simhash64 FROM sh),
+    bands AS (
+        SELECT simhash64, b.band,
+               substr(simhash64, b.band * 16 + 1, 16) AS band_bits
+        FROM usig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    sig_pairs AS (
+        SELECT sig_a, sig_b, {_HAMMING64_SQL} AS hamming
+        FROM (
+            SELECT DISTINCT a.simhash64 AS sig_a, b.simhash64 AS sig_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_bits = b.band_bits
+             AND a.simhash64 < b.simhash64
+        )
+        WHERE {_HAMMING64_SQL} <= 3
+    ),
+    cross_pairs AS (
+        SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+               greatest(ma.doc_id, mb.doc_id) AS id_b,
+               sp.hamming
+        FROM sig_pairs sp
+        JOIN sh ma ON ma.simhash64 = sp.sig_a
+        JOIN sh mb ON mb.simhash64 = sp.sig_b
+    ),
+    same_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+        FROM sh a JOIN sh b
+          ON a.simhash64 = b.simhash64 AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs
+    """,
+)

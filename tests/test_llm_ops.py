@@ -195,6 +195,34 @@ def test_simhash_band_pairs_exact_vs_brute_force(spark, sf_dir):
         simhash_band_pairs(docs, max_hamming=4, bands=4)  # not exact → refuse
 
 
+def test_simhash64_band_pairs_exact_vs_brute_force(spark, sf_dir):
+    """Pigeonhole exactness at 64-bit width: 4×16-bit banding must
+    recover EVERY pair with hamming ≤ 3."""
+    from etl_neptune_spark.operators.dedup import (
+        hamming_bits,
+        simhash64_band_pairs,
+        simhash64_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash64_band_pairs(docs, max_hamming=3).collect()
+    }
+    sh = simhash64_signatures(docs)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash64").alias("sig_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash64").alias("sig_b"))
+    brute = {
+        (r.id_a, r.id_b): r.hamming
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming_bits("sig_a", "sig_b", 64))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
 def test_lsh_bucket_cap_enforced_on_skewed_corpus(spark):
     """VERDICT r2 #6: a groupBy().applyInPandas bucket must fit one
     worker's memory. A tightly-clustered corpus (one direction + noise)
