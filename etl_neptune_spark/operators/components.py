@@ -158,6 +158,10 @@ def triangle_counts(
         .distinct()
         .persist()
     )
+    # Materialize before the fan-out: five branches read `e` inside one
+    # action, and a lazily-persisted frame is recomputed by each
+    # concurrently-launched stage before the cache fills.
+    e.count()
     ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     wedges = ab.join(bc, "y")  # x < y < z by construction
