@@ -278,6 +278,32 @@ def test_pagerank_hand_computed(spark):
     assert got == {1: 1.3612, 2: 0.575, 3: 1.0638}
 
 
+def test_connected_components_regimes_agree_on_random_graphs(spark):
+    """Seeded random graphs: the distributed star-contraction path and
+    the driver union-find path must produce identical labelings, and
+    both must satisfy the fixpoint property (every vertex's component
+    equals its neighbors' minimum component)."""
+    import numpy as np
+
+    from etl_neptune_spark.operators.components import connected_components
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n_edges = 120
+        pairs = rng.integers(0, 60, size=(n_edges, 2)).tolist()
+        edges = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+        )
+        dist = {r.vertex: r.component
+                for r in connected_components(edges, driver_cap=0).collect()}
+        drv = {r.vertex: r.component
+               for r in connected_components(edges).collect()}
+        assert dist == drv, f"trial {trial}"
+        # fixpoint property: adjacent vertices share a component
+        for a, b in pairs:
+            assert dist[a] == dist[b], f"trial {trial}: edge ({a},{b}) split"
+
+
 def test_triangle_counts_hand_checked(spark):
     """K4: every vertex sits in C(3,2)=3 triangles; a 4-cycle has none;
     duplicate/reversed edges must not double-count."""
