@@ -12,6 +12,13 @@ State is kept as epoch-micros longs (exact, engine-neutral); the
 output schema mirrors the state plus the key. At scale the state store
 is RocksDB-backed and partitioned by the grouping key — the same
 shuffle the aggregation would need anyway.
+
+Spark 4's successor API (``transformWithStateInPandas`` — multiple
+named state variables, TTL, timers) is the natural upgrade path but
+requires the Python protobuf runtime for state serialization, which
+this container lacks (ImportError probed 2026-08); the
+``applyInPandasWithState`` form below is functionally equivalent for
+this operator's single-value state.
 """
 
 from __future__ import annotations
