@@ -122,7 +122,7 @@ def pagerank(
     ).localCheckpoint()
 
     ranks = verts.select(F.col("x").alias("u"), F.lit(1.0).alias("r"))
-    for _ in range(iters):
+    for i in range(iters):
         ranks = (
             e2.join(ranks, "u")
             .groupBy("v")
@@ -131,6 +131,11 @@ def pagerank(
             )
             .select(F.col("v").alias("u"), "r")
         )
+        # Rank lineage grows one join+agg per iteration (linear, unlike
+        # the star-contraction loop's geometric growth) — still truncate
+        # periodically so deep iteration counts keep bounded plans.
+        if (i + 1) % 10 == 0:
+            ranks = ranks.localCheckpoint()
     return ranks.select(F.col("u").alias("vertex"), F.round("r", 4).alias("rank"))
 
 
