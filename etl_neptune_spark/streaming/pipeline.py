@@ -112,6 +112,7 @@ def attribution_stream(
     purchases: DataFrame,
     window_sec: int = 3600,
     watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase pairs with the same
     user's clicks in the preceding ``window_sec`` — the streaming form
@@ -122,6 +123,13 @@ def attribution_stream(
     interval horizon (state is O(rate × horizon), not O(stream)).
     Works identically on batch frames (watermarks are no-ops there),
     which is how the test certifies stream-batch equivalence.
+
+    ``join_type='leftOuter'`` keeps zero-click purchases: the
+    null-padded row for an unmatched purchase emits only once the
+    watermark proves no matching click can still arrive (purchase_ts +
+    interval + watermark delay has passed) — the streaming-correct
+    semantics; purchases too close to the head of the stream stay
+    withheld rather than emitting a premature null.
     """
     c = (
         clicks.withWatermark("ts", watermark)
@@ -142,7 +150,7 @@ def attribution_stream(
             f"c_user = p_user AND c_ts >= p_ts - INTERVAL {window_sec} SECONDS "
             "AND c_ts < p_ts"
         ),
-        "inner",
+        join_type,
     ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "c_ts", "c_value")
 
 

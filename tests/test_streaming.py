@@ -387,6 +387,54 @@ def test_stream_stream_attribution_join_matches_batch(spark, events, tmp_path):
     assert got == expected
 
 
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """leftOuter stream-stream join: a zero-click purchase emits its
+    null-padded row once the watermark proves no click can still match;
+    a purchase at the head of the stream (watermark not yet past its
+    horizon) stays withheld. Matched rows behave as inner."""
+    from etl_neptune_spark.streaming.pipeline import attribution_stream
+
+    schema = "event_id long, user_id long, ts timestamp, value double, event_type string"
+    # user 1: purchase at t=10h with a click 30m earlier (matched).
+    # user 2: purchase at t=10h, no clicks (unmatched, old → must emit).
+    # user 3: purchase at t=23h50m, no clicks (too new: watermark from
+    #         max ts 24h is 22h < purchase+interval → withheld).
+    rows = [
+        (1, 1, "2024-01-01 09:30:00", 1.0, "click"),
+        (2, 1, "2024-01-01 10:00:00", 0.0, "purchase"),
+        (3, 2, "2024-01-01 10:00:00", 0.0, "purchase"),
+        (4, 3, "2024-01-01 23:50:00", 0.0, "purchase"),
+        (5, 9, "2024-01-02 00:00:00", 2.0, "click"),  # watermark driver
+    ]
+    df = spark.createDataFrame(
+        [(e, u, t, v, k) for e, u, t, v, k in rows],
+        "event_id long, user_id long, ts string, value double, event_type string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+             "value", "event_type")
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    os.makedirs(cdir), os.makedirs(pdir)
+    _add_flat_batch(df.filter(F.col("event_type") == "click"), cdir, "c0")
+    _add_flat_batch(df.filter(F.col("event_type") == "purchase"), pdir, "p0")
+
+    cs = spark.readStream.schema(schema).parquet(cdir)
+    ps = spark.readStream.schema(schema).parquet(pdir)
+    out = attribution_stream(cs, ps, watermark="1 hour", join_type="leftOuter")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.purchase_id, r.c_ts is not None)
+           for r in spark.sql("SELECT * FROM attrib_outer").collect()}
+    assert (2, True) in got        # matched purchase
+    assert (3, False) in got       # old unmatched → null row emitted
+    assert all(pid != 4 for pid, _ in got)  # too-new unmatched withheld
+
+
 def test_neardup_stream_flags_cross_batch_collisions(spark, tmp_path):
     """Streaming near-dup: a doc arriving in batch 2 that minhash-collides
     with a batch-1 doc is flagged; novel docs are not, and only novel
