@@ -167,3 +167,28 @@ def test_multi_writer_convergence_st6(spark, sf_dir, tmp_path):
     ms1 = {r.name: r.last_seen for r in ms.collect()}
     for name, seen in ms1.items():
         assert ms2[name] == seen
+
+
+def test_corpus_pipeline_stages_and_determinism(spark, sf_dir):
+    """End-to-end corpus assembly: per-stage counts are monotone
+    non-increasing through the gates, survivors are unique by content,
+    packing covers every train doc exactly once, and a re-run is
+    byte-identical (seedless determinism)."""
+    from etl_neptune_spark.pipelines.corpus import run_corpus_pipeline
+
+    packed, stats = run_corpus_pipeline(spark, sf_dir)
+    order = ["raw", "after_quality", "after_decontamination",
+             "after_exact_dedup", "after_near_dedup", "train_docs"]
+    vals = [stats[k] for k in order]
+    assert vals == sorted(vals, reverse=True), stats
+    assert stats["raw"] > 0 and stats["train_docs"] > 0
+    assert stats["packed_sequences"] >= 1
+
+    rows = packed.collect()
+    assert len(rows) == stats["train_docs"]  # one row per train doc
+    assert len({r.doc_id for r in rows}) == len(rows)
+    assert all(r.seq_id >= 0 and r.n_tokens > 0 for r in rows)
+
+    packed2, stats2 = run_corpus_pipeline(spark, sf_dir)
+    assert stats2 == stats
+    assert sorted(map(tuple, packed2.collect())) == sorted(map(tuple, rows))
