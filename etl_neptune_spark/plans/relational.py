@@ -1194,3 +1194,116 @@ register(
     FROM orders
     """,
 )
+
+
+def q_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact box-plot bands per event type: min / q1 / median / q3 /
+    max / IQR over the value column — interpolated (type-7) quantiles,
+    which Spark's percentile() and DuckDB's quantile_cont compute
+    identically. One hash agg; the sort is per-group inside the
+    aggregate buffer, never a global sort."""
+    events = load_table(spark, sf_dir, "events")
+    p = lambda q: F.round(F.percentile("value", q), 4)  # noqa: E731
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("value"), 4).alias("lo"),
+            p(0.25).alias("q1"),
+            p(0.5).alias("median"),
+            p(0.75).alias("q3"),
+            F.round(F.max("value"), 4).alias("hi"),
+            F.round(
+                F.percentile("value", 0.75) - F.percentile("value", 0.25), 4
+            ).alias("iqr"),
+        )
+    )
+
+
+register(
+    "q_boxplot",
+    q_boxplot,
+    """
+    SELECT event_type,
+           round(min(value), 4) AS lo,
+           round(quantile_cont(value, 0.25), 4) AS q1,
+           round(quantile_cont(value, 0.5), 4) AS median,
+           round(quantile_cont(value, 0.75), 4) AS q3,
+           round(max(value), 4) AS hi,
+           round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 4)
+               AS iqr
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the customer numeric columns (Spark
+    ``unpivot``/``melt`` ≡ ANSI UNPIVOT): one narrow projection, no
+    shuffle — the layout change feeding per-metric pipelines."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+register(
+    "q_unpivot",
+    q_unpivot,
+    """
+    SELECT c_custkey, metric, val
+    FROM (
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+               CAST(c_nationkey AS DOUBLE) AS nationkey
+        FROM customer
+    )
+    UNPIVOT (val FOR metric IN (acctbal, nationkey))
+    """,
+)
+
+
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE window frame (RANGE, not ROWS): per user, the count
+    and decimal-exact sum of that user's events in the trailing hour of
+    EVENT TIME at each event — the windowed form of the bounded range
+    join. Ordering by epoch seconds makes Spark's rangeBetween and
+    DuckDB's RANGE INTERVAL frame identical."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(28,2)")).over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )
+
+
+register(
+    "q_range_window",
+    q_range_window,
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           CAST(sum(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
