@@ -191,6 +191,44 @@ def triangle_counts(
     )
 
 
+def kcore(
+    edges: DataFrame, k: int, src: str = "src", dst: str = "dst", rounds: int = 12
+) -> DataFrame:
+    """Vertices of the k-core: iteratively peel vertices with degree
+    < k (within the remaining subgraph) until the fixpoint. Runs a
+    FIXED ``rounds`` iterations — peeling is monotone, so once the
+    fixpoint is reached further rounds are no-ops, and a fixed count
+    makes the result reproducible by an unrolled-SQL oracle
+    (q_kcore generates the same rounds as CTE stages). ``rounds`` must
+    exceed the peel depth; each round is one degree aggregate + two
+    semi-joins on the vertex key, lineage truncated per round."""
+    e = (
+        edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                     F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionByName(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        e = (
+            e.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.select(F.col("a").alias("vertex"))
+        .unionByName(e.select(F.col("b").alias("vertex")))
+        .distinct()
+    )
+
+
 def _union_find(edge_rows, vert_rows) -> list[tuple]:
     """Driver-side union-find with path compression — the finishing
     move once the (contracted) graph fits the driver cap."""

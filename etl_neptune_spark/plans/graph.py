@@ -457,3 +457,152 @@ register(
       USING (vertex)
     """,
 )
+
+
+KCORE_K = 60
+KCORE_ROUNDS = 12
+
+
+def _interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        (F.col("user_id") % PR_MOD).cast("bigint").alias("src"),
+        (F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("bigint") % PR_MOD)
+        .alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertices of the 3-core of the events interaction graph
+    (operators.components.kcore — fixed peel rounds, reproduced by the
+    oracle as unrolled CTE stages)."""
+    from ..operators.components import kcore
+
+    return kcore(_interaction_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    stages = [f"""
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT least(a0, b0) AS a, greatest(a0, b0) AS b
+        FROM (
+            SELECT CAST(user_id % {PR_MOD} AS BIGINT) AS a0,
+                   TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                       % {PR_MOD} AS b0
+            FROM events
+            WHERE user_id IS NOT NULL
+              AND TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                  IS NOT NULL
+        ) WHERE a0 <> b0
+    )"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        stages.append(f"""
+    d{i} AS MATERIALIZED (
+        SELECT v, count(*) AS d
+        FROM (SELECT a AS v FROM e{p} UNION ALL SELECT b FROM e{p})
+        GROUP BY v
+    ),
+    k{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE d >= {k}),
+    e{i} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{p} e
+        JOIN k{i} x ON e.a = x.v
+        JOIN k{i} y ON e.b = y.v
+    )""")
+    return (
+        "WITH " + ",".join(stages)
+        + f"""
+    SELECT DISTINCT vertex
+    FROM (SELECT a AS vertex FROM e{rounds} UNION SELECT b FROM e{rounds})
+    """
+    )
+
+
+register("q_kcore", q_kcore, _kcore_sql(KCORE_K, KCORE_ROUNDS))
+
+
+def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex: triangles(v) divided by
+    C(deg(v), 2) on the simple interaction graph — triangle_counts
+    composed with a degree aggregate, rounded to 4 dp."""
+    from ..operators.components import triangle_counts
+
+    edges = _interaction_edges(spark, sf_dir)
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("vertex"))
+        .unionByName(e.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    return tri.join(deg, "vertex").select(
+        "vertex",
+        "degree",
+        "triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.col("triangles") * 2.0
+                / (F.col("degree") * (F.col("degree") - 1)),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+register(
+    "q_clustering",
+    q_clustering,
+    f"""
+    WITH raw AS (
+        SELECT DISTINCT
+               least(CAST(user_id % {PR_MOD} AS BIGINT),
+                     TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                         % {PR_MOD}) AS a,
+               greatest(CAST(user_id % {PR_MOD} AS BIGINT),
+                        TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                            % {PR_MOD}) AS b
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+              IS NOT NULL
+    ),
+    e AS (SELECT a, b FROM raw WHERE a <> b),
+    deg AS (
+        SELECT vertex, count(*) AS degree
+        FROM (SELECT a AS vertex FROM e UNION ALL SELECT b FROM e)
+        GROUP BY vertex
+    ),
+    tri AS (
+        SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        FROM e ab
+        JOIN e bc ON bc.a = ab.b
+        JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    members AS (
+        SELECT x AS vertex FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ),
+    tcount AS (
+        SELECT d.vertex, coalesce(m.n, 0) AS triangles
+        FROM deg d
+        LEFT JOIN (SELECT vertex, count(*) AS n FROM members GROUP BY vertex) m
+          USING (vertex)
+    )
+    SELECT t.vertex, d.degree, t.triangles,
+           CASE WHEN d.degree >= 2
+                THEN round(t.triangles * 2.0 / (d.degree * (d.degree - 1)), 4)
+                ELSE 0.0 END AS clustering
+    FROM tcount t JOIN deg d USING (vertex)
+    """,
+)

@@ -304,6 +304,19 @@ def test_connected_components_regimes_agree_on_random_graphs(spark):
             assert dist[a] == dist[b], f"trial {trial}: edge ({a},{b}) split"
 
 
+def test_kcore_hand_checked(spark):
+    """2-core of a triangle with a pendant path: the path peels away
+    round by round, leaving exactly the triangle; k=3 leaves nothing."""
+    from etl_neptune_spark.operators.components import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    core2 = {r.vertex for r in kcore(edges, k=2, rounds=6).collect()}
+    assert core2 == {1, 2, 3}
+    assert kcore(edges, k=3, rounds=6).count() == 0
+
+
 def test_triangle_counts_hand_checked(spark):
     """K4: every vertex sits in C(3,2)=3 triangles; a 4-cycle has none;
     duplicate/reversed edges must not double-count."""
