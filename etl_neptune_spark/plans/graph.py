@@ -459,7 +459,7 @@ register(
 )
 
 
-KCORE_K = 60
+KCORE_K = 10
 KCORE_ROUNDS = 12
 
 
@@ -473,9 +473,11 @@ def _interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vertices of the 3-core of the events interaction graph
+    """Vertices of the 10-core of the events interaction graph
     (operators.components.kcore — fixed peel rounds, reproduced by the
-    oracle as unrolled CTE stages)."""
+    oracle as unrolled CTE stages). k=10 peels a 2-round cascade at
+    sf0.001 (100→21 vertices) while staying non-empty at every SF; the
+    triangle-with-pendant unit test pins deeper cascades."""
     from ..operators.components import kcore
 
     return kcore(_interaction_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS)
