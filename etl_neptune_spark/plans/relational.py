@@ -1274,8 +1274,9 @@ def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-RANGE window frame (RANGE, not ROWS): per user, the count
     and decimal-exact sum of that user's events in the trailing hour of
     EVENT TIME at each event — the windowed form of the bounded range
-    join. Ordering by epoch seconds makes Spark's rangeBetween and
-    DuckDB's RANGE INTERVAL frame identical."""
+    join. Both engines order by WHOLE epoch seconds (unix_timestamp
+    truncates; the oracle floors epoch(ts) to match — fractional-second
+    peers at the 3600s boundary differ otherwise, caught at sf0.1)."""
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
@@ -1303,7 +1304,8 @@ register(
            count(*) OVER w AS n_1h,
            CAST(sum(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS sum_1h
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
 )
