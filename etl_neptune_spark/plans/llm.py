@@ -797,3 +797,69 @@ register(
     SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs
     """,
 )
+
+
+def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-verify cascade: 64-bit SimHash banding proposes
+    near-dup pairs, exact Levenshtein edit distance verifies them —
+    the standard two-stage shape (cheap sketch recall, exact precision
+    pass touching ONLY candidates, never corpus×corpus). Both engines
+    implement classic edit distance identically."""
+    from ..operators.dedup import simhash64_band_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash64_band_pairs(docs, max_hamming=3)
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            F.levenshtein("text_a", "text_b").alias("edit_dist"),
+        )
+    )
+
+
+register(
+    "q_edit_verify",
+    q_edit_verify,
+    f"""
+    WITH sh AS ({_SIMHASH64_SIG_SQL}),
+    usig AS (SELECT DISTINCT simhash64 FROM sh),
+    bands AS (
+        SELECT simhash64, b.band,
+               substr(simhash64, b.band * 16 + 1, 16) AS band_bits
+        FROM usig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    sig_pairs AS (
+        SELECT sig_a, sig_b, {_HAMMING64_SQL} AS hamming
+        FROM (
+            SELECT DISTINCT a.simhash64 AS sig_a, b.simhash64 AS sig_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_bits = b.band_bits
+             AND a.simhash64 < b.simhash64
+        )
+        WHERE {_HAMMING64_SQL} <= 3
+    ),
+    all_pairs AS (
+        SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+               greatest(ma.doc_id, mb.doc_id) AS id_b,
+               sp.hamming
+        FROM sig_pairs sp
+        JOIN sh ma ON ma.simhash64 = sp.sig_a
+        JOIN sh mb ON mb.simhash64 = sp.sig_b
+        UNION ALL
+        SELECT a.doc_id, b.doc_id, 0
+        FROM sh a JOIN sh b
+          ON a.simhash64 = b.simhash64 AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b, p.hamming,
+           levenshtein(da.text, db.text) AS edit_dist
+    FROM all_pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    """,
+)
