@@ -165,6 +165,32 @@ def minhash_band_entries(
     return shingled.mapInPandas(gen, schema=f"{id_col} long, band int, band_hash string")
 
 
+def minhash_signatures(
+    shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = 12
+) -> DataFrame:
+    """(id, sig: array<string>) — the full MinHash signature (same
+    string-min construction as ``minhash_band_entries``), for estimator
+    calibration and custom banding."""
+
+    def gen(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, sh in zip(pdf[id_col], pdf["shingles"]):
+                ids.append(i)
+                sigs.append(
+                    [
+                        min(md5(f"{j}:{s}".encode()).hexdigest() for s in sh)
+                        for j in range(num_hashes)
+                    ]
+                )
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"), "sig": sigs}
+            )
+
+    return shingled.mapInPandas(gen, schema=f"{id_col} long, sig array<string>")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -863,3 +863,93 @@ register(
     JOIN documents db ON db.doc_id = p.id_b
     """,
 )
+
+
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair, the
+    signature-agreement estimate of Jaccard (matching slots / 12)
+    side-by-side with the exact shingle Jaccard — the measurement that
+    justifies trusting the sketch at 100 TB, computed only on
+    candidates (never all pairs)."""
+    from ..operators.dedup import (
+        doc_shingles,
+        minhash_band_entries,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = doc_shingles(docs).persist()
+    shingled.count()
+    entries = minhash_band_entries(shingled, "doc_id", 12, 6)
+    cands = (
+        entries.select("band", "band_hash", F.col("doc_id").alias("id_a"))
+        .join(
+            entries.select("band", "band_hash", F.col("doc_id").alias("id_b")),
+            ["band", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sigs = minhash_signatures(shingled)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    sha = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    shb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    exact = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(sha, "id_a")
+        .join(shb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(12.0), 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("exact_jaccard"),
+        )
+    )
+
+
+register(
+    "q_minhash_estimate",
+    q_minhash_estimate,
+    f"""
+    WITH sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+    nonempty AS (SELECT * FROM sh WHERE len(sh) > 0),
+    sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 12),
+                   j -> list_min(list_transform(sh,
+                        s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
+        FROM nonempty
+    ),
+    bands AS (
+        SELECT doc_id, t.range AS band,
+               md5(array_to_string(sig[t.range*2+1 : t.range*2+2], '|')) AS band_hash
+        FROM sigs, range(0, 6) t
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_sum(list_transform(range(1, 13),
+                 i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                 / 12.0, 4) AS est_jaccard,
+           round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)
+               AS exact_jaccard
+    FROM cands c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    """,
+)
