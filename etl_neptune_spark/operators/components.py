@@ -209,6 +209,14 @@ def kcore(
         .distinct()
         .localCheckpoint()
     )
+
+    def digest(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"), F.expr("bit_xor(xxhash64(a, b))").alias("h")
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = digest(e)
     for _ in range(rounds):
         deg = (
             e.select(F.col("a").alias("v"))
@@ -222,6 +230,14 @@ def kcore(
             .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
             .localCheckpoint(eager=False)
         )
+        # Early exit at the peel fixpoint: the remaining rounds are
+        # no-ops, so stopping matches the fixed-round oracle exactly
+        # while paying only peel-depth rounds of work (one tiny digest
+        # action per round, same recipe as connected_components).
+        cur = digest(e)
+        if cur == prev:
+            break
+        prev = cur
     return (
         e.select(F.col("a").alias("vertex"))
         .unionByName(e.select(F.col("b").alias("vertex")))
