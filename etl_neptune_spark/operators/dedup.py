@@ -217,7 +217,16 @@ def minhash_lsh_pairs(
     shingled = doc_shingles(docs, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    band_entries = minhash_band_entries(shingled, id_col, num_hashes, bands)
+    # Both sides of the band self-join read this frame; without an EAGER
+    # materialization the two concurrently-launched scan stages each race
+    # the (Python) signature kernel — num_hashes md5s per shingle, the
+    # dominant cost of the whole query — before the lazy cache fills.
+    # band_entries is tiny (``bands`` short rows per doc), so the bounded
+    # count that fills the cache costs one pass and saves one.
+    band_entries = minhash_band_entries(shingled, id_col, num_hashes, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    band_entries.count()
 
     left = band_entries.select(
         F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a")

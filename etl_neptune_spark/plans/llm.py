@@ -880,7 +880,12 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shingled = doc_shingles(docs).persist()
     shingled.count()
-    entries = minhash_band_entries(shingled, "doc_id", 12, 6)
+    # Eager persists: entries and sigs each feed BOTH sides of a
+    # self-join; lazily-cached frames get raced by the concurrent scan
+    # stages and the 12-md5s-per-shingle signature kernel runs 2× per
+    # frame (4× total). Both caches are signature-sized (small).
+    entries = minhash_band_entries(shingled, "doc_id", 12, 6).persist()
+    entries.count()
     cands = (
         entries.select("band", "band_hash", F.col("doc_id").alias("id_a"))
         .join(
@@ -891,7 +896,8 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    sigs = minhash_signatures(shingled)
+    sigs = minhash_signatures(shingled).persist()
+    sigs.count()
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     sha = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
