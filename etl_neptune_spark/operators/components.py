@@ -380,3 +380,53 @@ def connected_components(
     ).select(
         "vertex", F.coalesce("component", F.col("vertex")).alias("component")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(vertex, hops): minimum number of directed edges from ``source``
+    to every vertex reachable within ``max_hops`` — classic frontier
+    BFS as fixed-point iteration.
+
+    Each round is ONE equi-join of the current frontier against the
+    (cached, pre-distinct'd) edge set plus an anti-join against the
+    settled distance table — the same per-round shuffle shape as
+    ``pagerank``, with work proportional to the frontier, not the
+    graph. The per-round early-exit action is a bounded ``count`` on
+    the frontier (frontier empty → every reachable vertex is settled);
+    ``localCheckpoint`` truncates the growing lineage exactly as the
+    star-contraction loop does. Rounds are bounded by the graph's
+    eccentricity from ``source``, O(diameter) — at 100 TB this is the
+    standard Pregel-style BFS schedule."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    vt = e.schema[0].dataType.simpleString()
+    dist = spark.createDataFrame([(source, 0)], schema=f"vertex {vt}, hops int")
+    frontier = dist.select("vertex")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["vertex"] == e["u"])
+            .select(F.col("v").alias("vertex"))
+            .distinct()
+            .join(dist.select("vertex"), "vertex", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.unionByName(
+            nxt.withColumn("hops", F.lit(h))
+        ).localCheckpoint(eager=False)
+        frontier = nxt
+    e.unpersist()
+    return dist

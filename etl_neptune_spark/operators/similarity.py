@@ -517,3 +517,168 @@ def label_centroids(
         .groupBy("label", "pos")
         .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid"))
     )
+
+
+def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Plain Euclidean k-means on a driver-side sample — the codebook
+    trainer for product quantization (subvectors are NOT unit vectors,
+    so the spherical trainer above does not apply)."""
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    codebook_k: int = 16,
+    refine: int = 32,
+    train_sample: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (the FAISS ``IVFx,PQm`` layout): an IVF
+    coarse quantizer routes queries to ``nprobe`` cells, and INSIDE each
+    cell candidates are scored from ``m``-byte product-quantization
+    codes via an ADC lookup-table scan — ``m`` table lookups per
+    candidate instead of a ``dim``-multiply dot product, with the codes
+    table dim·4/m× smaller than the raw vectors (32× at dim=64, m=8).
+    The top ``refine`` ADC candidates per query are re-ranked with the
+    exact cosine, so emitted scores are true cosines (4 dp).
+
+    Scale posture: both quantizers train on ONE bounded driver sample
+    (the FAISS recipe); encoding is a linear Arrow pass; the per-cell
+    scan is the same cogroup shape as ``ivf_topk`` but carries codes,
+    not vectors — at 100 TB the cell working set shrinks by the PQ
+    compression factor, which is the point of the operator. Self-query
+    form, matching ``lsh_topk``/``ivf_topk``. k-means state has no SQL
+    form, so certification is rows-only plus a recall-vs-brute-force
+    test (tests/test_similarity_pq.py)."""
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    sample_pdf = (
+        emb.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias(vec_col),
+            F.hash(F.col(id_col), F.lit(seed)).alias("__r"),
+        )
+        .orderBy("__r", "__id")
+        .limit(train_sample)
+        .select(vec_col)
+        .toPandas()
+    )
+    train = _unit(_matrix(sample_pdf[vec_col]))
+    dim = train.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    coarse = _kmeans(train, n_clusters, seed=seed)
+    # Residual-free PQ (the simpler IVFPQ variant): per-subspace
+    # codebooks over the unit-normalized vectors themselves.
+    books = np.stack(
+        [
+            _kmeans_l2(train[:, s * dsub : (s + 1) * dsub], codebook_k, seed=seed + s)
+            for s in range(m)
+        ]
+    )  # (m, codebook_k, dsub)
+    bc_coarse = spark.sparkContext.broadcast(coarse)
+    bc_books = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        for pdf in batches:
+            u = _unit(_matrix(pdf[vec_col]))
+            sims = u @ bc_coarse.value.T
+            order = np.argsort(-sims, axis=1)
+            codes = np.empty((len(u), m), dtype=np.int32)
+            for s in range(m):
+                sub = u[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - bc_books.value[s][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            out = pd.DataFrame(
+                {
+                    "vid": pdf[id_col].astype("int64"),
+                    "vec": pdf[vec_col],
+                    "codes": list(codes),
+                    "cell": order[:, 0].astype("int32"),
+                }
+            )
+            for p in range(nprobe):
+                out[f"probe{p}"] = order[:, p].astype("int32")
+            yield out
+
+    probes_schema = ", ".join(f"probe{p} int" for p in range(nprobe))
+    assigned = emb.mapInPandas(
+        encode,
+        f"vid long, vec array<float>, codes array<int>, cell int, {probes_schema}",
+    )
+    corpus = assigned.select("vid", "vec", "codes", "cell")
+    queries = assigned.select(
+        F.col("vid").alias("qid"),
+        F.col("vec").alias("qvec"),
+        F.explode(F.array(*[f"probe{p}" for p in range(nprobe)])).alias("cell"),
+    )
+
+    def score(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []}).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+        )
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return empty
+        qi, ci = qpdf["qid"].to_numpy(), cpdf["vid"].to_numpy()
+        qu = _unit(_matrix(qpdf["qvec"]))
+        codes = np.vstack(cpdf["codes"].to_numpy())  # (n, m)
+        cu = _unit(_matrix(cpdf["vec"]))
+        rows = []
+        rr = min(refine, codes.shape[0])
+        books_ = bc_books.value
+        for r in range(len(qu)):
+            # ADC: lut[s, c] = <q_sub_s, codebook_s[c]>; candidate score
+            # is m gathers + a sum — never touches candidate vectors.
+            lut = np.stack(
+                [
+                    books_[s] @ qu[r, s * dsub : (s + 1) * dsub]
+                    for s in range(m)
+                ]
+            )  # (m, codebook_k)
+            adc = lut[np.arange(m)[None, :], codes].sum(axis=1)
+            adc[ci == qi[r]] = -np.inf
+            cand = np.argsort(-adc)[:rr]
+            cand = cand[np.isfinite(adc[cand])]
+            if not len(cand):
+                continue
+            # exact re-rank of the refine set only
+            exact = np.round(cu[cand] @ qu[r], 4)
+            order = np.lexsort((ci[cand], -exact))[: min(k, len(cand))]
+            rows.extend((qi[r], ci[cand[j]], exact[j]) for j in order)
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"]).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+        )
+
+    candidates = (
+        queries.groupBy("cell")
+        .cogroup(corpus.groupBy("cell"))
+        .applyInPandas(score, schema="query_id long, neighbor_id long, cos double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        candidates.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

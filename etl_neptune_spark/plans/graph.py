@@ -608,3 +608,46 @@ register(
     FROM tcount t JOIN deg d USING (vertex)
     """,
 )
+
+
+BFS_SOURCE = 0
+BFS_MAX_HOPS = 8
+
+
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop counts (operators.components.bfs_hops)
+    over the directed events interaction graph: minimum number of edges
+    from vertex 0 to every vertex reachable in ≤ 8 hops. Certified
+    against DuckDB's recursive enumeration of (vertex, hops) states
+    with a min-hops rollup."""
+    from ..operators.components import bfs_hops
+
+    return bfs_hops(
+        _interaction_edges(spark, sf_dir), BFS_SOURCE, max_hops=BFS_MAX_HOPS
+    )
+
+
+register(
+    "q_bfs",
+    q_bfs,
+    f"""
+    WITH RECURSIVE raw AS (
+        SELECT DISTINCT CAST(user_id % {PR_MOD} AS BIGINT) AS u,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                   % {PR_MOD} AS v
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+              IS NOT NULL
+    ),
+    e AS (SELECT u, v FROM raw WHERE u <> v),
+    walk AS (
+        SELECT CAST({BFS_SOURCE} AS BIGINT) AS vertex, 0 AS hops
+        UNION
+        SELECT e.v, walk.hops + 1
+        FROM walk JOIN e ON e.u = walk.vertex
+        WHERE walk.hops < {BFS_MAX_HOPS}
+    )
+    SELECT vertex, min(hops) AS hops FROM walk GROUP BY vertex
+    """,
+)

@@ -959,3 +959,91 @@ register(
     JOIN sigs sb ON sb.doc_id = c.id_b
     """,
 )
+
+
+def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection — the step that turns dup-cluster
+    resolution into an actual dedup decision: per connected component of
+    the exact near-dup pair graph, keep the longest document (ties
+    broken by min doc_id) and report the cluster size. One keyed
+    max-struct aggregate over the component labels; at 100 TB this adds
+    a single component-keyed shuffle on top of the pair graph."""
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        ngram_jaccard_pairs(docs), src="id_a", dst="id_b"
+    )
+    j = comp.join(
+        docs.select(F.col("doc_id").alias("vertex"), "n_chars"), "vertex"
+    )
+    # argmax by (n_chars, then MIN doc_id): max of the (n_chars, -id)
+    # struct is lexicographic, so the negated id turns the tie-break
+    # into a minimum.
+    best = F.max(
+        F.struct(F.col("n_chars").alias("nc"), (-F.col("vertex")).alias("nid"))
+    ).alias("best")
+    return (
+        j.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"), best)
+        .select(
+            "component",
+            (-F.col("best.nid")).alias("survivor_id"),
+            "cluster_size",
+            F.col("best.nc").alias("survivor_chars"),
+        )
+    )
+
+
+register(
+    "q_cluster_survivors",
+    q_cluster_survivors,
+    f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+    nonempty AS (SELECT * FROM sh WHERE len(sh) > 0),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+                    / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM sym),
+    reach AS (
+        SELECT v, v AS r FROM verts
+        UNION
+        SELECT reach.v, s.b AS r FROM reach JOIN sym s ON s.a = reach.r
+    ),
+    comp AS (SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v),
+    ranked AS (
+        SELECT c.component, d.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+               count(*) OVER (PARTITION BY c.component) AS cluster_size
+        FROM comp c JOIN documents d ON d.doc_id = c.vertex
+    )
+    SELECT component, doc_id AS survivor_id, cluster_size,
+           n_chars AS survivor_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators.similarity.ivfpq_topk): coarse cells +
+    8-byte product-quantization codes scanned via ADC lookup tables,
+    exact-cosine re-rank of the refine set. k-means state is not
+    SQL-expressible → rows-only certification; recall vs brute force is
+    asserted in tests/test_llm_ops.py."""
+    from ..operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"), n_clusters=8, nprobe=4
+    )
+
+
+register("q_ann_pq", q_ann_pq)  # rows-only: k-means state is not SQL-expressible

@@ -677,3 +677,202 @@ register(
       ON p.user_id = i.user_id AND i.valid_from <= p.at_ts
     """,
 )
+
+
+GAPFILL_MOD = 97
+
+
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap filling with forward fill (the hypertable
+    ``locf`` rollup): hourly sums per key, a generated per-key hour
+    spine between that key's first and last observation, and
+    last-observation-carried-forward across the gaps.
+
+    Plan: one keyed hash agg (key, hour) → per-key span agg →
+    ``sequence``-exploded spine (rows = span hours, data-independent) →
+    left join of observations onto the spine → one window per key for
+    the ignore-nulls forward fill. Two shuffles on the same key; the
+    spine explosion is metadata-sized next to the event scan. Sums ride
+    DECIMAL so fill values are fold-order exact."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            (F.col("user_id") % GAPFILL_MOD).cast("bigint").alias("k"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("value").cast("decimal(28,2)").alias("v"),
+        )
+        .groupBy("k", "hour")
+        .agg(F.sum("v").cast("double").alias("obs"))
+    )
+    spine = (
+        hourly.groupBy("k")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "k",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(hourly, ["k", "hour"], "left").select(
+        "k",
+        "hour",
+        "obs",
+        F.last("obs", ignorenulls=True).over(w).alias("filled"),
+        F.col("obs").isNull().alias("is_gap"),
+    )
+
+
+register(
+    "q_gapfill",
+    q_gapfill,
+    f"""
+    WITH hourly AS (
+        SELECT CAST(user_id % {GAPFILL_MOD} AS BIGINT) AS k,
+               date_trunc('hour', ts) AS hour,
+               CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS obs
+        FROM events
+        GROUP BY 1, 2
+    ),
+    spans AS (SELECT k, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY k),
+    spine AS (
+        SELECT k, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM spans
+    )
+    SELECT s.k, s.hour, h.obs,
+           last_value(h.obs IGNORE NULLS) OVER (
+               PARTITION BY s.k ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           h.obs IS NULL AS is_gap
+    FROM spine s LEFT JOIN hourly h ON h.k = s.k AND h.hour = s.hour
+    """,
+)
+
+
+ANOM_WIN = 20  # trailing window size (rows)
+ANOM_MIN_N = 10  # flag only once the window has enough history
+# z² threshold 2.5² = 6.25 as the exact rational 625/100.
+ANOM_T2_NUM, ANOM_T2_DEN = 625, 100
+
+
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags, EXACT integer arithmetic:
+    within each (event_type, day), over the ``ANOM_WIN`` trailing
+    events, flag values with |z| > 2.5 — evaluated as
+    ``den·(n·v − Σv)²·(n−1) > num·n·(n·Σv² − (Σv)²)`` on integer cents,
+    so the flag is bit-identical across engines and fold orders (no
+    float variance anywhere). Window partitions are (type, day)-bounded
+    — state never exceeds a day of one type, the same keying a
+    streaming deployment would use."""
+    events = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    base = events.select(
+        F.col("event_type"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("event_id"),
+        F.col("ts"),
+        cents.alias("vc"),
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ANOM_WIN - 1), Window.currentRow)
+    )
+    n = F.count("*").over(w)
+    s = F.sum("vc").over(w)
+    s2 = F.sum(F.col("vc") * F.col("vc")).over(w)
+    diff = n * F.col("vc") - s
+    lhs = F.lit(ANOM_T2_DEN) * diff * diff * (n - 1)
+    rhs = F.lit(ANOM_T2_NUM) * n * (n * s2 - s * s)
+    return base.select(
+        "event_type",
+        "day",
+        "event_id",
+        "vc",
+        n.alias("win_n"),
+        ((n >= ANOM_MIN_N) & (lhs > rhs)).alias("is_anomaly"),
+    )
+
+
+register(
+    "q_anomaly",
+    q_anomaly,
+    f"""
+    WITH base AS (
+        SELECT event_type, date_trunc('day', ts) AS day, event_id, ts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        FROM events
+    ),
+    win AS (
+        SELECT event_type, day, event_id, vc,
+               count(*) OVER w AS n,
+               sum(vc) OVER w AS s,
+               sum(vc * vc) OVER w AS s2
+        FROM base
+        WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id
+                     ROWS BETWEEN {ANOM_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, event_id, vc, n AS win_n,
+           n >= {ANOM_MIN_N} AND
+           {ANOM_T2_DEN} * (n * vc - s) * (n * vc - s) * (n - 1)
+               > {ANOM_T2_NUM} * n * (n * s2 - s * s) AS is_anomaly
+    FROM win
+    """,
+)
+
+
+STREAK_MOD = 500
+
+
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive ACTIVE HOURS per
+    user bucket. The classic constant-difference trick — distinct
+    (key, hour-index) rows get ``hour_idx − row_number()`` as a
+    per-streak constant — needs one distinct shuffle and one keyed
+    window; all integers, trivially deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    active = (
+        events.select(
+            (F.col("user_id") % STREAK_MOD).cast("bigint").alias("k"),
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("k").orderBy("h")
+    grp = (F.col("h") - F.row_number().over(w)).alias("grp")
+    return (
+        active.select("k", "h", grp)
+        .groupBy("k", "grp")
+        .agg(F.count("*").alias("run"))
+        .groupBy("k")
+        .agg(
+            F.max("run").alias("longest_streak"),
+            F.sum("run").alias("n_active_hours"),
+        )
+    )
+
+
+register(
+    "q_streaks",
+    q_streaks,
+    f"""
+    WITH active AS (
+        SELECT DISTINCT CAST(user_id % {STREAK_MOD} AS BIGINT) AS k,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+        FROM events
+    ),
+    grp AS (
+        SELECT k, h,
+               h - row_number() OVER (PARTITION BY k ORDER BY h) AS grp
+        FROM active
+    ),
+    runs AS (SELECT k, grp, count(*) AS run FROM grp GROUP BY k, grp)
+    SELECT k, max(run) AS longest_streak, sum(run) AS n_active_hours
+    FROM runs GROUP BY k
+    """,
+)

@@ -324,3 +324,30 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
         for r in ivf_topk(emb, k=5, n_clusters=8, nprobe=4).collect()
     }
     assert again == approx
+
+
+def test_ivfpq_topk_recall_vs_exact(spark, sf_dir):
+    """IVF-PQ (nprobe=4 of 8 cells, 8-byte codes, refine=32) must
+    recover most of the exact top-5 — the ADC scan may only lose
+    candidates the exact re-rank cannot recover, so recall lower-bounds
+    the code quality."""
+    from etl_neptune_spark.operators.similarity import brute_force_topk, ivfpq_topk
+    from etl_neptune_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(emb, k=5, n_clusters=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+    # determinism: seeded training -> identical result set
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(emb, k=5, n_clusters=8, nprobe=4).collect()
+    }
+    assert again == approx

@@ -359,3 +359,23 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     # produce the identical labeling.
     got3 = {r.vertex: r.component for r in connected_components(two).collect()}
     assert got3 == got2
+
+
+def test_bfs_hops_hand_checked(spark):
+    """Directed diamond + tail + unreachable island: hop counts follow
+    edge direction, min-hops wins on multi-path vertices, vertices past
+    max_hops and unreachable vertices are absent."""
+    from etl_neptune_spark.operators.components import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 5),
+         (9, 0),            # inbound edge: must NOT be traversed backward
+         (100, 101)],       # unreachable island
+        "src long, dst long",
+    )
+    got = {r.vertex: r.hops for r in bfs_hops(edges, 0, max_hops=10).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    # hop cap truncates the frontier expansion
+    capped = {r.vertex: r.hops for r in bfs_hops(edges, 0, max_hops=2).collect()}
+    assert capped == {0: 0, 1: 1, 2: 1, 3: 2}
