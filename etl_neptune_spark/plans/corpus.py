@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.packing import assign_split, pack_sequences
+from ..operators.packing import assign_split, pack_sequences, split_expr
 from ..operators.similarity import label_centroids
 from ..operators.text import decontaminate, redact_pii, repetition_features
 from ..sources import load_table
@@ -290,5 +290,80 @@ register(
     FROM s
     ORDER BY skey DESC, doc_id
     LIMIT {SAMPLE_WEIGHTED_K}
+    """,
+)
+
+
+DRIFT_TOP = 50
+PPM = 1_000_000
+
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val token-distribution drift monitor: per token, its
+    occurrence rate in each md5-split as EXACT integer parts-per-million
+    (count·10⁶ div split-total — integer division, so the statistic is
+    bit-identical across engines and fold orders), top-50 by absolute
+    rate difference. The split totals are one bounded driver action
+    (two longs) turned into literals, the same corpus-totals posture as
+    TF-IDF; everything else is one token explode + one keyed hash agg +
+    a distributed top-k — no full sort, no float anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        split_expr("doc_id").alias("split"),
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).filter(F.col("split") != "test")
+    counts = tok.groupBy("token").agg(
+        F.count_if(F.col("split") == "train").alias("c_train"),
+        F.count_if(F.col("split") == "val").alias("c_val"),
+    )
+    tot = counts.agg(
+        F.sum("c_train").alias("nt"), F.sum("c_val").alias("nv")
+    ).first()
+    ppm_t = F.expr(f"c_train * {PPM} div {int(tot['nt'])}")
+    ppm_v = F.expr(f"c_val * {PPM} div {int(tot['nv'])}")
+    return (
+        counts.select(
+            "token",
+            "c_train",
+            "c_val",
+            ppm_t.alias("ppm_train"),
+            ppm_v.alias("ppm_val"),
+            F.abs(ppm_t - ppm_v).alias("ppm_diff"),
+        )
+        .orderBy(F.desc("ppm_diff"), "token")
+        .limit(DRIFT_TOP)
+    )
+
+
+_SPLIT_SQL = """
+    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+         ELSE 'test' END
+"""
+
+register(
+    "q_token_drift",
+    q_token_drift,
+    f"""
+    WITH tok AS (
+        SELECT {_SPLIT_SQL} AS split,
+               unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+        WHERE {_SPLIT_SQL} <> 'test'
+    ),
+    counts AS (
+        SELECT token,
+               count(*) FILTER (WHERE split = 'train') AS c_train,
+               count(*) FILTER (WHERE split = 'val') AS c_val
+        FROM tok GROUP BY token
+    ),
+    tot AS (SELECT sum(c_train) AS nt, sum(c_val) AS nv FROM counts)
+    SELECT token, c_train, c_val,
+           c_train * {PPM} // nt AS ppm_train,
+           c_val * {PPM} // nv AS ppm_val,
+           abs(c_train * {PPM} // nt - c_val * {PPM} // nv) AS ppm_diff
+    FROM counts, tot
+    ORDER BY ppm_diff DESC, token
+    LIMIT {DRIFT_TOP}
     """,
 )

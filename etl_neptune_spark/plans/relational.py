@@ -1309,3 +1309,90 @@ register(
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
 )
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint sweep — the validation gate a pipeline
+    runs before promoting a snapshot: referential integrity (anti-join),
+    key uniqueness, null checks, and domain-range rules, emitted as one
+    (rule, n_checked, n_violations) report. Each rule is a single
+    pruned-scan aggregate (the FK rule one broadcast-able anti-join);
+    the union is metadata-sized. At 100 TB rules share nothing and run
+    as independent narrow scans — the cheapest possible full-table
+    audit shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def rule(name: str, checked: DataFrame, violated) -> DataFrame:
+        return checked.agg(
+            F.lit(name).alias("rule"),
+            F.count("*").alias("n_checked"),
+            F.count_if(violated).alias("n_violations"),
+        )
+
+    fk = li.join(
+        orders.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left",
+    )
+    checks = [
+        rule("lineitem_orderkey_fk", fk, F.col("o_orderkey").isNull()),
+        rule(
+            "orders_custkey_not_null",
+            orders,
+            F.col("o_custkey").isNull(),
+        ),
+        rule(
+            "lineitem_quantity_domain",
+            li,
+            (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50),
+        ),
+        rule(
+            "lineitem_discount_domain",
+            li,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        ),
+        rule(
+            "orders_totalprice_positive",
+            orders,
+            F.col("o_totalprice") <= 0,
+        ),
+    ]
+    uniq = cust.groupBy("c_custkey").agg(F.count("*").alias("n"))
+    checks.append(rule("customer_custkey_unique", uniq, F.col("n") > 1))
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+register(
+    "q_dq_checks",
+    q_dq_checks,
+    """
+    SELECT 'lineitem_orderkey_fk' AS rule, count(*) AS n_checked,
+           count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_violations
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders_custkey_not_null', count(*),
+           count(*) FILTER (WHERE o_custkey IS NULL)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_quantity_domain', count(*),
+           count(*) FILTER (WHERE l_quantity <= 0 OR l_quantity > 50)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_domain', count(*),
+           count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_totalprice_positive', count(*),
+           count(*) FILTER (WHERE o_totalprice <= 0)
+    FROM orders
+    UNION ALL
+    SELECT 'customer_custkey_unique', count(*),
+           count(*) FILTER (WHERE n > 1)
+    FROM (SELECT c_custkey, count(*) AS n FROM customer GROUP BY c_custkey)
+    """,
+)
