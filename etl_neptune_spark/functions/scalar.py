@@ -25,9 +25,30 @@ def dec_sum(col: Column | str, precision: int = 28, scale: int = 2) -> Column:
 
 
 def dec_avg(col: Column | str, round_to: int = 4, scale: int = 2) -> Column:
-    """Deterministic mean: exact decimal sum / count, rounded."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(dec_sum(c, scale=scale) / F.count(c), round_to)
+    """Deterministic half-up mean, EXACT to ``round_to`` decimals.
+
+    ``round(sum/count, n)`` on doubles is not engine-portable: Spark
+    rounds the shortest decimal rendering of the quotient while DuckDB
+    rounds the binary value, and they disagree when the true quotient
+    lands on a half-ulp boundary (e.g. 35.18825 → .1883 vs .1882 —
+    observed at sf0.1). Instead compute ``floor((2·10ⁿ·Σ + N) / 2N)``
+    in exact integer arithmetic (the half-up rounding identity for
+    positive sums) and divide the resulting integer by 10ⁿ; the same
+    integer divided by the same power of ten is the same double in
+    every engine. Requires ``round_to ≥ scale`` so the scaled sum is
+    integral. For Column inputs (no SQL name to splice) the legacy
+    rounded-double form is kept — callers comparing against an oracle
+    pass column names."""
+    if isinstance(col, str):
+        p = 10**round_to
+        num = (
+            f"CAST(sum(CAST({col} AS DECIMAL(28,{scale}))) * {2 * p} AS BIGINT)"
+            f" + count({col})"
+        )
+        return F.expr(f"({num}) div (2 * count({col}))").cast("double") / F.lit(
+            float(p)
+        )
+    return F.round(dec_sum(col, scale=scale) / F.count(col), round_to)
 
 
 def safe_div(num: Column, den: Column, default: float = 0.0) -> Column:

@@ -101,7 +101,8 @@ flows AS (
 )
 SELECT src, dst, protocol,
        count(*) AS calls,
-       round(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(value), 4)
+       CAST((CAST(sum(CAST(value AS DECIMAL(28,2))) * 20000 AS BIGINT)
+             + count(value)) // (2 * count(value)) AS DOUBLE) / 10000.0
            AS avg_duration_ms,
        round(quantile_cont(value, 0.99), 4) AS p99_ms,
        count(*) FILTER (WHERE value >= {ERROR_THRESHOLD}) AS error_count,
@@ -164,12 +165,18 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         states, keys, sum_cols=["calls", "error_count", "sum_ms"],
         max_cols=["max_ms"],
     )
+    # Exact half-up 4-dp mean via integer arithmetic: floor((2n + d)/2d)
+    # on 10⁻⁴-scaled units. round(double, 4) is NOT portable — Spark
+    # rounds the shortest decimal rendering of the quotient, DuckDB the
+    # binary value, and they disagree on half-ulp boundaries (seen at
+    # sf0.1: 35.18825 → .1883 vs .1882). Integer division is identical
+    # everywhere, and dividing the same integer by 10⁴ yields the same
+    # double in both engines.
+    avg4 = F.expr("(CAST(sum_ms * 20000 AS BIGINT) + calls) div (2 * calls)")
     return merged.select(
         *keys,
         "calls",
-        F.round(F.col("sum_ms").cast("double") / F.col("calls"), 4).alias(
-            "avg_duration_ms"
-        ),
+        (avg4.cast("double") / F.lit(10000.0)).alias("avg_duration_ms"),
         "error_count",
         "max_ms",
     )
@@ -192,7 +199,8 @@ register(
     )
     SELECT src, dst, protocol,
            count(*) AS calls,
-           round(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*), 4)
+           CAST((CAST(sum(CAST(value AS DECIMAL(28,2))) * 20000 AS BIGINT)
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
                AS avg_duration_ms,
            count(*) FILTER (WHERE value >= {ERROR_THRESHOLD}) AS error_count,
            max(value) AS max_ms

@@ -177,7 +177,8 @@ register(
     """
     WITH metrics AS (
         SELECT user_id,
-               round(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(value), 2)
+               CAST((CAST(sum(CAST(value AS DECIMAL(28,2))) * 200 AS BIGINT)
+                     + count(value)) // (2 * count(value)) AS DOUBLE) / 100.0
                    AS avg_value,
                count(*) AS n_events
         FROM events GROUP BY user_id

@@ -876,3 +876,128 @@ register(
     FROM runs GROUP BY k
     """,
 )
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts: per user-ordered event stream, count
+    (event_type → next event_type) transitions and each source type's
+    exact integer per-mille share. One keyed window (lead) + one hash
+    agg; shares use integer division, so no floats cross engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000").cast("bigint").alias("__num"),
+        F.sum("n").over(wt).alias("__den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("__num div __den").alias("per_mille"),
+    )
+
+
+register(
+    "q_transitions",
+    q_transitions,
+    """
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           (n * 1000) // sum(n) OVER (PARTITION BY from_type) AS per_mille
+    FROM counts
+    """,
+)
+
+
+RFM_BUCKETS = 4
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per user, recency (days since last purchase
+    vs corpus max ts), frequency (purchase count), monetary (exact
+    decimal spend), each ntile'd into quartiles — the classic
+    customer-scoring rollup. One keyed agg + three global ntile
+    windows over the USER table (not the event table: the window input
+    is one row per user, corpus-bounded)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    per_user = purchases.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(28,2)")).alias("monetary_dec"),
+    )
+    anchor = purchases.agg(F.max("ts")).first()[0]
+    recency_days = F.datediff(F.lit(anchor), F.col("last_ts"))
+    base = per_user.select(
+        "user_id",
+        recency_days.alias("recency_days"),
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+    )
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(RFM_BUCKETS)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("user_id")))
+        .alias("r_score"),
+        F.ntile(RFM_BUCKETS)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f_score"),
+        F.ntile(RFM_BUCKETS)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .alias("m_score"),
+    )
+
+
+register(
+    "q_rfm",
+    q_rfm,
+    f"""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    per_user AS (
+        SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+               CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS monetary
+        FROM p GROUP BY user_id
+    ),
+    anchor AS (SELECT max(ts) AS mx FROM p)
+    SELECT user_id,
+           date_diff('day', CAST(last_ts AS DATE), CAST(mx AS DATE))
+               AS recency_days,
+           frequency, monetary,
+           ntile({RFM_BUCKETS}) OVER (ORDER BY date_diff('day',
+               CAST(last_ts AS DATE), CAST(mx AS DATE)) ASC, user_id ASC)
+               AS r_score,
+           ntile({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, user_id ASC)
+               AS f_score,
+           ntile({RFM_BUCKETS}) OVER (ORDER BY monetary DESC, user_id ASC)
+               AS m_score
+    FROM per_user, anchor
+    """,
+)
