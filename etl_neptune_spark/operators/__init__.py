@@ -1,4 +1,11 @@
-from .components import connected_components, pagerank, triangle_counts
+from .components import (
+    bfs_hops,
+    connected_components,
+    kcore,
+    pagerank,
+    temporal_reach,
+    triangle_counts,
+)
 from .dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -11,7 +18,14 @@ from .degrees import degree_metrics
 from .gc import gc_stale
 from .merge import merge_keyed
 from .packing import assign_split, pack_sequences
-from .similarity import brute_force_topk, cosine_neardup_pairs, ivf_topk, lsh_topk
+from .incremental import merge_states, partial_state
+from .similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    ivf_topk,
+    ivfpq_topk,
+    lsh_topk,
+)
 from .text import (
     curate_corpus,
     decontaminate,
@@ -26,6 +40,7 @@ from .timeseries import asof_join, bucketed_range_join, scd2_compact, sessionize
 __all__ = [
     "asof_join",
     "assign_split",
+    "bfs_hops",
     "brute_force_topk",
     "bucketed_range_join",
     "connected_components",
@@ -36,13 +51,17 @@ __all__ = [
     "exact_dedup",
     "gc_stale",
     "ivf_topk",
+    "ivfpq_topk",
+    "kcore",
     "lang_id",
     "lsh_topk",
     "merge_keyed",
+    "merge_states",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "pack_sequences",
     "pagerank",
+    "partial_state",
     "quality_score",
     "redact_pii",
     "scd2_compact",
@@ -50,6 +69,7 @@ __all__ = [
     "simhash64_band_pairs",
     "simhash_band_pairs",
     "simhash_groups",
+    "temporal_reach",
     "tfidf_top_terms",
     "triangle_counts",
     "unigram_logprob",

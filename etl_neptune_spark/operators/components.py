@@ -430,3 +430,69 @@ def bfs_hops(
         frontier = nxt
     e.unpersist()
     return dist
+
+
+def temporal_reach(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    ts_col: str = "ts",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """(vertex, t): earliest TIME-RESPECTING arrival from ``source`` —
+    a path may only continue along edges whose timestamp is ≥ the
+    arrival time at their tail (the causal-reachability semantic for
+    event/telemetry graphs: "what could this incident have touched,
+    respecting time order").
+
+    Label-correcting fixpoint: each round relaxes every settled arrival
+    through the (cached) edge set and folds with a keyed ``min`` — one
+    join + one hash agg per round, the Pregel shape. Convergence is
+    detected by an order-insensitive digest (count + XOR of
+    (vertex, μs)); rounds are bounded by the longest IMPROVING chain,
+    which on temporal graphs is short (each improvement must strictly
+    decrease an arrival time along a time-ordered path). Raises if
+    ``max_rounds`` does not converge — a silently unconverged
+    reachability set is worse than an error."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"), F.col(ts_col).alias("ets")
+        )
+        .filter(
+            F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    vt = e.schema[0].dataType.simpleString()
+    arrival = spark.createDataFrame(
+        [(source, "1970-01-01 00:00:00")], schema=f"vertex {vt}, t string"
+    ).select("vertex", F.col("t").cast("timestamp").alias("t"))
+
+    def digest(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(vertex, unix_micros(t)))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = digest(arrival)
+    for _ in range(max_rounds):
+        relax = (
+            arrival.join(e, (arrival["vertex"] == e["u"]) & (e["ets"] >= arrival["t"]))
+            .select(F.col("v").alias("vertex"), F.col("ets").alias("t"))
+        )
+        arrival = (
+            arrival.unionByName(relax)
+            .groupBy("vertex")
+            .agg(F.min("t").alias("t"))
+            .localCheckpoint(eager=False)
+        )
+        cur = digest(arrival)
+        if cur == prev:
+            e.unpersist()
+            return arrival
+        prev = cur
+    raise RuntimeError(f"temporal_reach did not converge in {max_rounds} rounds")

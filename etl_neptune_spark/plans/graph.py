@@ -652,3 +652,48 @@ register(
     SELECT vertex, min(hops) AS hops FROM walk GROUP BY vertex
     """,
 )
+
+
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest time-respecting arrival from vertex 0 over the
+    timestamped events interaction graph (operators.components.
+    temporal_reach) — causal reachability, certified against DuckDB's
+    recursive enumeration of admissible (vertex, ts) states with a
+    min rollup."""
+    from ..operators.components import temporal_reach
+
+    events = load_table(spark, sf_dir, "events")
+    edges = events.select(
+        (F.col("user_id") % PR_MOD).cast("bigint").alias("src"),
+        (F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("bigint") % PR_MOD)
+        .alias("dst"),
+        "ts",
+    ).filter(F.col("dst").isNotNull())
+    return temporal_reach(edges, BFS_SOURCE)
+
+
+register(
+    "q_temporal_reach",
+    q_temporal_reach,
+    f"""
+    WITH RECURSIVE raw AS (
+        SELECT DISTINCT CAST(user_id % {PR_MOD} AS BIGINT) AS u,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                   % {PR_MOD} AS v,
+               ts
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+              IS NOT NULL
+    ),
+    e AS (SELECT u, v, ts FROM raw WHERE u <> v),
+    walk AS (
+        SELECT CAST({BFS_SOURCE} AS BIGINT) AS vertex,
+               TIMESTAMP '1970-01-01 00:00:00' AS t
+        UNION
+        SELECT e.v, e.ts
+        FROM walk JOIN e ON e.u = walk.vertex AND e.ts >= walk.t
+    )
+    SELECT vertex, min(t) AS t FROM walk GROUP BY vertex
+    """,
+)

@@ -1001,3 +1001,86 @@ register(
     FROM per_user, anchor
     """,
 )
+
+
+DAU_WINDOW = 7
+
+
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: per day, distinct active users that day
+    (DAU), in the trailing 7 days (WAU), and the DAU/WAU stickiness as
+    exact integer per-mille.
+
+    Distinct-count-over-window doesn't exist as a window function, and
+    a day-spine × events range join re-scans events per day. The scale
+    shape used here: reduce to DISTINCT (user, day) first (one keyed
+    shuffle, corpus → activity-matrix reduction), then replicate each
+    activity row to the ≤ 7 window days it can serve (bounded fan-out =
+    window/slide, independent of data size), then one hash agg counting
+    distinct users per window day. Trailing windows at the span's start
+    are naturally partial (fewer than 7 contributing days) — the exact
+    semantic a dashboard wants."""
+    events = load_table(spark, sf_dir, "events")
+    activity = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    serves = activity.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), DAU_WINDOW - 1),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("win_day"),
+        F.col("day"),
+    )
+    # only window days that exist in the data span
+    span = activity.select(F.col("day").alias("win_day")).distinct()
+    wau = (
+        serves.join(span, "win_day")
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = activity.groupBy(F.col("day").alias("win_day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return (
+        dau.join(wau, "win_day")
+        .select(
+            F.col("win_day").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 1000 div wau").alias("stickiness_pm"),
+        )
+    )
+
+
+register(
+    "q_rolling_dau",
+    q_rolling_dau,
+    f"""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    span AS (SELECT DISTINCT day AS win_day FROM activity),
+    serves AS (
+        SELECT a.user_id,
+               a.day + t.range * INTERVAL 1 DAY AS win_day
+        FROM activity a, range(0, {DAU_WINDOW}) t
+    ),
+    wau AS (
+        SELECT CAST(s.win_day AS DATE) AS win_day,
+               count(DISTINCT s.user_id) AS wau
+        FROM serves s JOIN span ON CAST(s.win_day AS DATE) = span.win_day
+        GROUP BY 1
+    ),
+    dau AS (
+        SELECT day AS win_day, count(DISTINCT user_id) AS dau
+        FROM activity GROUP BY day
+    )
+    SELECT d.win_day AS day, d.dau, w.wau,
+           (d.dau * 1000) // w.wau AS stickiness_pm
+    FROM dau d JOIN wau w ON d.win_day = w.win_day
+    """,
+)

@@ -379,3 +379,28 @@ def test_bfs_hops_hand_checked(spark):
     # hop cap truncates the frontier expansion
     capped = {r.vertex: r.hops for r in bfs_hops(edges, 0, max_hops=2).collect()}
     assert capped == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_temporal_reach_respects_time_order(spark):
+    """An edge that fires BEFORE the path reaches its tail must not be
+    traversed: 0 -(t10)-> 1 -(t5)-> 2 is not a causal path, but
+    0 -(t10)-> 1 -(t20)-> 2 is."""
+    from etl_neptune_spark.operators.components import temporal_reach
+
+    rows = [
+        (0, 1, "2024-01-01 00:00:10"),
+        (1, 2, "2024-01-01 00:00:05"),  # too early: unusable after arriving at t10
+        (1, 3, "2024-01-01 00:00:20"),
+        (3, 2, "2024-01-01 00:00:30"),  # late path to 2 IS causal
+        (9, 0, "2024-01-01 00:00:01"),  # inbound edge: direction respected
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long, ts string").select(
+        "src", "dst", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {r.vertex: str(r.t) for r in temporal_reach(edges, 0).collect()}
+    assert got == {
+        0: "1970-01-01 00:00:00",
+        1: "2024-01-01 00:00:10",
+        3: "2024-01-01 00:00:20",
+        2: "2024-01-01 00:00:30",
+    }
