@@ -27,6 +27,7 @@ _PLAN_MODULES = [
     "etl_neptune_spark.plans.timeseries",
     "etl_neptune_spark.plans.metrics",
     "etl_neptune_spark.plans.corpus",
+    "etl_neptune_spark.plans.tpch",
 ]
 
 

@@ -1,0 +1,231 @@
+"""TPC-H-shaped certified queries (Q1 / Q3 / Q5 / Q6 adapted to the
+driver fixture's column subset).
+
+These aren't reference semantics — they're the standard relational
+benchmark shapes, included to certify that the engine runs classic
+warehouse workloads end-to-end with engine-portable numerics: every
+money expression rides exact DECIMAL arithmetic (scale addition under
+multiplication keeps products exact), sums stay decimal until one final
+double cast, and means use the integer half-up identity from
+``functions.dec_avg`` — so the DuckDB oracle match is bit-exact, not
+tolerance-based.
+
+Plan shapes: Q1 is one pruned scan + a 2-key hash aggregate; Q3/Q5 are
+broadcast-dimension joins feeding a keyed agg (customer/nation/region
+are dimension-sized); Q6 is a pure pushed-predicate scan-aggregate.
+At 100 TB all four are the canonical shapes Catalyst already
+distributes; nothing here shuffles more than once per aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dec_avg
+from ..sources import load_table
+from .registry import register
+
+# Exact decimal building blocks (Spark and DuckDB both add scales under
+# decimal multiplication, so these products are exact in both engines).
+_EXT = F.col("l_extendedprice").cast("decimal(18,2)")
+_ONE = F.lit(1).cast("decimal(4,2)")
+_DISC = F.col("l_discount").cast("decimal(4,2)")
+_TAX = F.col("l_tax").cast("decimal(4,2)")
+
+_SQL_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: per (returnflag, linestatus) decimal-
+    exact sums of qty / price / discounted price / charge, half-up
+    means, and row counts over the shipped-by cutoff."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = _EXT * (_ONE - _DISC)
+    charge = disc_price * (_ONE + _TAX)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(_EXT).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+register(
+    "q_tpch_q1",
+    q_tpch_q1,
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(sum({_SQL_REV}) AS DOUBLE) AS sum_disc_price,
+           CAST(sum({_SQL_REV}
+                    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_charge,
+           CAST((CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) * 20000 AS BIGINT)
+                 + count(l_quantity)) // (2 * count(l_quantity)) AS DOUBLE)
+               / 10000.0 AS avg_qty,
+           CAST((CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) * 20000
+                      AS BIGINT)
+                 + count(l_extendedprice)) // (2 * count(l_extendedprice))
+                AS DOUBLE) / 10000.0 AS avg_price,
+           CAST((CAST(sum(CAST(l_discount AS DECIMAL(28,2))) * 20000 AS BIGINT)
+                 + count(l_discount)) // (2 * count(l_discount)) AS DOUBLE)
+               / 10000.0 AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+Q3_TOP = 10
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority (o_orderpriority standing in for the
+    absent o_shippriority): BUILDING-segment revenue per open order,
+    top-10 by revenue — broadcast customer dim, one keyed agg, then a
+    distributed TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust.select("c_custkey")),
+                    orders["o_custkey"] == F.col("c_custkey"),
+                ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_EXT * (_ONE - _DISC)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "o_orderkey")
+        .limit(Q3_TOP)
+    )
+
+
+register(
+    "q_tpch_q3",
+    q_tpch_q3,
+    f"""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(sum({_SQL_REV}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, o.o_orderkey
+    LIMIT {Q3_TOP}
+    """,
+)
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: revenue per nation where the
+    supplying and ordering nations match, one order-date year,
+    dimension chain customer→nation→region broadcast throughout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(_EXT * (_ONE - _DISC)).cast("double").alias("revenue"))
+    )
+
+
+register(
+    "q_tpch_q5",
+    q_tpch_q5,
+    f"""
+    SELECT n.n_name, CAST(sum({_SQL_REV}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast-revenue change: one pushed-predicate scan and
+    a single global decimal sum — the purest pushdown benchmark."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").cast("decimal(4,2)") >= F.lit("0.05").cast("decimal(4,2)"))
+        & (F.col("l_discount").cast("decimal(4,2)") <= F.lit("0.07").cast("decimal(4,2)"))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_EXT * _DISC).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+register(
+    "q_tpch_q6",
+    q_tpch_q6,
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN
+          CAST(0.05 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
+      AND l_quantity < 24
+    """,
+)

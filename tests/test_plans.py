@@ -187,3 +187,22 @@ def test_histogram_is_single_scan_single_agg(plans):
     assert p.count("FileScan") == 1
     # partial + final hash aggregate on the bucket key
     assert p.count("HashAggregate") >= 2
+
+
+def test_tpch_plans_broadcast_and_pushdown(plans):
+    # Q6: the pure scan-aggregate — date + quantity predicates must
+    # reach the parquet reader, and the scan reads only the 4 needed
+    # columns.
+    p6 = plans("q_tpch_q6")
+    assert "PushedFilters" in p6 and "l_shipdate" in p6
+    assert "l_orderkey" not in p6.split("ReadSchema")[-1].split("\n")[0]
+    # Q3/Q5: every dimension join is a broadcast hash join — a
+    # sort-merge join would mean a full shuffle of lineitem per dim.
+    for q in ("q_tpch_q3", "q_tpch_q5"):
+        p = plans(q)
+        assert "BroadcastHashJoin" in p, q
+        assert "SortMergeJoin" not in p, q
+    # Q1: single scan, partial+final hash agg
+    p1 = plans("q_tpch_q1")
+    assert p1.count("FileScan") == 1
+    assert p1.count("HashAggregate") >= 2
