@@ -1396,3 +1396,37 @@ register(
     FROM (SELECT c_custkey, count(*) AS n FROM customer GROUP BY c_custkey)
     """,
 )
+
+
+# ONE SQL text, two engines: the Spark side registers the normalized
+# snapshot views and runs THIS string through spark.sql; the oracle runs
+# the IDENTICAL string in DuckDB. Certifies the engine's SQL surface on
+# the dialect intersection (CTEs, ordinal GROUP BY, FILTER clauses,
+# decimal casts, date_trunc) — a user can hand this engine ANSI SQL, not
+# just DataFrame programs.
+_SQL_SURFACE = """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               count(*) AS n,
+               count(*) FILTER (WHERE value >= 250.0) AS n_hot,
+               CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT day, event_type, n, n_hot, total
+    FROM daily
+"""
+
+
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface parity: the exact oracle SQL text executed by
+    ``spark.sql`` over the registered snapshot views — certifying the
+    ANSI dialect intersection end-to-end, not a DataFrame translation
+    of it."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_SQL_SURFACE)
+
+
+register("q_sql_surface", q_sql_surface, _SQL_SURFACE)
