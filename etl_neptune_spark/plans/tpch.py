@@ -229,3 +229,95 @@ register(
       AND l_quantity < 24
     """,
 )
+
+
+Q4_LATE_DAYS = 90
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): count orders per
+    priority having at least one LATE lineitem (shipped more than
+    ``Q4_LATE_DAYS`` days after the order date — standing in for the
+    absent commit/receipt dates). The EXISTS becomes a LEFT SEMI join
+    with a non-equi conjunct; the build side is keyed on l_orderkey, so
+    the plan is one shuffle-or-broadcast semi join + one hash agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(orders["o_orderdate"], Q4_LATE_DAYS)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+register(
+    "q_tpch_q4",
+    q_tpch_q4,
+    f"""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+Q18_MIN_QTY = 300
+Q18_TOP = 10
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds a floor, joined back to customer, top-10
+    by quantity. The HAVING subquery is one keyed hash agg whose
+    survivor set is tiny, so the join-back broadcasts the survivors —
+    never re-shuffling lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > Q18_MIN_QTY)
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(Q18_TOP)
+    )
+
+
+register(
+    "q_tpch_q18",
+    q_tpch_q18,
+    f"""
+    WITH big AS (
+        SELECT l_orderkey,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_MIN_QTY}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, CAST(b.qty_dec AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT {Q18_TOP}
+    """,
+)
