@@ -559,3 +559,72 @@ def test_store_time_travel_reads_retained_versions(spark, events, tmp_path):
     v2 = store.read_version(spark, "edges", 2)
     assert v1 is not None and v2 is not None
     assert store.read(spark, "edges").count() == v2.count()
+
+
+def test_foreachbatch_incremental_state_matches_batch(spark, events, tmp_path):
+    """Standing aggregate state maintained by operators.incremental
+    inside foreachBatch across 3 file-arrival micro-batches must equal
+    the single-pass batch recompute — the streaming form of the
+    q_incremental_agg certification."""
+    from etl_neptune_spark.operators.incremental import merge_states, partial_state
+
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    flat = events.select("event_id", "user_id", "value")
+    for i in range(3):
+        _add_flat_batch(
+            flat.filter(F.col("event_id") % 3 == i), src, f"b{i}"
+        )
+
+    state_dir = str(tmp_path / "state")
+    keys = ["k"]
+
+    def reduce_batch(batch, _bid):
+        if batch.isEmpty():
+            return
+        inc = partial_state(
+            batch.select(
+                (F.col("user_id") % 7).alias("k"),
+                F.col("value").cast("decimal(28,2)").alias("v"),
+            ),
+            keys,
+            counts={"n": None},
+            sums={"s": F.col("v")},
+            maxs={"mx": F.col("v")},
+        )
+        s = batch.sparkSession
+        if os.path.exists(state_dir):
+            prev = s.read.parquet(state_dir)
+            inc = merge_states([prev, inc], keys, ["n", "s"], ["mx"])
+        staged = state_dir + "__stage"
+        inc.write.mode("overwrite").parquet(staged)
+        s.read.parquet(staged).write.mode("overwrite").parquet(state_dir)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(reduce_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.k: (r.n, r.s, r.mx)
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    want = {
+        r.k: (r.n, r.s, r.mx)
+        for r in events.select(
+            (F.col("user_id") % 7).alias("k"),
+            F.col("value").cast("decimal(28,2)").alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
