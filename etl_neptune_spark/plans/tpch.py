@@ -28,10 +28,23 @@ from .registry import register
 
 # Exact decimal building blocks (Spark and DuckDB both add scales under
 # decimal multiplication, so these products are exact in both engines).
-_EXT = F.col("l_extendedprice").cast("decimal(18,2)")
-_ONE = F.lit(1).cast("decimal(4,2)")
-_DISC = F.col("l_discount").cast("decimal(4,2)")
-_TAX = F.col("l_tax").cast("decimal(4,2)")
+# Lazy (functions, not module-level Columns): Column construction needs
+# an active SparkContext, and the driver may import this module / call
+# oracle_sql() before any session exists.
+def _ext():
+    return F.col("l_extendedprice").cast("decimal(18,2)")
+
+
+def _one():
+    return F.lit(1).cast("decimal(4,2)")
+
+
+def _disc():
+    return F.col("l_discount").cast("decimal(4,2)")
+
+
+def _tax():
+    return F.col("l_tax").cast("decimal(4,2)")
 
 _SQL_REV = (
     "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -46,15 +59,15 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    disc_price = _EXT * (_ONE - _DISC)
-    charge = disc_price * (_ONE + _TAX)
+    disc_price = _ext() * (_one() - _disc())
+    charge = disc_price * (_one() + _tax())
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
             .cast("double")
             .alias("sum_qty"),
-            F.sum(_EXT).cast("double").alias("sum_base_price"),
+            F.sum(_ext()).cast("double").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
             dec_avg("l_quantity").alias("avg_qty"),
@@ -123,7 +136,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             li["l_orderkey"] == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_EXT * (_ONE - _DISC)).cast("double").alias("revenue"))
+        .agg(F.sum(_ext() * (_one() - _disc())).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "o_orderkey")
         .limit(Q3_TOP)
     )
@@ -174,7 +187,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("n_name")
-        .agg(F.sum(_EXT * (_ONE - _DISC)).cast("double").alias("revenue"))
+        .agg(F.sum(_ext() * (_one() - _disc())).cast("double").alias("revenue"))
     )
 
 
@@ -209,7 +222,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum(_EXT * _DISC).cast("double").alias("revenue"),
+        F.sum(_ext() * _disc()).cast("double").alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
