@@ -367,3 +367,58 @@ register(
     LIMIT {DRIFT_TOP}
     """,
 )
+
+
+CHUNK_WORDS = 64
+CHUNK_STRIDE = 48  # 16-word overlap between consecutive chunks
+
+
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking with overlap — the embedding/RAG preprocessing
+    step: fixed word windows (64 words, stride 48) per document, final
+    partial window kept. Pure narrow per-row explode (fan-out =
+    ceil(words/stride), data-independent per row) — zero shuffle, so it
+    composes with any downstream embed/dedup stage for free."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    exploded = docs.select(
+        "doc_id", words.alias("w"), F.posexplode(starts).alias("chunk_idx", "start_word")
+    )
+    chunk = F.slice(F.col("w"), F.col("start_word"), CHUNK_WORDS)
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        "start_word",
+        F.size(chunk).alias("n_words"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+register(
+    "q_chunking",
+    q_chunking,
+    f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    starts AS (
+        SELECT doc_id, words,
+               unnest(range(1, greatest(len(words), 1) + 1, {CHUNK_STRIDE}))
+                   AS start_word
+        FROM w
+    )
+    SELECT doc_id,
+           CAST((start_word - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(start_word AS INTEGER) AS start_word,
+           len(words[start_word : start_word + {CHUNK_WORDS} - 1]) AS n_words,
+           array_to_string(words[start_word : start_word + {CHUNK_WORDS} - 1], ' ')
+               AS chunk_text
+    FROM starts
+    """,
+)
