@@ -1430,3 +1430,71 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_sql_surface", q_sql_surface, _SQL_SURFACE)
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation of response value vs hour-of-day per event type, via
+    EXACT integer sufficient statistics: n, Σx, Σy, Σxy, Σx², Σy² in
+    cents/hours (bigint — no float folds), covariance and variance
+    numerators (n·Σxy − ΣxΣy etc.) as exact integers, and Pearson r as
+    their unrounded IEEE quotient — division and sqrt are correctly
+    rounded operations, so the double is bit-identical across engines
+    (only ``round()`` is not portable; it is deliberately absent).
+    One hash aggregate; sufficient statistics are the mergeable form
+    (operators.incremental posture) a standing profile table keeps."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("x"),
+        F.hour("ts").cast("bigint").alias("y"),
+    )
+    agg = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "event_type",
+        "n",
+        cov.alias("cov_num"),
+        vx.alias("var_x_num"),
+        vy.alias("var_y_num"),
+        (
+            cov.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        ).alias("pearson_r"),
+    )
+
+
+register(
+    "q_corr_stats",
+    q_corr_stats,
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+               CAST(hour(ts) AS BIGINT) AS y
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           n * sxy - sx * sy AS cov_num,
+           n * sxx - sx * sx AS var_x_num,
+           n * syy - sy * sy AS var_y_num,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+    FROM agg
+    """,
+)

@@ -334,3 +334,53 @@ register(
     LIMIT {Q18_TOP}
     """,
 )
+
+
+Q10_TOP = 20
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): lost revenue per
+    customer from 'R'-flagged lineitems in one order-date quarter,
+    top-20 by revenue — fact-side filters pushed, customer/nation dims
+    broadcast, one keyed agg, distributed top-k."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(_ext() * (_one() - _disc())).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(Q10_TOP)
+    )
+
+
+register(
+    "q_tpch_q10",
+    q_tpch_q10,
+    f"""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           CAST(sum({_SQL_REV}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT {Q10_TOP}
+    """,
+)
