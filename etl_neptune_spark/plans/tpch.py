@@ -384,3 +384,274 @@ register(
     LIMIT {Q10_TOP}
     """,
 )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: revenue between two trading nations per
+    (supp_nation, cust_nation, ship year), both directions. Supplier and
+    customer nation resolve through broadcast dims; the only shuffle is
+    the final 3-key hash agg — lineitem↔orders is the single fact-fact
+    join and rides the l_orderkey equi key."""
+    n1, n2 = "NATION_1", "NATION_2"
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup_n = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cus_n = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(sup_n), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cus_n), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_ext() * (_one() - _disc())).cast("double").alias("revenue"))
+    )
+
+
+register(
+    "q_tpch_q7",
+    q_tpch_q7,
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum({_SQL_REV}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+)
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_3-supplied fraction of
+    AMERICA-region ECONOMY-part order revenue per order year. Numerator
+    and denominator are conditional/total decimal sums inside ONE keyed
+    agg (no scalar-subquery join); the share is a single double division
+    of exact values, identical text in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    sup_n = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cus_n = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    rev = _ext() * (_one() - _disc())
+    zero = F.lit(0).cast("decimal(24,4)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cus_n), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region["r_regionkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sup_n), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev.cast("decimal(24,4)"))
+                .otherwise(zero)
+            ).alias("nat_dec"),
+            F.sum(rev.cast("decimal(24,4)")).alias("all_dec"),
+        )
+        .select(
+            "o_year",
+            (F.col("nat_dec").cast("double") / F.col("all_dec").cast("double"))
+            .alias("mkt_share"),
+        )
+    )
+
+
+register(
+    "q_tpch_q8",
+    q_tpch_q8,
+    f"""
+    WITH flat AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST({_SQL_REV} AS DECIMAL(24,4)) AS rev,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE p.p_type = 'ECONOMY' AND r.r_name = 'AMERICA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                         ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+           / CAST(sum(rev) AS DOUBLE) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer distribution: histogram of per-customer order
+    counts, customers with zero (non-urgent) orders included via the
+    LEFT OUTER join. Two hash aggs — per-customer then per-count — both
+    keyed shuffles with map-side combine; no window, no broadcast of the
+    fact side."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+register(
+    "q_tpch_q13",
+    q_tpch_q13,
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: PROMO-part share of one ship-month's
+    revenue. Conditional and total decimal sums in ONE global agg (no
+    scalar-subquery join); part is a broadcast dim; the percentage is a
+    final double division of exact sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (_ext() * (_one() - _disc())).cast("decimal(24,4)")
+    zero = F.lit(0).cast("decimal(24,4)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .alias("promo_dec"),
+            F.sum(rev).alias("all_dec"),
+        )
+        .select(
+            (
+                F.lit(100.0)
+                * F.col("promo_dec").cast("double")
+                / F.col("all_dec").cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+register(
+    "q_tpch_q14",
+    q_tpch_q14,
+    f"""
+    SELECT 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST({_SQL_REV} AS DECIMAL(24,4))
+                                 ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+           / CAST(sum(CAST({_SQL_REV} AS DECIMAL(24,4))) AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: the supplier(s) with maximum quarterly
+    revenue. The revenue view is one keyed decimal agg; the global max is
+    a 1-row agg broadcast back as an equi join on the EXACT decimal value
+    (never compared in floating point), so ties surface identically in
+    both engines; supplier is a broadcast dim."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_ext() * (_one() - _disc())).alias("rev_dec"))
+    )
+    mx = rev.agg(F.max("rev_dec").alias("mx_dec"))
+    return (
+        rev.join(F.broadcast(mx), rev["rev_dec"] == mx["mx_dec"])
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+register(
+    "q_tpch_q15",
+    q_tpch_q15,
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey, sum({_SQL_REV}) AS rev_dec
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.rev_dec AS DOUBLE) AS total_revenue
+    FROM revenue r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.rev_dec = (SELECT max(rev_dec) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
