@@ -655,3 +655,337 @@ register(
     ORDER BY s.s_suppkey
     """,
 )
+
+
+Q2_SIZE = 30
+Q2_TOP = 25
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): with no partsupp table in
+    the fixture, the part↔supplier relation and its cost come from
+    lineitem — cost(part, supp) := min(l_extendedprice) over their
+    lineitems. The correlated MIN subquery becomes a per-part keyed agg
+    joined back on the EXACT decimal cost (never floating-point
+    equality); part/supplier/nation/region are broadcast dims. Two keyed
+    shuffles of the fact side total (cost pairs, per-part min), then a
+    distributed top-k."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == Q2_SIZE) | (F.col("p_type") == "LARGE")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = (
+        li.join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .drop("p_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_ext()).alias("cost_dec"))
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mp_key")).agg(
+        F.min("cost_dec").alias("min_dec")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (cost["l_partkey"] == F.col("mp_key"))
+            & (cost["cost_dec"] == F.col("min_dec")),
+        )
+        .join(F.broadcast(supp), cost["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .join(F.broadcast(part), cost["l_partkey"] == part["p_partkey"])
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("cost_dec").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(Q2_TOP)
+    )
+
+
+register(
+    "q_tpch_q2",
+    q_tpch_q2,
+    f"""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost_dec
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_size = {Q2_SIZE} OR p_type = 'LARGE')
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+           CAST(c.cost_dec AS DOUBLE) AS supply_cost
+    FROM cost c
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN part p ON c.l_partkey = p.p_partkey
+    WHERE r.r_name = 'EUROPE'
+      AND c.cost_dec = (SELECT min(c2.cost_dec) FROM cost c2
+                        WHERE c2.l_partkey = c.l_partkey)
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT {Q2_TOP}
+    """,
+)
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: lineitems of one brand
+    whose quantity is under 20% of that part's mean quantity. The
+    correlated AVG is cleared of division entirely —
+    ``qty < 0.2 * sum/cnt``  ⇔  ``5 * qty * cnt < sum`` in exact
+    decimal/bigint arithmetic — so the threshold compare is bit-exact in
+    both engines; per-part totals are one keyed agg joined back on
+    l_partkey (broadcastable: bounded by the brand's part count)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(
+        F.broadcast(part.select("p_partkey")), li["l_partkey"] == F.col("p_partkey")
+    ).drop("p_partkey")
+    per_part = branded.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_sum_dec"),
+        F.count("*").alias("qty_cnt"),
+    )
+    return (
+        branded.join(F.broadcast(per_part), branded["l_partkey"] == F.col("pp_key"))
+        .filter(
+            F.lit(5)
+            * F.col("l_quantity").cast("decimal(18,2)")
+            * F.col("qty_cnt")
+            < F.col("qty_sum_dec")
+        )
+        .agg(
+            (F.sum(_ext()).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+register(
+    "q_tpch_q17",
+    q_tpch_q17,
+    """
+    WITH branded AS (
+        SELECT l.* FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#1'
+    ), per_part AS (
+        SELECT l_partkey AS pp_key,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum_dec,
+               count(*) AS qty_cnt
+        FROM branded GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(b.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+           count(*) AS n_small
+    FROM branded b
+    JOIN per_part pp ON b.l_partkey = pp.pp_key
+    WHERE 5 * CAST(b.l_quantity AS DECIMAL(18,2)) * pp.qty_cnt
+          < pp.qty_sum_dec
+    """,
+)
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue: three OR'd (brand, size-range,
+    quantity-range) branches over the lineitem↔part join. Part is a
+    broadcast dim; the disjunction stays a single JVM-side predicate so
+    the join output filters without a shuffle; one global decimal sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(branch)
+        .agg(
+            F.sum(_ext() * (_one() - _disc())).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+register(
+    "q_tpch_q19",
+    q_tpch_q19,
+    f"""
+    SELECT CAST(sum({_SQL_REV}) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+
+
+Q21_LATE_DAYS = 90
+Q21_TOP = 20
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting: late lineitems
+    (shipped > ``Q21_LATE_DAYS`` days after order date, standing in for
+    the absent receipt/commit dates) in finalized multi-supplier orders
+    where that supplier was the ONLY late one. The classic
+    EXISTS / NOT-EXISTS pair is rewritten as ONE per-order aggregate —
+    (#distinct suppliers, #distinct late suppliers) — joined back to the
+    late rows on l_orderkey: two keyed shuffles of the fact instead of
+    two correlated self-joins; the DuckDB oracle keeps the canonical
+    correlated form, so the rewrite is certified equivalent."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    base = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), Q21_LATE_DAYS),
+    )
+    ostats = base.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "nlate"
+        ),
+    )
+    return (
+        base.filter(F.col("is_late"))
+        .join(ostats, base["l_orderkey"] == ostats["ok"])
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(Q21_TOP)
+    )
+
+
+register(
+    "q_tpch_q21",
+    q_tpch_q21,
+    f"""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s, lineitem l1, orders o
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT {Q21_TOP}
+    """,
+)
+
+
+Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+Q22_INACTIVE_SINCE = "1999-01-01"
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (c_nationkey standing in for
+    the absent phone country code): rich-but-inactive customers per
+    nation — account balance above the cohort's positive mean, no orders
+    on file. The scalar AVG subquery resolves driver-side as ONE bounded
+    1-row aggregate (sum, count) turned into literals — the same
+    two-phase anchor pattern as ``sources.tables._ts_anchor``, which at
+    100 TB keeps the main scan a single pushdown-friendly pass — and the
+    mean compare is division-free: ``bal > sum/cnt`` ⇔ ``bal*cnt > sum``
+    in exact decimal/bigint; inactivity (no orders since
+    ``Q22_INACTIVE_SINCE`` — every fixture customer has SOME historical
+    order, so the classic no-orders-ever test is vacuous here) is one
+    LEFT ANTI join against the date-pruned orders scan."""
+    in_set = F.col("c_nationkey").isin(*Q22_NATIONS)
+    cust = load_table(spark, sf_dir, "customer")
+    cohort = cust.filter(in_set & (F.col("c_acctbal") > 0))
+    row = cohort.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("s"),
+        F.count("*").alias("c"),
+    ).first()
+    bal_sum, bal_cnt = row["s"], row["c"]
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(Q22_INACTIVE_SINCE).cast("timestamp")
+    ).select("o_custkey")
+    rich = cust.filter(
+        in_set
+        & (
+            F.col("c_acctbal").cast("decimal(18,2)") * F.lit(bal_cnt)
+            > F.lit(bal_sum).cast("decimal(38,2)")
+        )
+    )
+    return (
+        rich.join(orders, rich["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+register(
+    "q_tpch_q22",
+    q_tpch_q22,
+    f"""
+    SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+           count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_nationkey IN {Q22_NATIONS}
+      AND CAST(c_acctbal AS DECIMAL(18,2))
+          * (SELECT count(*) FROM customer
+             WHERE c_acctbal > 0 AND c_nationkey IN {Q22_NATIONS})
+          > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+             WHERE c_acctbal > 0 AND c_nationkey IN {Q22_NATIONS})
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >=
+                            TIMESTAMP '{Q22_INACTIVE_SINCE} 00:00:00')
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+    """,
+)
