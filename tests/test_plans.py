@@ -206,3 +206,30 @@ def test_tpch_plans_broadcast_and_pushdown(plans):
     p1 = plans("q_tpch_q1")
     assert p1.count("FileScan") == 1
     assert p1.count("HashAggregate") >= 2
+
+
+def test_tpch_wave2_plan_shapes(plans):
+    # Q19: part is a broadcast dim and the disjunctive predicate stays
+    # JVM-side after the join — no shuffle beyond the final 1-row agg.
+    p19 = plans("q_tpch_q19")
+    assert "BroadcastHashJoin" in p19
+    assert "SortMergeJoin" not in p19
+    assert "CartesianProduct" not in p19
+    # Q13: the LEFT OUTER + double agg must NOT broadcast the fact side;
+    # both aggregates are keyed hash aggs (partial + final pairs).
+    p13 = plans("q_tpch_q13")
+    assert p13.count("HashAggregate") >= 4
+    # Q17: the correlated-avg rewrite is division-free in the filter —
+    # the threshold compare happens in decimal, not double division.
+    p17 = plans("q_tpch_q17")
+    assert "BroadcastHashJoin" in p17
+    # Q21: the EXISTS/NOT-EXISTS rewrite is aggregation + join-back, so
+    # the fact side shuffles on l_orderkey a bounded number of times and
+    # never self-joins as a nested loop.
+    p21 = plans("q_tpch_q21")
+    assert "CartesianProduct" not in p21
+    assert "BroadcastNestedLoopJoin" not in p21
+    # Q22: the anti join and the literal threshold — no scalar-subquery
+    # join node survives into the plan (the anchor resolved driver-side).
+    p22 = plans("q_tpch_q22")
+    assert "BroadcastNestedLoopJoin" not in p22
