@@ -422,3 +422,104 @@ register(
     FROM starts
     """,
 )
+
+
+VOCAB_MIN_COUNT = 5
+VOCAB_TOP = 200
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary builder: corpus-wide term and document
+    frequencies, a min-count floor (hapax/noise cut), top-``VOCAB_TOP``
+    by frequency. One explode feeding ONE composite hash agg keyed on
+    the term — ``count(*)`` and ``count(distinct doc_id)`` share the
+    exchange — then a distributed top-k (TakeOrderedAndProject). At
+    100 TB this is the canonical two-phase vocab count: partial maps
+    combine per executor before the single term-keyed shuffle; the
+    min-count floor drops the long tail BEFORE the top-k heap."""
+    words = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count("*").alias("term_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("term_count") >= VOCAB_MIN_COUNT)
+        .orderBy(F.desc("term_count"), "word")
+        .limit(VOCAB_TOP)
+    )
+
+
+register(
+    "q_vocab",
+    q_vocab,
+    f"""
+    WITH words AS (
+        SELECT doc_id, w AS word
+        FROM documents, unnest(string_split(lower(text), ' ')) AS t(w)
+        WHERE w != ''
+    )
+    SELECT word, count(*) AS term_count,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM words
+    GROUP BY word
+    HAVING count(*) >= {VOCAB_MIN_COUNT}
+    ORDER BY term_count DESC, word
+    LIMIT {VOCAB_TOP}
+    """,
+)
+
+
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weighting: per-source whitespace-token totals
+    and the up/down-sampling weight that equalizes each source's share
+    of the token budget — weight = total / (n_sources · src_tokens),
+    division-free until one final double op over exact BIGINT counts.
+    The fact side collapses in ONE source-keyed agg; the global totals
+    ride an unpartitioned window over the agg output, which is
+    dimension-sized (one row per source), so the SinglePartition
+    exchange moves a handful of rows, never the corpus."""
+    toks = F.size(F.split(F.col("text"), " "))
+    per_source = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(toks.cast("bigint")).alias("src_tokens"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return per_source.select(
+        "source",
+        "src_tokens",
+        (
+            F.col("src_tokens").cast("double")
+            / F.sum("src_tokens").over(w).cast("double")
+        ).alias("tok_share"),
+        (
+            F.sum("src_tokens").over(w).cast("double")
+            / (F.count("*").over(w) * F.col("src_tokens")).cast("double")
+        ).alias("mix_weight"),
+    ).orderBy("source")
+
+
+register(
+    "q_mixture",
+    q_mixture,
+    """
+    WITH per_source AS (
+        SELECT source,
+               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS src_tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source, src_tokens,
+           CAST(src_tokens AS DOUBLE)
+               / CAST(sum(src_tokens) OVER () AS DOUBLE) AS tok_share,
+           CAST(sum(src_tokens) OVER () AS DOUBLE)
+               / CAST(count(*) OVER () * src_tokens AS DOUBLE) AS mix_weight
+    FROM per_source
+    ORDER BY source
+    """,
+)
