@@ -268,3 +268,56 @@ def sessionize(
     return events.withColumn(
         "session_id", F.sum(new_session).over(run).cast("long")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average —
+    ``y_t = alpha·x_t + (1−alpha)·y_{t−1}``, seeded ``y_1 = x_1``.
+
+    A sequential recurrence has no shuffle-free SQL form (each row
+    depends on ALL its predecessors), so this is the documented
+    Python-boundary case (SCALE.md §Python boundary policy): ONE
+    ``applyInPandas`` over the key — a single keyed shuffle, Arrow
+    transfer, and a linear in-memory scan per key. State per group is
+    that key's history only, so memory is bounded by the hottest key,
+    not the table; at 100 TB the keyed layout is exactly how a
+    1000-executor cluster runs it. The recurrence is evaluated with the
+    explicit op order ``alpha·x + (1−alpha)·y`` so an oracle computing
+    the identical IEEE doubles sequence (e.g. a recursive CTE) matches
+    bit-for-bit — pandas' own ``ewm`` is NOT used because its kernel
+    associates the update differently (``y + alpha·(x−y)``), which
+    rounds differently.
+    """
+    import pandas as pd
+
+    out_fields = f"{key_col} bigint, {id_col} bigint, {val_col} double, ewma double"
+    a = float(alpha)
+    b = 1.0 - a
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        vals = pdf[val_col].to_numpy(dtype="float64")
+        out = vals.copy()
+        for i in range(1, len(out)):
+            out[i] = a * vals[i] + b * out[i - 1]
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                id_col: pdf[id_col].to_numpy(),
+                val_col: vals,
+                "ewma": out,
+            }
+        )
+
+    return (
+        df.select(key_col, ts_col, id_col, val_col)
+        .groupBy(key_col)
+        .applyInPandas(_kernel, out_fields)
+    )

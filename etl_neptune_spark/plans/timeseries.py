@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..operators.timeseries import (
     asof_join,
     bucketed_range_join,
+    ewma,
     scd2_compact,
     sessionize,
 )
@@ -1082,5 +1083,104 @@ register(
     SELECT d.win_day AS day, d.dau, w.wau,
            (d.dau * 1000) // w.wau AS stickiness_pm
     FROM dau d JOIN wau w ON d.win_day = w.win_day
+    """,
+)
+
+
+EWMA_ALPHA = 0.5
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (α = 0.5, seeded at the first
+    observation) — the sequential-recurrence operator
+    (operators.timeseries.ewma): one keyed Arrow ``applyInPandas``,
+    certified bit-exact against a recursive-CTE oracle that evaluates
+    the identical IEEE double sequence."""
+    return ewma(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        val_col="value",
+        id_col="event_id",
+        alpha=EWMA_ALPHA,
+    )
+
+
+register(
+    "q_ewma",
+    q_ewma,
+    """
+    WITH RECURSIVE o AS (
+        SELECT user_id, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, event_id, value, rn, value AS ewma
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.value, o.rn,
+               0.5 * o.value + 0.5 * r.ewma
+        FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value, ewma FROM r
+    """,
+)
+
+
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling per user: open/close by deterministic
+    (ts, event_id) order, exact min/max/count — the classic telemetry
+    resample. Both row_number windows share the (user, bar) partition,
+    so the whole query is ONE keyed shuffle, two sorts, one hash agg."""
+    base = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("bar"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("user_id", "bar").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bar").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        base.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rd", F.row_number().over(wd))
+        .groupBy("user_id", "bar")
+        .agg(
+            F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+register(
+    "q_ohlc",
+    q_ohlc,
+    """
+    WITH b AS (
+        SELECT user_id, date_trunc('hour', ts) AS bar, ts, event_id, value
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id, bar
+                                  ORDER BY ts, event_id) AS ra,
+               row_number() OVER (PARTITION BY user_id, bar
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM b
+    )
+    SELECT user_id, bar,
+           max(CASE WHEN ra = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rd = 1 THEN value END) AS close,
+           count(*) AS n_events
+    FROM r GROUP BY user_id, bar
     """,
 )
