@@ -386,13 +386,19 @@ register(
 )
 
 
+Q7_BLOC = ("NATION_1", "NATION_2", "NATION_3")
+
+
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 volume shipping: revenue between two trading nations per
-    (supp_nation, cust_nation, ship year), both directions. Supplier and
-    customer nation resolve through broadcast dims; the only shuffle is
-    the final 3-key hash agg — lineitem↔orders is the single fact-fact
-    join and rides the l_orderkey equi key."""
-    n1, n2 = "NATION_1", "NATION_2"
+    """TPC-H Q7 volume shipping: revenue between trading-bloc nations
+    per (supp_nation, cust_nation, ship year), every cross-nation
+    direction inside the ``Q7_BLOC`` (classic Q7 fixes one pair; the
+    bloc keeps the identical shape while staying populated at every
+    fixture scale). Supplier and customer nation resolve through
+    broadcast dims; the only shuffle is the final 3-key hash agg —
+    lineitem↔orders is the single fact-fact join and rides the
+    l_orderkey equi key."""
+    bloc = list(Q7_BLOC)
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -414,8 +420,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup_n), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cus_n), F.col("c_nationkey") == F.col("cn_key"))
         .filter(
-            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
-            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+            F.col("supp_nation").isin(bloc)
+            & F.col("cust_nation").isin(bloc)
+            & (F.col("supp_nation") != F.col("cust_nation"))
         )
         .groupBy(
             "supp_nation",
@@ -441,8 +448,9 @@ register(
     JOIN nation cn ON c.c_nationkey = cn.n_nationkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-      AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND sn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND cn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND sn.n_name <> cn.n_name
     GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
     """,
 )
