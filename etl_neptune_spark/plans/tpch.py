@@ -1051,3 +1051,57 @@ register(
     ORDER BY nation, o_year DESC
     """,
 )
+
+
+Q12_LATE_DAYS = 60
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority check, with ship-lag
+    classes standing in for the absent l_shipmode): per lag class
+    (EXPRESS = shipped within ``Q12_LATE_DAYS`` days of ordering, SLOW
+    otherwise), how many high-priority vs low-priority orders it
+    carried in one ship year. One fact-fact equi join on l_orderkey,
+    the class derived JVM-side, two conditional counts in ONE keyed
+    agg — the canonical case-sum pattern at any scale."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    mode = F.when(
+        F.col("l_shipdate") <= F.date_add(F.col("o_orderdate"), Q12_LATE_DAYS),
+        "EXPRESS",
+    ).otherwise("SLOW")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(mode.alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+register(
+    "q_tpch_q12",
+    q_tpch_q12,
+    f"""
+    SELECT CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+                THEN 'EXPRESS' ELSE 'SLOW' END AS ship_mode,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY ship_mode
+    """,
+)
