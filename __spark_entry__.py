@@ -28,6 +28,7 @@ _PLAN_MODULES = [
     "etl_neptune_spark.plans.metrics",
     "etl_neptune_spark.plans.corpus",
     "etl_neptune_spark.plans.tpch",
+    "etl_neptune_spark.plans.linkage",
 ]
 
 
