@@ -710,3 +710,51 @@ def simhash_band_pairs(
         )
     )
     return cross.unionByName(same)
+
+
+def cross_minhash_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 6,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Batch-vs-corpus near-dup: which incoming docs near-duplicate an
+    EXISTING doc. The batch analog of ``streaming.dedup`` (same LSH
+    collision semantics), and the admission gate a crawl refresh runs
+    before appending to a 100 TB corpus.
+
+    Returns (corpus_id, batch_id, jaccard ≥ threshold, 4 dp). Candidates
+    come only from cross-side band collisions — the big corpus side is
+    never self-joined, so cost is |batch-collisions|, not |corpus|²;
+    at scale the corpus band entries are a precomputed table (see
+    ``streaming/store.py``) and only the batch side pays signature work
+    per run."""
+    from pyspark import StorageLevel
+
+    sh_c = doc_shingles(corpus, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh_b = doc_shingles(batch, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    bands_c = minhash_band_entries(sh_c, id_col, num_hashes, bands)
+    bands_b = minhash_band_entries(sh_b, id_col, num_hashes, bands)
+    candidates = (
+        bands_c.select("band", "band_hash", F.col(id_col).alias("corpus_id"))
+        .join(
+            bands_b.select("band", "band_hash", F.col(id_col).alias("batch_id")),
+            ["band", "band_hash"],
+        )
+        .select("corpus_id", "batch_id")
+        .distinct()
+    )
+    a = sh_c.select(F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh_a"))
+    b = sh_b.select(F.col(id_col).alias("batch_id"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.join(a, "corpus_id")
+        .join(b, "batch_id")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("corpus_id", "batch_id", "jaccard")
+    )

@@ -66,3 +66,27 @@ def merge_states(
     aggs = [F.sum(c).alias(c) for c in sum_cols]
     aggs += [F.max(c).alias(c) for c in max_cols]
     return out.groupBy(*keys).agg(*aggs)
+
+
+def delta_join_view(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """ΔV for the join view V = A ⋈ B under insert-only deltas:
+
+        ΔV = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    — the classic incremental-view-maintenance algebra (counting
+    algorithm, insert case). Appending ΔV to the stored V_old yields
+    exactly A_new ⋈ B_new (certified by ``q_ivm_join`` against a full
+    recompute). At 100 TB the wins compound: the two big terms join a
+    DELTA against a standing side (broadcast when the delta is small),
+    the stored view is never rescanned, and with both standing tables
+    bucketed on the join key all three terms are shuffle-free."""
+    d_av = delta_a.join(b_old, list(on))
+    a_dv = a_old.join(delta_b, list(on))
+    dd = delta_a.join(delta_b, list(on))
+    return d_av.unionByName(a_dv).unionByName(dd)

@@ -371,3 +371,70 @@ def redact_pii(
         n_phones.alias("n_phones"),
         F.md5(clean).alias("clean_hash"),
     )
+
+
+def collocation_pmi(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 10,
+) -> DataFrame:
+    """Corpus-wide collocations: pointwise mutual information of
+    adjacent word pairs, PMI = ln( p(ab) / (p(a)·p(b)) ).
+
+    Returns (w1, w2, pair_count, c1, c2, pmi rounded 4 dp) for pairs
+    seen ≥ ``min_count`` times. Scale posture: one linear bigram
+    explosion, one bigram-keyed hash agg, one word-keyed hash agg, and
+    two joins against the unigram table — which is vocab-sized, so both
+    are broadcasts. Corpus totals (words, bigrams) resolve to driver
+    literals via two bounded count actions (the tfidf/lookback-anchor
+    pattern), keeping the PMI expression constant-folded per row; the
+    ln/division order is fixed so the double result is engine-portable.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    bigrams = (
+        docs.select(
+            F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("ws")
+        )
+        .select(
+            F.posexplode(
+                F.when(
+                    F.size("ws") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - 1),
+                        lambda i: F.struct(
+                            F.element_at("ws", i).alias("w1"),
+                            F.element_at("ws", i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("pos", "bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    uni = words.groupBy("word").agg(F.count("*").alias("c"))
+    pair = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    n_words = words.count()
+    n_bigrams = bigrams.count()
+    out = (
+        pair.filter(F.col("pair_count") >= min_count)
+        .join(uni.select(F.col("word").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("c").alias("c2")), "w2")
+    )
+    # Fixed evaluation order: (pair/M) / ((c1/N)*(c2/N)) — identical
+    # IEEE sequence in the DuckDB oracle, so doubles match bit-for-bit.
+    p_ab = F.col("pair_count") / F.lit(float(n_bigrams))
+    p_a = F.col("c1") / F.lit(float(n_words))
+    p_b = F.col("c2") / F.lit(float(n_words))
+    return out.select(
+        "w1",
+        "w2",
+        "pair_count",
+        "c1",
+        "c2",
+        F.round(F.log(p_ab / (p_a * p_b)), 4).alias("pmi"),
+    )

@@ -523,3 +523,46 @@ register(
     ORDER BY source
     """,
 )
+
+
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: PMI of adjacent word pairs seen ≥ 10 times
+    (operators.text.collocation_pmi) — the phrase-mining signal a
+    tokenizer/vocab pipeline uses to promote multi-word units."""
+    from ..operators.text import collocation_pmi
+
+    return collocation_pmi(load_table(spark, sf_dir, "documents"), min_count=10)
+
+
+register(
+    "q_pmi",
+    q_pmi,
+    """
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS word,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS i
+        FROM documents
+    ),
+    bg AS (
+        SELECT a.word AS w1, b.word AS w2
+        FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE a.word != '' AND b.word != ''
+    ),
+    uni AS (SELECT word, count(*) AS c FROM w WHERE word != '' GROUP BY word),
+    pair AS (SELECT w1, w2, count(*) AS pair_count FROM bg GROUP BY w1, w2),
+    tot AS (
+        SELECT (SELECT count(*) FROM w WHERE word != '') AS n_words,
+               (SELECT count(*) FROM bg) AS n_bigrams
+    )
+    SELECT p.w1, p.w2, p.pair_count, u1.c AS c1, u2.c AS c2,
+           round(ln((p.pair_count / CAST(t.n_bigrams AS DOUBLE))
+                    / ((u1.c / CAST(t.n_words AS DOUBLE))
+                       * (u2.c / CAST(t.n_words AS DOUBLE)))), 4) AS pmi
+    FROM pair p
+    JOIN uni u1 ON u1.word = p.w1
+    JOIN uni u2 ON u2.word = p.w2
+    CROSS JOIN tot t
+    WHERE p.pair_count >= 10
+    """,
+)

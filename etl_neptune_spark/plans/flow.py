@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dec_avg
-from ..sources import load_events_lookback
+from ..sources import load_events_lookback, load_table
 from .registry import register
 
 # Deterministic key-space mapping (keeps group counts stable across SF,
@@ -207,5 +207,57 @@ register(
     FROM flows
     WHERE src != dst
     GROUP BY src, dst, protocol
+    """,
+)
+
+
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (counting algorithm, insert
+    case): V = orders ⋈ lineitem is maintained as V_old plus
+    ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB (operators.incremental.
+    delta_join_view), never recomputed from scratch. Certified by
+    aggregating the maintained view and comparing against a full
+    recompute oracle — any error in the delta algebra (a missed or
+    double-counted term) shifts the totals. Deltas are deterministic
+    key slices (orderkey mod); decimal sums keep the certificate
+    fold-order independent."""
+    from ..functions.scalar import dec_sum
+    from ..operators.incremental import delta_join_view
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    line = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    a_new = F.col("o_orderkey") % 7 == 0
+    b_new = F.col("o_orderkey") % 5 == 0
+    v_old = orders.filter(~a_new).join(line.filter(~b_new), "o_orderkey")
+    delta_v = delta_join_view(
+        orders.filter(~a_new),
+        orders.filter(a_new),
+        line.filter(~b_new),
+        line.filter(b_new),
+        on=["o_orderkey"],
+    )
+    return (
+        v_old.unionByName(delta_v)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dec_sum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+register(
+    "q_ivm_join",
+    q_ivm_join,
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
     """,
 )

@@ -1047,3 +1047,54 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_ann_pq", q_ann_pq)  # rows-only: k-means state is not SQL-expressible
+
+
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus admission gate: incoming docs (every 3rd doc_id
+    plays the re-crawl batch) that near-duplicate an EXISTING corpus
+    doc, via cross-side MinHash band collisions + exact Jaccard verify
+    — the corpus side is never self-joined
+    (operators.dedup.cross_minhash_pairs)."""
+    from ..operators.dedup import cross_minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 3 == 0
+    return cross_minhash_pairs(docs.filter(~is_batch), docs.filter(is_batch))
+
+
+register(
+    "q_cross_dedup",
+    q_cross_dedup,
+    f"""
+    WITH sh AS (
+        SELECT doc_id, source, {_SH_SQL} AS sh FROM documents
+    ),
+    nonempty AS (SELECT * FROM sh WHERE len(sh) > 0),
+    sigs AS (
+        SELECT doc_id, source, sh,
+               list_transform(range(0, 12),
+                   j -> list_min(list_transform(sh,
+                        s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
+        FROM nonempty
+    ),
+    bands AS (
+        SELECT doc_id, source, t.range AS band,
+               md5(array_to_string(sig[t.range*2+1 : t.range*2+2], '|')) AS band_hash
+        FROM sigs, range(0, 6) t
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS batch_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+        WHERE a.doc_id % 3 != 0 AND b.doc_id % 3 = 0
+    )
+    SELECT corpus_id, batch_id,
+           round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+    FROM cands
+    JOIN sigs sa ON sa.doc_id = corpus_id
+    JOIN sigs sb ON sb.doc_id = batch_id
+    WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.5
+    """,
+)
