@@ -1,0 +1,109 @@
+"""Change-data-capture between table snapshots.
+
+The reference maintains its graph by comparing the CURRENT extract
+against standing state per key — mergeV upserts what changed and the
+anti-join GC drops what disappeared (reference
+`lambda/etl_aws/neptune_etl_aws.py:209-253`, `fix_neptune_data.py`
+ghost cleanup). ``snapshot_diff`` is the batch-relational statement of
+that posture: given two snapshot versions of a keyed table, emit the
+changelog (insert / update / delete) that turns v_old into v_new —
+the feed a downstream incremental consumer (IVM, SCD-2, search index)
+applies instead of re-reading the full 100 TB snapshot.
+
+Plan shape: ONE full-outer sort-merge join on the key, then a null
+pattern + column comparison classifies each row — no window, no
+second pass. With both snapshots bucketed on the key the join is
+shuffle-free; AQE skew-splits hot keys otherwise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Changelog between two snapshots of a keyed table.
+
+    Returns one row per changed key:
+    ``(*keys, change, old_<col>..., new_<col>...)`` where ``change`` ∈
+    {'insert', 'delete', 'update'}. Unchanged keys (all compare columns
+    null-safely equal) are absent. ``compare_cols`` defaults to every
+    non-key column shared by both sides.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c in set(new.columns) and c not in set(keys)]
+    # Presence flags (not value-null checks) classify sides, so a key
+    # whose compare columns are legitimately NULL is still "present".
+    o = old.select(
+        *keys, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("__old_present", F.lit(True))
+    n = new.select(
+        *keys, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("__new_present", F.lit(True))
+    joined = o.join(n, on=list(keys), how="full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("__old_present").isNull(), F.lit("insert"))
+        .when(F.col("__new_present").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *keys,
+            "change",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )
+
+
+def compaction_bins(
+    files: DataFrame,
+    size_col: str = "size_bytes",
+    path_col: str = "path",
+    target_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction plan: assign files to target-sized output
+    bins (the maintenance job every streaming sink needs — each
+    micro-batch appends small files until scans drown in task
+    overhead).
+
+    First-fit over the size-ordered file list via a cumulative sum:
+    ``bin = floor((running_total − 1) / target)``. The ordered window
+    runs over the FILE LISTING — metadata, bounded by file count, a
+    deliberate single partition (the same documented posture as the
+    ntile render in q_rfm); for billion-file metastores swap in the
+    two-phase prefix sum of ``operators/packing.py``. Files larger
+    than the target dominate their own bin (the cum-sum jumps a full
+    stride past them).
+
+    Returns (path, size_bytes, bin, bin_bytes). The caller rewrites
+    each bin with ``coalesce(1)`` — embarrassingly parallel across
+    bins — then swaps directories atomically (see streaming/store.py
+    stage-then-rename)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(size_col).desc(), F.col(path_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binned = files.select(
+        path_col,
+        size_col,
+        F.floor((F.sum(size_col).over(w) - 1) / F.lit(target_bytes))
+        .cast("int")
+        .alias("bin"),
+    )
+    totals = binned.groupBy("bin").agg(F.sum(size_col).alias("bin_bytes"))
+    return binned.join(totals, "bin").select(path_col, size_col, "bin", "bin_bytes")

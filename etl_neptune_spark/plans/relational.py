@@ -1498,3 +1498,52 @@ register(
     FROM agg
     """,
 )
+
+
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (KLL-style percentile_approx)
+    certified by an exact-bracket contract: the sketch's p50/p95 must
+    land between the exact interpolated quantiles ±5 rank-percentiles.
+    The sketch path is the 100 TB plan — single pass, bounded memory,
+    associative merges (the same reason the reference keeps p99 in
+    ClickHouse's approximate quantile, neptune_etl_deepflow.py) —
+    while the oracle pins the exact brackets and asserts the contract
+    booleans are uniformly true."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    agg = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50_exact"),
+        F.round(F.percentile("value", 0.95), 4).alias("p95_exact"),
+        F.percentile("value", 0.45).alias("_p45"),
+        F.percentile("value", 0.55).alias("_p55"),
+        F.percentile("value", 0.90).alias("_p90"),
+        F.percentile("value", 0.99).alias("_p99"),
+        F.percentile_approx("value", 0.5, 10000).alias("_a50"),
+        F.percentile_approx("value", 0.95, 10000).alias("_a95"),
+    )
+    return agg.select(
+        "event_type",
+        "p50_exact",
+        "p95_exact",
+        ((F.col("_a50") >= F.col("_p45")) & (F.col("_a50") <= F.col("_p55"))).alias(
+            "p50_in_bracket"
+        ),
+        ((F.col("_a95") >= F.col("_p90")) & (F.col("_a95") <= F.col("_p99"))).alias(
+            "p95_in_bracket"
+        ),
+    )
+
+
+register(
+    "q_approx_quantile",
+    q_approx_quantile,
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50_exact,
+           round(quantile_cont(value, 0.95), 4) AS p95_exact,
+           TRUE AS p50_in_bracket,
+           TRUE AS p95_in_bracket
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)

@@ -1184,3 +1184,104 @@ register(
     FROM r GROUP BY user_id, bar
     """,
 )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshot versions of the orders table
+    (operators.cdc.snapshot_diff): v_new is a deterministic mutation of
+    v_old — every 13th key deleted, every 7th surviving key repriced,
+    every 11th key re-inserted under a new id — and the diff emits the
+    insert/update/delete changelog that turns v_old into v_new. One
+    full-outer join on the key; the feed an incremental consumer
+    (IVM, SCD-2, index) applies instead of re-reading the snapshot."""
+    from ..operators.cdc import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    deleted = F.col("o_orderkey") % 13 == 0
+    repriced = F.col("o_orderkey") % 7 == 0
+    cloned = F.col("o_orderkey") % 11 == 0
+    survivors = orders.filter(~deleted).withColumn(
+        "o_totalprice",
+        F.when(repriced, F.round(F.col("o_totalprice") + 1.5, 2)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    inserts = orders.filter(cloned).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 1000000
+    )
+    v_new = survivors.unionByName(inserts)
+    return snapshot_diff(orders, v_new, keys=["o_orderkey"])
+
+
+register(
+    "q_snapshot_diff",
+    q_snapshot_diff,
+    """
+    WITH v_new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN round(o_totalprice + 1.5, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 13 != 0
+        UNION ALL
+        SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    o AS (SELECT o_orderkey, o_orderstatus AS old_o_orderstatus,
+                 o_totalprice AS old_o_totalprice, TRUE AS op FROM orders),
+    n AS (SELECT o_orderkey, o_orderstatus AS new_o_orderstatus,
+                 o_totalprice AS new_o_totalprice, TRUE AS np FROM v_new)
+    SELECT o_orderkey,
+           CASE WHEN op IS NULL THEN 'insert'
+                WHEN np IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           old_o_orderstatus, old_o_totalprice,
+           new_o_orderstatus, new_o_totalprice
+    FROM o FULL OUTER JOIN n USING (o_orderkey)
+    WHERE op IS NULL OR np IS NULL
+       OR NOT (old_o_orderstatus IS NOT DISTINCT FROM new_o_orderstatus
+               AND old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice)
+    """,
+)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (operators.cdc.compaction_bins): the
+    documents listing plays a file manifest (path = source/doc_id,
+    size = n_chars) and files are first-fit binned to 4 KB targets by
+    a cumulative sum over the size-ordered listing — the maintenance
+    pass that keeps a streaming sink's file count from drowning scans
+    in task overhead."""
+    from ..operators.cdc import compaction_bins
+
+    manifest = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias("path"),
+        F.col("n_chars").alias("size_bytes"),
+    )
+    return compaction_bins(manifest, target_bytes=4096)
+
+
+register(
+    "q_compaction_plan",
+    q_compaction_plan,
+    """
+    WITH manifest AS (
+        SELECT source || '/' || CAST(doc_id AS VARCHAR) AS path,
+               n_chars AS size_bytes
+        FROM documents
+    ),
+    binned AS (
+        SELECT path, size_bytes,
+               CAST(floor((sum(size_bytes) OVER (
+                    ORDER BY size_bytes DESC, path
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                    / 4096) AS INTEGER) AS bin
+        FROM manifest
+    )
+    SELECT path, size_bytes, bin,
+           sum(size_bytes) OVER (PARTITION BY bin) AS bin_bytes
+    FROM binned
+    """,
+)
