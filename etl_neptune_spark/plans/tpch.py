@@ -1,5 +1,6 @@
-"""TPC-H-shaped certified queries (Q1 / Q3 / Q5 / Q6 adapted to the
-driver fixture's column subset).
+"""TPC-H-shaped certified queries — all 22 shapes adapted to the
+driver fixture's column subset (Q11/Q16/Q20 run over a
+deterministically synthesized partsupp; see the partsupp block below).
 
 These aren't reference semantics — they're the standard relational
 benchmark shapes, included to certify that the engine runs classic
@@ -1103,5 +1104,219 @@ register(
       AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY 1
     ORDER BY ship_mode
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Synthesized partsupp: the one TPC-H table the fixture lacks. Derived
+# DETERMINISTICALLY from part × supplier-count by pure integer
+# arithmetic (the same spirit as dbgen's partkey→suppkey formula), so
+# Spark and DuckDB materialize the identical relation and Q11/Q16/Q20
+# become certifiable. 4 suppliers per part; the stride
+# greatest(S//4, 1) keeps the four suppkeys distinct for every S ≥ 8.
+# Money stays integer CENTS end-to-end (bigint sums are exact and
+# engine-portable; one final /100 render).
+# ---------------------------------------------------------------------------
+
+def _supplier_count(spark: SparkSession, sf_dir: str) -> int:
+    # Bounded 1-row action, the Q22/lookback anchor pattern.
+    return load_table(spark, sf_dir, "supplier").count()
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s_cnt = _supplier_count(spark, sf_dir)
+    stride = max(s_cnt // 4, 1)
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    return p.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+    ).select(
+        "ps_partkey",
+        ((F.col("ps_partkey") + F.col("i") * stride) % s_cnt).alias("ps_suppkey"),
+        ((F.col("ps_partkey") * 7 + F.col("i") * 11) % 1000 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+        ((F.col("ps_partkey") * 31 + F.col("i") * 17) % 900000 + 100000)
+        .alias("ps_supplycost_cents"),
+    )
+
+
+_PARTSUPP_SQL = """
+    partsupp AS (
+        SELECT p_partkey AS ps_partkey,
+               (p_partkey + t.range * greatest((SELECT count(*) FROM supplier) // 4, 1))
+                   % (SELECT count(*) FROM supplier) AS ps_suppkey,
+               CAST((p_partkey * 7 + t.range * 11) % 1000 + 1 AS INTEGER)
+                   AS ps_availqty,
+               (p_partkey * 31 + t.range * 17) % 900000 + 100000
+                   AS ps_supplycost_cents
+        FROM part, range(0, 4) t
+    )
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock: per-part inventory value
+    (supplycost·availqty, exact integer cents) for one nation's
+    suppliers, kept when the part's value exceeds 1/1000 of the
+    nation's total. The scalar threshold resolves to a driver literal
+    (one bounded 1-row action — the Q22 anchor pattern) and the
+    compare is integer-exact (value_cents · 1000 > total_cents); the
+    oracle keeps the canonical scalar-subquery form."""
+    ps = _partsupp(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    in_nation = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("ps_partkey", (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v_cents"))
+    )
+    per_part = in_nation.groupBy("ps_partkey").agg(F.sum("v_cents").alias("value_cents"))
+    total_cents = per_part.agg(F.sum("value_cents")).collect()[0][0] or 0
+    return (
+        per_part.filter(F.col("value_cents") * 1000 > F.lit(int(total_cents)))
+        .select(
+            "ps_partkey",
+            (F.col("value_cents").cast("double") / 100).alias("value"),
+        )
+        .orderBy(F.desc("value"), F.asc("ps_partkey"))
+    )
+
+
+register(
+    "q_tpch_q11",
+    q_tpch_q11,
+    f"""
+    WITH {_PARTSUPP_SQL},
+    nat AS (
+        SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v_cents
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+    ),
+    per_part AS (
+        SELECT ps_partkey, sum(v_cents) AS value_cents FROM nat GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100 AS value
+    FROM per_part
+    WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM per_part)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship: distinct supplier count
+    per (brand, type, size) over the synthesized partsupp, excluding
+    one brand, one type family, sizes outside the probe list, and
+    "complaint" suppliers (negative account balance standing in for
+    the comment scan). The NOT-IN becomes a broadcast LEFT ANTI join —
+    key set is supplier-sized — while the oracle keeps the canonical
+    NOT IN subquery."""
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (~F.col("p_type").startswith("ECONOMY"))
+        & (F.col("p_size").isin(1, 3, 11, 21, 31, 41, 49, 50))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complaints = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("ps_suppkey"))
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(complaints), "ps_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+register(
+    "q_tpch_q16",
+    q_tpch_q16,
+    f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_type NOT LIKE 'ECONOMY%'
+      AND p_size IN (1, 3, 11, 21, 31, 41, 49, 50)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion: suppliers in one nation
+    holding excess stock (availqty > half the 1997 shipped quantity of
+    that part from that supplier) of 'small%' parts. The correlated
+    quantity subquery becomes ONE (partkey, suppkey)-keyed aggregate
+    of lineitem joined back to partsupp; the excess compare is
+    integer-exact (2·availqty > sum_qty in decimal); supplier and
+    nation prune by broadcast semi-join. The oracle keeps the
+    canonical nested-IN correlated form."""
+    ps = _partsupp(spark, sf_dir)
+    small = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    ).select(F.col("p_partkey").alias("ps_partkey")).distinct()
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+    excess = (
+        ps.join(F.broadcast(small), "ps_partkey", "left_semi")
+        .join(shipped, ["ps_partkey", "ps_suppkey"], "inner")
+        .filter(
+            (F.col("ps_availqty") * 2).cast("decimal(18,2)") > F.col("sum_qty")
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    ).select("n_nationkey")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(excess.withColumnRenamed("ps_suppkey", "s_suppkey"), "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+register(
+    "q_tpch_q20",
+    q_tpch_q20,
+    f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        )
+        AND CAST(ps_availqty * 2 AS DECIMAL(18,2)) > (
+            SELECT sum(CAST(l_quantity AS DECIMAL(18,2)))
+            FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        )
+      )
+    ORDER BY s_name, s_suppkey
     """,
 )
