@@ -107,3 +107,30 @@ def compaction_bins(
     )
     totals = binned.groupBy("bin").agg(F.sum(size_col).alias("bin_bytes"))
     return binned.join(totals, "bin").select(path_col, size_col, "bin", "bin_bytes")
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Consumer side of ``snapshot_diff``: apply an insert/update/
+    delete changelog to a snapshot, yielding the next version —
+    ``apply_changelog(v_old, snapshot_diff(v_old, v_new)) == v_new``
+    (property-tested round trip in tests/test_cdc.py).
+
+    One anti-join (drop keys the changelog touches) + one union of the
+    changelog's surviving images — both keyed by the snapshot key, so
+    with a bucketed snapshot the apply is shuffle-free and costs
+    O(|changelog|) reads of the change feed, never a snapshot rewrite
+    of untouched partitions (on a partitioned layout, dynamic
+    partition overwrite confines the write to touched partitions)."""
+    if compare_cols is None:
+        compare_cols = [c for c in snapshot.columns if c not in set(keys)]
+    touched = changelog.select(*keys)
+    kept = snapshot.join(touched, on=list(keys), how="left_anti")
+    new_images = changelog.filter(F.col("change") != "delete").select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in compare_cols]
+    )
+    return kept.unionByName(new_images)

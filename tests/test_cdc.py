@@ -2,9 +2,15 @@
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from etl_neptune_spark.operators.cdc import compaction_bins, snapshot_diff
+from etl_neptune_spark.operators.cdc import (
+    apply_changelog,
+    compaction_bins,
+    snapshot_diff,
+)
 
 
 def test_snapshot_diff_classifies_all_change_kinds(spark):
@@ -53,3 +59,34 @@ def test_compaction_bins_respect_target_and_oversize(spark):
     for r in rows.values():
         if r.path != "big":
             assert r.bin_bytes <= 500 + r.size_bytes
+
+
+_SCHEMA = "k long, v long"
+_snap = st.dictionaries(st.integers(0, 6), st.one_of(st.none(), st.integers(0, 3)), max_size=6)
+
+
+def _df(spark, d):
+    return spark.createDataFrame(list(d.items()) or [], _SCHEMA)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old=_snap, new=_snap)
+def test_diff_apply_round_trip(spark, old, new):
+    """apply_changelog(v_old, snapshot_diff(v_old, v_new)) == v_new for
+    arbitrary keyed snapshots, including NULL values and NULL→value /
+    value→NULL transitions."""
+    diff = snapshot_diff(_df(spark, old), _df(spark, new), keys=["k"])
+    applied = apply_changelog(_df(spark, old), diff, keys=["k"])
+    assert {r.k: r.v for r in applied.collect()} == new
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old=_snap)
+def test_diff_of_identical_snapshots_is_empty(spark, old):
+    assert snapshot_diff(_df(spark, old), _df(spark, old), keys=["k"]).count() == 0

@@ -233,3 +233,45 @@ def test_tpch_wave2_plan_shapes(plans):
     # join node survives into the plan (the anchor resolved driver-side).
     p22 = plans("q_tpch_q22")
     assert "BroadcastNestedLoopJoin" not in p22
+
+
+def test_tpch_partsupp_wave_plan_shapes(plans):
+    # Q11: supplier/nation broadcast onto the synthesized partsupp; the
+    # scalar threshold is a driver literal, so no scalar-subquery join
+    # node and no nested loop survives.
+    p11 = plans("q_tpch_q11")
+    assert "BroadcastHashJoin" in p11
+    assert "BroadcastNestedLoopJoin" not in p11
+    assert "CartesianProduct" not in p11
+    # Q16: part filter and the complaints NOT-IN both broadcast; the
+    # anti join must be LeftAnti, not a nested loop (the key sets are
+    # non-null by construction).
+    p16 = plans("q_tpch_q16")
+    assert "LeftAnti" in p16
+    assert "BroadcastNestedLoopJoin" not in p16
+    # Q20: the correlated-qty rewrite is ONE keyed lineitem aggregate
+    # joined back — semi joins for part/nation pruning, no correlated
+    # re-scan (no nested loop), and the year filter reaches the scan.
+    p20 = plans("q_tpch_q20")
+    assert "LeftSemi" in p20
+    assert "BroadcastNestedLoopJoin" not in p20
+    assert "CartesianProduct" not in p20
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p20 or "l_shipdate" in p20.split("PushedFilters", 1)[-1]
+
+
+def test_cdc_and_linkage_plan_shapes(plans):
+    # snapshot_diff: ONE full-outer join (SMJ or shuffled hash), no
+    # window, no nested loop.
+    pd_ = plans("q_snapshot_diff")
+    assert "FullOuter" in pd_
+    assert "Window" not in pd_
+    # entity match: the verify is codegen levenshtein after an equi
+    # join on the blocking key — no cartesian anywhere.
+    pe = plans("q_entity_match")
+    assert "CartesianProduct" not in pe
+    assert "BroadcastNestedLoopJoin" not in pe
+    # span dedup: digest-keyed agg + join-back; no row-at-a-time Python
+    # (the kernel is Arrow mapInPandas), no cartesian.
+    ps = plans("q_span_dedup")
+    assert "BatchEvalPython" not in ps
+    assert "CartesianProduct" not in ps
