@@ -566,3 +566,23 @@ register(
     WHERE p.pair_count >= 10
     """,
 )
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-tokenizer token counts: BPE merges trained on a bounded
+    deterministic sample (driver-side, the IVF-k-means posture), then
+    applied corpus-wide by an Arrow kernel (operators.bpe). Rows-only
+    by design — iterative BPE training is not SQL-expressible; the
+    encode invariants (concat restores the word, determinism across
+    partitionings, compression vs character count) are pinned by
+    tests/test_bpe.py."""
+    from ..operators.bpe import bpe_encode, train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, num_merges=100, sample_docs=1000)
+    return bpe_encode(docs, merges).select(
+        "doc_id", "n_words", "n_tokens"
+    )
+
+
+register("q_bpe_tokens", q_bpe_tokens)  # rows-only: iterative training

@@ -1547,3 +1547,99 @@ register(
     GROUP BY event_type
     """,
 )
+
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/distribution window-function suite in one pass: rank,
+    dense_rank, percent_rank, cume_dist, and first_value IGNORE NULLS
+    over a deterministic (value, event_id) order per event type. The
+    rational rank arithmetic (percent_rank, cume_dist) is identical
+    IEEE in both engines; one keyed window shuffle total — all five
+    functions share the same (partition, order) spec, so Catalyst
+    evaluates them in a single Window node."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    big = F.when(F.col("value") >= 5.0, F.col("value"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first(big, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("first_big"),
+    )
+
+
+register(
+    "q_window_suite",
+    q_window_suite,
+    """
+    SELECT event_id, event_type,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(CASE WHEN value >= 5.0 THEN value END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY value, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS first_big
+    FROM events
+    WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+
+
+def q_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function parity suite: calendar field extraction,
+    month truncation, end-of-month, day offsets, day difference, and
+    epoch conversion — the portable subset (day-of-week normalized to
+    Sunday=0; ISO-week variants excluded where engine definitions
+    diverge). Pure per-row codegen expressions, zero shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.quarter("ts").alias("q"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        (F.dayofweek("ts") - 1).alias("dow0"),
+        F.dayofyear("ts").alias("doy"),
+        F.date_trunc("month", F.col("ts")).alias("month_start"),
+        F.last_day("ts").cast("timestamp").alias("month_end_day"),
+        F.date_add(F.col("ts").cast("date"), 30).cast("timestamp").alias("plus_30d"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .alias("days_since_2024"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+
+
+register(
+    "q_datetime_suite",
+    q_datetime_suite,
+    """
+    SELECT event_id,
+           CAST(year(ts) AS INTEGER) AS y,
+           CAST(quarter(ts) AS INTEGER) AS q,
+           CAST(month(ts) AS INTEGER) AS m,
+           CAST(day(ts) AS INTEGER) AS d,
+           CAST(hour(ts) AS INTEGER) AS h,
+           CAST(minute(ts) AS INTEGER) AS mi,
+           CAST(dayofweek(ts) AS INTEGER) AS dow0,
+           CAST(dayofyear(ts) AS INTEGER) AS doy,
+           date_trunc('month', ts) AS month_start,
+           CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP) AS month_end_day,
+           CAST(CAST(ts AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS plus_30d,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER)
+               AS days_since_2024,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+    FROM events
+    """,
+)
