@@ -1643,3 +1643,111 @@ register(
     FROM events
     """,
 )
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts — cheapest-for-the-size:
+    a part survives unless another part is no pricier AND no smaller
+    with at least one strict improvement. The quadratic NOT-EXISTS
+    definition (kept as the oracle) collapses to ONE running-max
+    window over the DISTINCT (price, size) pairs sorted (price asc,
+    size desc) — the classic O(n log n) 2-D skyline sweep: any
+    preceding pair in that order has price ≤ current, so the current
+    pair is dominated iff a preceding size is ≥ its own (equal-pair
+    duplicates collapse before the sweep, so self-domination never
+    triggers). The window input is the distinct value-pair set
+    (domain-sized, not table-sized); at extreme domain cardinality the
+    standard two-phase local-skyline + merge replaces the single sweep."""
+    from pyspark.sql import Window
+
+    parts = load_table(spark, sf_dir, "part")
+    pairs = (
+        parts.groupBy("p_retailprice", "p_size")
+        .agg(F.count("*").alias("n_parts"), F.min("p_partkey").alias("min_partkey"))
+    )
+    w = (
+        Window.orderBy(F.asc("p_retailprice"), F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pairs.withColumn("best_prev_size", F.max("p_size").over(w))
+        .filter(
+            F.col("best_prev_size").isNull()
+            | (F.col("p_size") > F.col("best_prev_size"))
+        )
+        .select("p_retailprice", "p_size", "n_parts", "min_partkey")
+    )
+
+
+register(
+    "q_skyline",
+    q_skyline,
+    """
+    WITH pairs AS (
+        SELECT p_retailprice, p_size, count(*) AS n_parts,
+               min(p_partkey) AS min_partkey
+        FROM part GROUP BY p_retailprice, p_size
+    )
+    SELECT p_retailprice, p_size, n_parts, min_partkey
+    FROM pairs p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pairs q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+
+
+def q_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function parity suite over the embedding
+    vectors: fold (L1 norm in exact cents), element-wise zip_with
+    (self dot-product as integer cents²), filter + size (positive
+    component count), transform (first component scaled), slice, and
+    sort — each against DuckDB's list_* equivalents. Exactness: floats
+    quantize to integer cents BEFORE any fold, so sums are
+    associativity-proof in both engines. Per-row codegen-adjacent
+    expressions, zero shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 100).cast("long")
+    )
+    ec = emb.select("vec_id", "label", cents.alias("c"))
+    return ec.select(
+        "vec_id",
+        "label",
+        F.aggregate("c", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias(
+            "l1_cents"
+        ),
+        F.aggregate(
+            F.zip_with("c", "c", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("dot_self_cents2"),
+        F.size(F.filter("c", lambda x: x > 0)).alias("n_pos"),
+        F.element_at(F.slice("c", 1, 3), 1).alias("first_cents"),
+        F.element_at(F.array_sort("c"), 1).alias("min_cents"),
+        F.element_at(F.array_sort("c"), F.size("c")).alias("max_cents"),
+    )
+
+
+register(
+    "q_array_suite",
+    q_array_suite,
+    """
+    WITH ec AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS c
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           list_sum(list_transform(c, x -> abs(x))) AS l1_cents,
+           list_sum(list_transform(c, x -> x * x)) AS dot_self_cents2,
+           CAST(len(list_filter(c, x -> x > 0)) AS INTEGER) AS n_pos,
+           c[1] AS first_cents,
+           list_min(c) AS min_cents,
+           list_max(c) AS max_cents
+    FROM ec
+    """,
+)

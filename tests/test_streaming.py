@@ -628,3 +628,67 @@ def test_foreachbatch_incremental_state_matches_batch(spark, events, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_changelog_apply_matches_composed_diff(spark, tmp_path):
+    """CDC consumer as a stream: three changelog micro-batches applied
+    to a versioned snapshot via operators.cdc.apply_changelog
+    (stage-then-rename per batch) must land on the same final state as
+    applying the SINGLE composed diff snapshot_diff(v0, v3) — change
+    feeds compose, so replaying the feed or squashing it is the
+    consumer's choice."""
+    from etl_neptune_spark.operators.cdc import apply_changelog, snapshot_diff
+
+    schema = "k long, v long"
+    v0 = spark.createDataFrame([(k, k) for k in range(10)], schema)
+    v1 = spark.createDataFrame(
+        [(k, k + 100 if k < 3 else k) for k in range(10)], schema
+    )  # update 0-2
+    v2 = v1.filter(~F.col("k").isin(3, 4))  # delete 3-4
+    v3 = v2.unionByName(
+        spark.createDataFrame([(k, k * 2) for k in (10, 11, 12)], schema)
+    )  # insert 10-12
+
+    src = str(tmp_path / "cdc_in")
+    os.makedirs(src, exist_ok=True)
+    versions = [v0, v1, v2, v3]
+    for i in range(3):
+        _add_flat_batch(
+            snapshot_diff(versions[i], versions[i + 1], keys=["k"]),
+            src,
+            f"b{i}",
+        )
+
+    snap_dir = str(tmp_path / "snap")
+    v0.write.mode("overwrite").parquet(snap_dir)
+
+    def apply_batch(batch, _bid):
+        if batch.isEmpty():
+            return
+        s = batch.sparkSession
+        cur = s.read.parquet(snap_dir)
+        nxt = apply_changelog(cur, batch, keys=["k"])
+        staged = snap_dir + "__stage"
+        nxt.write.mode("overwrite").parquet(staged)
+        s.read.parquet(staged).write.mode("overwrite").parquet(snap_dir)
+
+    q = (
+        spark.readStream.schema(
+            "k long, change string, old_v long, new_v long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.k: r.v for r in spark.read.parquet(snap_dir).collect()}
+    want = {r.k: r.v for r in v3.collect()}
+    assert got == want
+    squashed = apply_changelog(
+        v0, snapshot_diff(v0, v3, keys=["k"]), keys=["k"]
+    )
+    assert {r.k: r.v for r in squashed.collect()} == want
