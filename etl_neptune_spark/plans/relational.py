@@ -1751,3 +1751,99 @@ register(
     FROM ec
     """,
 )
+
+
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (value-cents on hour-of-day) via EXACT integer
+    sufficient statistics — the q_corr_stats posture extended to the
+    full regression line: slope and intercept emitted as exact integer
+    numerator/denominator pairs (engine-portable by construction) plus
+    their IEEE quotients (one correctly-rounded division each, so the
+    doubles are also bit-identical). One hash aggregate; the sufficient
+    statistics are the mergeable form a standing model table keeps, so
+    the fit is maintainable incrementally (operators.incremental)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = events.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("y"),
+    )
+    agg = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    icept_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return agg.select(
+        "event_type",
+        "n",
+        slope_num.alias("slope_num"),
+        slope_den.alias("slope_den"),
+        icept_num.alias("icept_num"),
+        (slope_num.cast("double") / slope_den.cast("double")).alias("slope_cents"),
+        (icept_num.cast("double") / slope_den.cast("double")).alias("icept_cents"),
+    )
+
+
+register(
+    "q_regression",
+    q_regression,
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS x,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    agg AS (
+        SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x*y) AS sxy, sum(x*x) AS sxx
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           n*sxy - sx*sy AS slope_num,
+           n*sxx - sx*sx AS slope_den,
+           sy*sxx - sx*sxy AS icept_num,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+               AS slope_cents,
+           CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+               AS icept_cents
+    FROM agg
+    """,
+)
+
+
+_SQL_SURFACE2 = """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(rank() OVER (ORDER BY count(*) DESC, user_id) AS BIGINT)
+               AS activity_rank,
+           CAST(sum(count(*)) OVER (ORDER BY count(*) DESC, user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS running_total
+    FROM events
+    WHERE event_type IN ('view', 'click')
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    GROUP BY user_id
+    ORDER BY activity_rank
+    LIMIT 40
+"""
+
+
+def q_sql_surface2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface parity #2: windows OVER aggregates — rank and a
+    running total computed over the grouped result — in ONE shared
+    ANSI text executed verbatim by both engines (the dialect
+    intersection covers mixed aggregation + windowing, the shape BI
+    tools emit)."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_SQL_SURFACE2)
+
+
+register("q_sql_surface2", q_sql_surface2, _SQL_SURFACE2)
