@@ -287,6 +287,57 @@ def ngram_jaccard_pairs(
     the cap (this fixture: max df 25) the output is identical to the
     naive plan, oracle-certified.
     """
+    full = _ngram_overlap_pairs(docs, id_col, text_col, df_cap)
+    return (
+        full.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_containment: float = 0.8,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """EXACT asymmetric n-gram containment pairs — the quote/subset
+    detector a dedup pass runs alongside Jaccard: containment
+    ``|S(A)∩S(B)| / min(|S(A)|, |S(B)|)`` flags a short document whose
+    shingles are (mostly) a subset of a longer one even when the
+    symmetric Jaccard is far below any dedup threshold, which is how
+    wholesale quoting / boilerplate-wrapped reposts hide from
+    Jaccard-only dedup.
+
+    Same frequency-partitioned inverted-index core as
+    ``ngram_jaccard_pairs`` (one shingle-keyed exchange, df-capped
+    light self-join + bounded heavy-set intersect — no df² term), so
+    the 100 TB posture is identical; only the final measure differs.
+    """
+    full = _ngram_overlap_pairs(docs, id_col, text_col, df_cap)
+    return (
+        full.withColumn(
+            "containment",
+            F.round(F.col("n_inter") / F.least("n_a", "n_b"), 4),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("id_a", "id_b", "n_a", "n_b", "containment")
+    )
+
+
+def _ngram_overlap_pairs(
+    docs: DataFrame, id_col: str, text_col: str, df_cap: int
+) -> DataFrame:
+    """Shared core of the exact n-gram pair measures: candidate pairs
+    with exact overlap counts ``(id_a, id_b, n_a, n_b, n_inter)`` via
+    the frequency-partitioned inverted index (see
+    ``ngram_jaccard_pairs`` for the full scale argument)."""
     from pyspark.sql import Window
 
     sh = doc_shingles(docs, id_col, text_col)
@@ -337,16 +388,7 @@ def ngram_jaccard_pairs(
         )
         .withColumn("n_inter", F.col("c_light") + F.col("c_heavy"))
     )
-    return (
-        full.withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
-            ),
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return full
 
 
 def simhash16(text: Column) -> Column:

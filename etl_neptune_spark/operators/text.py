@@ -438,3 +438,78 @@ def collocation_pmi(
         "c2",
         F.round(F.log(p_ab / (p_a * p_b)), 4).alias("pmi"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 50,
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-``k`` documents for a bag-of-words
+    query, Lucene idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Scale posture: ONE corpus scan. Per-document term frequencies for
+    the (constant, small) query term set are folded per row with
+    higher-order functions — no explode, no per-term shuffle. The
+    corpus statistics (N, Σdl, per-term df) reduce to a single 1-row
+    aggregate that is broadcast back over the scored scan, and the
+    final top-k is a distributed TakeOrderedAndProject — so the whole
+    plan is scan → 1-row agg → broadcast join → top-k heap, with no
+    shuffle proportional to the corpus anywhere. avgdl is derived as
+    ``sum(dl)/N`` (exact integer sum, one deterministic division)
+    rather than a float ``avg`` so the score is fold-order
+    independent.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""
+    )
+    def _term_eq(term: str):
+        # NB: must be a 1-arg lambda — pyspark binds a second lambda
+        # arg to the array index, which would shadow a default arg.
+        return lambda w: w == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter("words", _term_eq(t))).alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = docs.select(F.col(id_col), words.alias("words")).select(
+        id_col, F.size("words").alias("dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        part = idf * F.col(f"tf_{i}") * F.lit(k1 + 1.0) / (F.col(f"tf_{i}") + norm)
+        score = part if score is None else score + part
+    matched = sum(
+        (F.col(f"tf_{i}") > 0).cast("int") for i in range(len(query_terms))
+    )
+    return (
+        per_doc.join(F.broadcast(stats))
+        .filter(matched > 0)
+        .select(
+            id_col,
+            F.col("dl").alias("doc_len"),
+            matched.alias("terms_matched"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )

@@ -1098,3 +1098,104 @@ register(
                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.5
     """,
 )
+
+
+BM25_QUERY = ("spark", "merge", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 50
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (operators.text.bm25_topk): top-50 docs
+    for a 3-term query, Lucene idf, scored in one corpus scan with a
+    broadcast 1-row stats join and a distributed top-k — no
+    corpus-proportional shuffle."""
+    from ..operators.text import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        BM25_QUERY,
+        k1=BM25_K1,
+        b=BM25_B,
+        k=BM25_TOPK,
+    )
+
+
+def _bm25_sql() -> str:
+    tf_exprs = ",\n               ".join(
+        f"len(list_filter(string_split(lower(text), ' '), x -> x = '{t}'))"
+        f" AS tf_{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    df_exprs = ",\n               ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    k1, b = BM25_K1, BM25_B
+    parts = " + ".join(
+        f"(ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * {k1 + 1.0}"
+        f" / (tf_{i} + {k1} * ({1.0 - b} + {b} * dl / (sum_dl / n_docs))))"
+        for i in range(len(BM25_QUERY))
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(BM25_QUERY))
+    )
+    return f"""
+    WITH w AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '), x -> x != ''))
+                   AS dl,
+               {tf_exprs}
+        FROM documents
+    ),
+    s AS (
+        SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+               {df_exprs}
+        FROM w
+    )
+    SELECT doc_id, dl AS doc_len,
+           CAST({matched} AS INTEGER) AS terms_matched,
+           round({parts}, 6) AS bm25
+    FROM w, s
+    WHERE {matched} > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+register("q_bm25", q_bm25, _bm25_sql())
+
+
+CONTAIN_MIN = 0.8
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact asymmetric n-gram containment ≥ 0.8
+    (operators.dedup.ngram_containment_pairs): flags subset/quote
+    pairs — |S(A)∩S(B)| / min(|S(A)|,|S(B)|) — that symmetric Jaccard
+    dedup misses; same frequency-partitioned inverted-index core."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), min_containment=CONTAIN_MIN
+    )
+
+
+register(
+    "q_containment",
+    q_containment,
+    f"""
+    WITH sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+    nonempty AS (SELECT * FROM sh WHERE len(sh) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(a.sh) AS n_a, len(b.sh) AS n_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / least(len(a.sh), len(b.sh)), 4) AS containment
+    FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+                / least(len(a.sh), len(b.sh)), 4) >= {CONTAIN_MIN}
+    """,
+)
