@@ -496,3 +496,50 @@ def temporal_reach(
             return arrival
         prev = cur
     raise RuntimeError(f"temporal_reach did not converge in {max_rounds} rounds")
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", rounds: int = 3
+) -> DataFrame:
+    """(vertex, community) after ``rounds`` SYNCHRONOUS label-propagation
+    steps over the undirected graph: every vertex starts labeled with
+    its own id and each round adopts the most frequent label among its
+    neighbors (ties → smallest label). Unlike ``connected_components``
+    (min-label to convergence), a small fixed round count localizes
+    labels to dense neighborhoods — the classic cheap community
+    detector (Raghavan et al. 2007), deterministic here because the
+    update is synchronous with a total tie order, so it is
+    oracle-checkable round for round.
+
+    Scale posture: each round is one join of the label table onto the
+    edge list (both keyed on vertex — co-partitioned after round 1)
+    and two keyed hash aggregates (neighbor-label counts, then a
+    ``min_by`` argmax per vertex); no windows over unbounded
+    partitions, no driver-side state. Rounds are constant (not
+    data-dependent), so lineage stays shallow without checkpointing.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("vertex")).distinct()
+        .select("vertex", F.col("vertex").alias("community"))
+    )
+    for _ in range(rounds):
+        cnt = (
+            sym.join(labels, sym["b"] == labels["vertex"])
+            .groupBy(F.col("a").alias("vertex"), "community")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = cnt.groupBy("vertex").agg(
+            F.min_by(
+                "community",
+                F.struct((-F.col("c")).alias("nc"), F.col("community").alias("l")),
+            ).alias("community")
+        )
+    return labels

@@ -452,14 +452,15 @@ def bm25_topk(
     """Okapi BM25 retrieval: top-``k`` documents for a bag-of-words
     query, Lucene idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
 
-    Scale posture: ONE corpus scan. Per-document term frequencies for
-    the (constant, small) query term set are folded per row with
-    higher-order functions — no explode, no per-term shuffle. The
-    corpus statistics (N, Σdl, per-term df) reduce to a single 1-row
-    aggregate that is broadcast back over the scored scan, and the
-    final top-k is a distributed TakeOrderedAndProject — so the whole
-    plan is scan → 1-row agg → broadcast join → top-k heap, with no
-    shuffle proportional to the corpus anywhere. avgdl is derived as
+    Scale posture: per-document term frequencies for the (constant,
+    small) query term set are folded per row with higher-order
+    functions — no explode, no per-term shuffle. The corpus statistics
+    (N, Σdl, per-term df) reduce to ONE bounded 1-row driver action
+    that turns the idf and length-norm constants into literals (the
+    same anchor-literal pattern as the lookback window and the tf-idf
+    N), so the scoring pass itself is a single scan feeding a
+    distributed top-k heap (TakeOrderedAndProject) — no join, no
+    corpus-proportional shuffle anywhere. avgdl is derived as
     ``sum(dl)/N`` (exact integer sum, one deterministic division)
     rather than a float ``avg`` so the score is fold-order
     independent.
@@ -479,22 +480,25 @@ def bm25_topk(
     per_doc = docs.select(F.col(id_col), words.alias("words")).select(
         id_col, F.size("words").alias("dl"), *tf_cols
     )
-    stats = per_doc.agg(
+    srow = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
         *[
             F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
             for i in range(len(query_terms))
         ],
-    )
-    avgdl = F.col("sum_dl") / F.col("n_docs")
+    ).first()
+    # The arithmetic below stays in JVM expression space (F.log over
+    # literal longs, not python math.log) so the IEEE sequence is
+    # identical to the previous in-plan form and to the oracle's.
+    avgdl = F.lit(srow["sum_dl"]) / F.lit(srow["n_docs"])
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
     score = None
     for i in range(len(query_terms)):
         idf = F.log(
             F.lit(1.0)
-            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
-            / (F.col(f"df_{i}") + F.lit(0.5))
+            + (F.lit(srow["n_docs"]) - F.lit(srow[f"df_{i}"]) + F.lit(0.5))
+            / (F.lit(srow[f"df_{i}"]) + F.lit(0.5))
         )
         part = idf * F.col(f"tf_{i}") * F.lit(k1 + 1.0) / (F.col(f"tf_{i}") + norm)
         score = part if score is None else score + part
@@ -502,8 +506,7 @@ def bm25_topk(
         (F.col(f"tf_{i}") > 0).cast("int") for i in range(len(query_terms))
     )
     return (
-        per_doc.join(F.broadcast(stats))
-        .filter(matched > 0)
+        per_doc.filter(matched > 0)
         .select(
             id_col,
             F.col("dl").alias("doc_len"),

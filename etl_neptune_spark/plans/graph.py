@@ -697,3 +697,63 @@ register(
     SELECT vertex, min(t) AS t FROM walk GROUP BY vertex
     """,
 )
+
+
+LP_ROUNDS = 3
+
+# Shared raw symmetrized edge CTE for the label-propagation oracle —
+# same interaction graph as q_pagerank/q_triangles.
+_LP_EDGE_SQL = f"""
+    raw0 AS (
+        SELECT DISTINCT CAST(user_id % {PR_MOD} AS BIGINT) AS u,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                   % {PR_MOD} AS v
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+              IS NOT NULL
+    ),
+    sym AS (
+        SELECT a, b FROM (
+            SELECT u AS a, v AS b FROM raw0
+            UNION
+            SELECT v AS a, u AS b FROM raw0
+        ) WHERE a <> b
+    )
+"""
+
+
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by 3 synchronous label-propagation rounds
+    (operators.components.label_propagation) over the events
+    interaction graph — deterministic (total tie order), certified
+    round-for-round against an unrolled-CTE oracle."""
+    from ..operators.components import label_propagation
+
+    return label_propagation(_interaction_edges(spark, sf_dir), rounds=LP_ROUNDS)
+
+
+def _lp_round_sql(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+    c{i} AS (
+        SELECT s.a AS v, l.community AS lab, count(*) AS c
+        FROM sym s JOIN {prev} l ON l.v = s.b
+        GROUP BY s.a, l.community
+    ),
+    l{i} AS (
+        SELECT v, lab AS community FROM c{i}
+        QUALIFY row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) = 1
+    )"""
+
+
+register(
+    "q_label_prop",
+    q_label_prop,
+    f"""
+    WITH {_LP_EDGE_SQL},
+    l0 AS (SELECT DISTINCT a AS v, a AS community FROM sym),
+    {",".join(_lp_round_sql(i) for i in range(1, LP_ROUNDS + 1))}
+    SELECT v AS vertex, community FROM l{LP_ROUNDS}
+    """,
+)
