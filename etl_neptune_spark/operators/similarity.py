@@ -682,3 +682,44 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
+    ``rrf(d) = Σ_r 1/(k_const + rank_r(d))`` over the rankers that
+    returned ``d``; top-``k`` by fused score, id tiebreak. The standard
+    score-free hybrid-retrieval combiner (lexical BM25 + vector ANN):
+    rank positions compose across incomparable score scales.
+
+    Scale posture: each input ranking is already bounded (a top-N), so
+    the union + id-keyed sum aggregate + top-k heap all run over
+    O(N · rankers) rows regardless of corpus size — fusion cost is
+    independent of the data the rankers searched. Double determinism:
+    each group sums ≤ len(rankings) IEEE terms; for the 2-ranker hybrid
+    the sum is a single commutative add, fold-order independent.
+    """
+    terms = [
+        r.select(
+            F.col(id_col).alias(id_col),
+            (F.lit(1.0) / (F.lit(k_const) + F.col(rank_col))).alias("w"),
+        )
+        for r in rankings
+    ]
+    u = terms[0]
+    for t in terms[1:]:
+        u = u.unionByName(t)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.round(F.sum("w"), 6).alias("rrf"),
+            F.count("*").cast("int").alias("n_rankers"),
+        )
+        .orderBy(F.desc("rrf"), id_col)
+        .limit(k)
+    )

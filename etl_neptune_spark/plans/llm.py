@@ -1199,3 +1199,104 @@ register(
                 / least(len(a.sh), len(b.sh)), 4) >= {CONTAIN_MIN}
     """,
 )
+
+
+RRF_K = 60
+RRF_TOPK = 20
+RRF_POOL = 100
+RRF_QVEC_ID = 0
+
+
+def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion
+    (operators.similarity.rrf_fuse) of the BM25 lexical top-100 and the
+    exact cosine top-100 against the query document's embedding
+    (doc_id = vec_id in this corpus). The fusion composes rank
+    positions, so the incomparable BM25/cosine scales never meet; both
+    pools are bounded, so fusion cost is corpus-independent. The
+    post-limit lexical rank window orders ≤100 rows (bounded
+    SinglePartition by construction)."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import rrf_fuse
+    from ..operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(
+        docs, BM25_QUERY, k1=BM25_K1, b=BM25_B, k=RRF_POOL
+    ).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.col("doc_id"))),
+    )
+    vec = brute_force_topk(
+        emb.filter(F.col("vec_id") == RRF_QVEC_ID), emb, k=RRF_POOL, dim=64
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        [lex.select("doc_id", "rank"), vec], k_const=RRF_K, k=RRF_TOPK
+    )
+
+
+register(
+    "q_rrf",
+    q_rrf,
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '), x -> x != ''))
+                   AS dl,
+               len(list_filter(string_split(lower(text), ' '), x -> x = '{BM25_QUERY[0]}')) AS tf_0,
+               len(list_filter(string_split(lower(text), ' '), x -> x = '{BM25_QUERY[1]}')) AS tf_1,
+               len(list_filter(string_split(lower(text), ' '), x -> x = '{BM25_QUERY[2]}')) AS tf_2
+        FROM documents
+    ),
+    s AS (
+        SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+               sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+               sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+               sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+        FROM w
+    ),
+    scored AS (
+        SELECT doc_id,
+               round(
+                 (ln(1 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * {BM25_K1 + 1.0}
+                  / (tf_0 + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / (sum_dl / n_docs))))
+               + (ln(1 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * {BM25_K1 + 1.0}
+                  / (tf_1 + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / (sum_dl / n_docs))))
+               + (ln(1 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * {BM25_K1 + 1.0}
+                  / (tf_2 + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / (sum_dl / n_docs)))),
+               6) AS bm25
+        FROM w, s
+        WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+    ),
+    lex AS (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM scored ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL}
+    ),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cos AS (
+        SELECT c.vec_id AS doc_id,
+               round(
+                   list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+                   / (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i])))
+                      * sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))),
+                   4) AS cosv
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id = {RRF_QVEC_ID}
+    ),
+    vec AS (
+        SELECT doc_id, row_number() OVER (ORDER BY cosv DESC, doc_id) AS rank
+        FROM cos ORDER BY cosv DESC, doc_id LIMIT {RRF_POOL}
+    )
+    SELECT doc_id, round(sum(1.0 / ({RRF_K} + rank)), 6) AS rrf,
+           CAST(count(*) AS INTEGER) AS n_rankers
+    FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+    GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT {RRF_TOPK}
+    """,
+)
