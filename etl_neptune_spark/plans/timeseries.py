@@ -1285,3 +1285,63 @@ register(
     FROM binned
     """,
 )
+
+
+ASSOC_MOD = 200
+ASSOC_MIN_USERS = 5
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators.baskets): item pairs
+    by support / confidence / lift over per-user baskets of props.k
+    buckets — the user-keyed self-join runs on one reused exchange and
+    is bounded by the documented basket cap."""
+    from ..operators.baskets import association_rules
+
+    events = load_table(spark, sf_dir, "events")
+    baskets = events.select(
+        "user_id",
+        (
+            F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("bigint")
+            % ASSOC_MOD
+        ).alias("item"),
+    ).filter(F.col("user_id").isNotNull() & F.col("item").isNotNull())
+    return association_rules(baskets, min_pair_users=ASSOC_MIN_USERS)
+
+
+register(
+    "q_assoc_rules",
+    q_assoc_rules,
+    f"""
+    WITH items AS (
+        SELECT DISTINCT user_id,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                   % {ASSOC_MOD} AS item
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+              IS NOT NULL
+    ),
+    kept AS (
+        SELECT user_id, item FROM items
+        QUALIFY count(*) OVER (PARTITION BY user_id) <= 1000
+    ),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM kept),
+    ic AS (SELECT item, count(*) AS n_i FROM kept GROUP BY item),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+        FROM kept a JOIN kept b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY a.item, b.item
+        HAVING count(*) >= {ASSOC_MIN_USERS}
+    )
+    SELECT item_a, item_b, n_ab, ca.n_i AS n_a, cb.n_i AS n_b,
+           round(n_ab * 1.0 / n_users, 4) AS support,
+           round(n_ab * 1.0 / ca.n_i, 4) AS confidence,
+           round(n_ab * 1.0 * n_users / (ca.n_i * cb.n_i), 4) AS lift
+    FROM pairs
+    JOIN ic ca ON ca.item = pairs.item_a
+    JOIN ic cb ON cb.item = pairs.item_b
+    CROSS JOIN n
+    """,
+)
