@@ -1300,3 +1300,36 @@ register(
     LIMIT {RRF_TOPK}
     """,
 )
+
+
+HH_PHI = 0.02
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent terms (> 2% of all tokens) via two-phase
+    Misra-Gries (operators.sketches.heavy_hitters): per-partition
+    sketches nominate a bounded candidate superset, one exact pass
+    over only the candidates produces the certified counts — the
+    sketch prunes shuffle width, never accuracy."""
+    from ..operators.sketches import heavy_hitters
+
+    return heavy_hitters(load_table(spark, sf_dir, "documents"), phi=HH_PHI)
+
+
+register(
+    "q_heavy_hitters",
+    q_heavy_hitters,
+    f"""
+    WITH words AS (
+        SELECT w AS word
+        FROM documents, unnest(string_split(lower(text), ' ')) AS t(w)
+        WHERE w != ''
+    ),
+    n AS (SELECT count(*) AS n_tokens FROM words)
+    SELECT word, count(*) AS n,
+           round(count(*) * 1.0 / any_value(n_tokens), 6) AS freq
+    FROM words, n
+    GROUP BY word
+    HAVING count(*) > any_value(n_tokens) * {HH_PHI}
+    """,
+)

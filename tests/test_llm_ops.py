@@ -351,3 +351,33 @@ def test_ivfpq_topk_recall_vs_exact(spark, sf_dir):
         for r in ivfpq_topk(emb, k=5, n_clusters=8, nprobe=4).collect()
     }
     assert again == approx
+
+
+def test_heavy_hitters_eviction_guarantee(spark):
+    """Misra-Gries with k counters far below the vocabulary must still
+    surface every true heavy hitter (superset guarantee survives the
+    decrement/eviction path), and the output counts are exact."""
+    from collections import Counter
+
+    from etl_neptune_spark.operators.sketches import heavy_hitters
+
+    # Skewed corpus: two genuinely heavy words buried in a long tail of
+    # 400 singletons, spread over 8 partitions so each partition runs
+    # its own sketch with evictions (phi=0.1 -> k=10 counters << 402
+    # distinct words).
+    rows = []
+    for i in range(400):
+        rows.append((i, f"rare{i} hot cold" if i % 2 else f"rare{i} hot"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    truth = Counter()
+    for _, t in rows:
+        truth.update(t.split(" "))
+    n_tokens = sum(truth.values())
+    expect = {
+        w: c for w, c in truth.items() if c > n_tokens * 0.1
+    }
+
+    got = {r["word"]: r["n"] for r in heavy_hitters(docs, phi=0.1).collect()}
+    assert got == expect, (got, expect)
+    assert "hot" in got and got["hot"] == 400
