@@ -1345,3 +1345,62 @@ register(
     CROSS JOIN n
     """,
 )
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of the event value over a 5-row trailing
+    window per user — the order-statistic rolling metric Spark has no
+    native window function for. Implemented as ``sort_array`` over a
+    bounded ``collect_list`` frame with explicit middle-element
+    selection (even frames average the two middles in one fixed IEEE
+    add/divide), mirrored element-for-element by the oracle — no
+    reliance on either engine's interpolation convention.
+
+    Scale posture: the frame is a compile-time constant (5 rows), so
+    per-row cost is O(frame log frame) and the whole query is one
+    user-keyed window shuffle — linear in events. Unbounded or
+    day-scale frames would want the two-heap/segment-tree forms; the
+    bounded-frame contract is the documented limit."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / F.lit(2.0)
+    return events.select(
+        "event_id",
+        "user_id",
+        n.alias("frame_n"),
+        F.round(F.when(n % 2 == 1, odd).otherwise(even), 6).alias("rolling_median"),
+    )
+
+
+register(
+    "q_rolling_median",
+    q_rolling_median,
+    """
+    WITH framed AS (
+        SELECT event_id, user_id,
+               list_sort(list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(len(arr) AS INTEGER) AS frame_n,
+           round(CASE WHEN len(arr) % 2 = 1
+                      THEN arr[(len(arr) + 1) // 2]
+                      ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+                 END, 6) AS rolling_median
+    FROM framed
+    """,
+)
