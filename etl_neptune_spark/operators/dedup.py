@@ -800,3 +800,81 @@ def cross_minhash_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("corpus_id", "batch_id", "jaccard")
     )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via PREFIX FILTERING (the
+    PPJoin/AllPairs candidate bound, Xiao et al. 2008 / Bayardo et al.
+    2007) — no df-cap caveat: unlike ``ngram_jaccard_pairs`` this path
+    drops NOTHING, whatever the corpus's hot-shingle profile.
+
+    The bound: order every document's shingles rarest-first (global
+    document frequency, shingle tiebreak) and index only the first
+    ``|A| - ceil(tau*|A|) + 1`` of them. If J(A,B) >= tau then
+    |A∩B| >= tau*|A∪B| >= tau*|A|; a pair sharing NO prefix shingle of
+    A can only intersect inside A's suffix of length ceil(tau*|A|)-1 —
+    contradiction. So joining prefixes against prefixes generates a
+    candidate SUPERSET, and one exact verify on the full shingle sets
+    (array_intersect) finishes the job.
+
+    Scale posture: the posting self-join runs only over PREFIX
+    postings, which by construction prefer the rarest shingles — the
+    df² blow-up of hot shingles never enters the join because hot
+    shingles land in suffixes (a doc carries one in its prefix only if
+    rarer shingles ran out, i.e. the doc is nearly all boilerplate).
+    Shuffles: one shingle-keyed exchange (df tag + prefix join share
+    it), one candidate-keyed verify join against the bounded per-doc
+    sets. Verify cost is O(candidates · avg set size).
+    """
+    from pyspark.sql import Window
+
+    sh = doc_shingles(docs, id_col, text_col)
+    posts = sh.select(
+        F.col(id_col),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    tagged = posts.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    )
+    # Rarest-first rank inside each document; keep the prefix only.
+    rk = Window.partitionBy(id_col).orderBy("df", "shingle")
+    prefix = (
+        tagged.withColumn("rk", F.row_number().over(rk))
+        .filter(
+            F.col("rk")
+            <= F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1
+        )
+        .select(id_col, "shingle")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )

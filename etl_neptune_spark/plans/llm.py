@@ -1333,3 +1333,30 @@ register(
     HAVING count(*) > any_value(n_tokens) * {HH_PHI}
     """,
 )
+
+
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ 0.5 via PREFIX FILTERING
+    (operators.dedup.jaccard_prefix_pairs) — same certified output as
+    q_ngram_jaccard with a strictly stronger guarantee (no df-cap
+    drop case): candidates come only from rarest-first prefixes, the
+    hot-shingle df² term never enters the join."""
+    from ..operators.dedup import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))
+
+
+register(
+    "q_jaccard_prefix",
+    q_jaccard_prefix,
+    f"""
+    WITH sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+    nonempty AS (SELECT * FROM sh WHERE len(sh) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+                / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+    """,
+)

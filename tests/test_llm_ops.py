@@ -381,3 +381,22 @@ def test_heavy_hitters_eviction_guarantee(spark):
     got = {r["word"]: r["n"] for r in heavy_hitters(docs, phi=0.1).collect()}
     assert got == expect, (got, expect)
     assert "hot" in got and got["hot"] == 400
+
+
+def test_jaccard_prefix_matches_cap_path(spark, sf_dir):
+    """The prefix-filter path and the df-cap inverted-index path must
+    produce the identical exact pair set on the fixture."""
+    from etl_neptune_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+    from etl_neptune_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        (r.id_a, r.id_b, r.jaccard) for r in jaccard_prefix_pairs(docs).collect()
+    }
+    b = {
+        (r.id_a, r.id_b, r.jaccard) for r in ngram_jaccard_pairs(docs).collect()
+    }
+    assert a == b and len(a) > 0
