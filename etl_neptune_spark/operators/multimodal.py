@@ -207,3 +207,35 @@ def frame_sample_plan(
     return df.select(id_col, bin_col).mapInPandas(
         batches, "doc_id bigint, frame_idx bigint"
     )
+
+
+def perceptual_hash(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """binary payload → 64-bit average-hash (aHash) bit string — the
+    perceptual near-dup key for media: resample the payload to ≤64
+    bytes (same deterministic resample as ``resize_images``; a real
+    codec would hand back an 8×8 grayscale thumbnail), then bit_j =
+    (byte_j above the thumbnail mean). The mean test is the exact
+    integer comparison ``byte_j * k > Σbytes`` so no division enters —
+    bit-for-bit reproducible in any engine.
+
+    Scale posture: one Arrow ``mapInPandas`` pass, no shuffle; the
+    downstream bucket/band joins are the same keyed equi-joins every
+    other dedup family uses (hash cardinality grows with the corpus).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for b in pdf[bin_col].values:
+                raw = bytes(b)
+                step = max(1, len(raw) // 64)
+                sel = raw[::step][:64]
+                k, total = len(sel), sum(sel)
+                out.append("".join("1" if v * k > total else "0" for v in sel))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "phash": out})
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches, "doc_id bigint, phash string"
+    )

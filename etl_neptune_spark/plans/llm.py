@@ -1360,3 +1360,54 @@ register(
                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
     """,
 )
+
+
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) media dedup
+    (operators.multimodal.perceptual_hash): deterministic 64-byte
+    thumbnail resample → mean-threshold bit string → exact-bucket
+    group sizes — the media-side mirror of q_dedup_simhash, running on
+    the binary payload column."""
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import perceptual_hash, with_payload
+
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    ph = perceptual_hash(docs)
+    return ph.withColumn(
+        "n_same", F.count("*").over(Window.partitionBy("phash"))
+    )
+
+
+register(
+    "q_phash_dedup",
+    q_phash_dedup,
+    """
+    WITH b AS (
+        -- ASCII corpus: char slicing == byte slicing (same proven
+        -- equivalence as the q_mm_resize oracle)
+        SELECT doc_id, text, length(text) AS n,
+               greatest(1, length(text) // 64) AS step
+        FROM documents
+    ),
+    pieces AS (
+        SELECT doc_id, i,
+               ascii(substring(text, CAST(i AS INTEGER), 1)) AS byte
+        FROM b, unnest(range(1, n + 1, step)) AS t(i)
+        WHERE i <= 1 + 63 * step
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS k, sum(byte) AS total
+        FROM pieces GROUP BY doc_id
+    ),
+    hashes AS (
+        SELECT p.doc_id,
+               string_agg(CASE WHEN p.byte * a.k > a.total
+                               THEN '1' ELSE '0' END, '' ORDER BY p.i) AS phash
+        FROM pieces p JOIN agg a USING (doc_id)
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, phash, count(*) OVER (PARTITION BY phash) AS n_same
+    FROM hashes
+    """,
+)
