@@ -543,3 +543,45 @@ def label_propagation(
             ).alias("community")
         )
     return labels
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    w_col: str = "w",
+    max_hops: int = 6,
+) -> DataFrame:
+    """(vertex, dist): minimum path weight from ``source`` over paths
+    of AT MOST ``max_hops`` edges (directed; integer weights) — the
+    hop-bounded Bellman-Ford. The hop bound makes the semantics exact
+    and total regardless of negative weights or cycles (no
+    convergence/negative-cycle caveat), which is also what makes it
+    certifiable round-for-round against a recursive-CTE oracle.
+
+    Scale posture: each round joins the ≤|V|-row frontier (exactly-k
+    hop minima) to the edge list on the vertex key and re-minimizes —
+    one keyed shuffle per round, rounds constant; the accumulated
+    union stays O(rounds·|V|) and collapses in one final min
+    aggregate. Lineage is linear in rounds (no geometric growth), so
+    no checkpoint is needed.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), F.col(w_col).alias("w"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
+    spark = edges.sparkSession
+    vt = e.schema[0].dataType.simpleString()
+    frontier = spark.createDataFrame([(source, 0)], schema=f"vertex {vt}, dist bigint")
+    acc = frontier
+    for _ in range(max_hops):
+        frontier = (
+            frontier.join(e, frontier["vertex"] == e["u"])
+            .select(F.col("v").alias("vertex"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+        )
+        acc = acc.unionByName(frontier)
+    return acc.groupBy("vertex").agg(F.min("dist").alias("dist"))

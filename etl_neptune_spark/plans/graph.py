@@ -757,3 +757,56 @@ register(
     SELECT v AS vertex, community FROM l{LP_ROUNDS}
     """,
 )
+
+
+SSSP_SOURCE = 0
+SSSP_HOPS = 6
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded single-source shortest paths
+    (operators.components.sssp_bounded): minimum integer-cent path
+    cost from vertex 0 over ≤6 edges of the events interaction graph,
+    edge weight = min event value in exact cents (the certified
+    decimal-cents conversion) — Bellman-Ford with a hop bound, so the
+    semantics are total (no negative-cycle caveat) and
+    recursive-CTE-checkable."""
+    from ..operators.components import sssp_bounded
+
+    events = load_table(spark, sf_dir, "events")
+    edges = events.select(
+        (F.col("user_id") % PR_MOD).cast("bigint").alias("src"),
+        (F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("bigint") % PR_MOD)
+        .alias("dst"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("w"),
+    ).filter(F.col("dst").isNotNull())
+    return sssp_bounded(edges, SSSP_SOURCE, max_hops=SSSP_HOPS)
+
+
+register(
+    "q_sssp",
+    q_sssp,
+    f"""
+    WITH RECURSIVE raw AS (
+        SELECT CAST(user_id % {PR_MOD} AS BIGINT) AS u,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                   % {PR_MOD} AS v,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+              IS NOT NULL
+    ),
+    e AS (SELECT u, v, min(w) AS w FROM raw GROUP BY u, v),
+    d AS (
+        SELECT CAST({SSSP_SOURCE} AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist,
+               0 AS it
+        UNION ALL
+        SELECT e.v, min(d.dist + e.w) AS dist, min(d.it) + 1 AS it
+        FROM d JOIN e ON e.u = d.v
+        WHERE d.it < {SSSP_HOPS}
+        GROUP BY e.v
+    )
+    SELECT v AS vertex, min(dist) AS dist FROM d GROUP BY v
+    """,
+)
