@@ -590,11 +590,9 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(load_table(spark, sf_dir, "documents"))
 
 
-register(
-    "q_corpus_curation",
-    q_corpus_curation,
-    """
-    WITH base AS (
+# Shared curation CTEs (base → enriched → surv) — used verbatim by
+# q_corpus_curation and composed end-to-end by q_llm_pipeline.
+_CURATE_CTES_SQL = """base AS (
         SELECT doc_id, text, md5(text) AS content_hash,
                len(list_filter(string_split(lower(text), ' '),
                    w -> w IN ('the','a','and','of','to'))) AS en_hits,
@@ -636,7 +634,13 @@ register(
     surv AS (
         SELECT content_hash, min(doc_id) AS survivor_id, count(*) AS dup_count
         FROM enriched GROUP BY content_hash
-    )
+    )"""
+
+register(
+    "q_corpus_curation",
+    q_corpus_curation,
+    f"""
+    WITH {_CURATE_CTES_SQL}
     SELECT e.doc_id, e.predicted_lang, e.quality_score, e.content_hash,
            s.dup_count, e.doc_id = s.survivor_id AS is_survivor,
            e.doc_id = s.survivor_id AND e.predicted_lang = 'en'
@@ -1409,5 +1413,73 @@ register(
     )
     SELECT doc_id, phash, count(*) OVER (PARTITION BY phash) AS n_same
     FROM hashes
+    """,
+)
+
+
+PIPE_CAPACITY = 2048
+
+
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline in ONE certified query:
+    curate (lang + quality + exact-dedup survivorship) → keep → count
+    tokens → assign train/val/test split → pack into 2048-token
+    context windows. One manifest row per kept document:
+    (doc_id, split, n_tokens, start, seq_id, crosses_boundary).
+
+    Composition of individually-certified stages (q_corpus_curation,
+    q_split_assign, q_pack_sequences) — certifying the COMPOSITION
+    catches interface drift between stages that per-stage oracles
+    can't. Plan: the curation shuffle (content_hash) + the packing's
+    two-phase prefix sum; split assignment is a narrow projection, so
+    the composition adds no new corpus-scale shuffle."""
+    from ..operators.packing import assign_split, pack_sequences
+    from ..operators.text import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept_ids = curate_corpus(docs).filter(F.col("kept")).select("doc_id")
+    toks = docs.join(kept_ids, "doc_id", "left_semi").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    sp = assign_split(toks)
+    packed = pack_sequences(sp, token_col="n_tokens", capacity=PIPE_CAPACITY)
+    return packed.join(sp.select("doc_id", "split"), "doc_id").select(
+        "doc_id", "split", "n_tokens", "start", "seq_id", "crosses_boundary"
+    )
+
+
+register(
+    "q_llm_pipeline",
+    q_llm_pipeline,
+    f"""
+    WITH {_CURATE_CTES_SQL},
+    kept AS (
+        SELECT e.doc_id
+        FROM enriched e JOIN surv s USING (content_hash)
+        WHERE e.doc_id = s.survivor_id AND e.predicted_lang = 'en'
+          AND e.quality_score >= 0.5
+    ),
+    t AS (
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'c'
+                         THEN 'train'
+                    WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'e'
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d SEMI JOIN kept k ON k.doc_id = d.doc_id
+    ),
+    c AS (
+        SELECT doc_id, split, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT doc_id, split, n_tokens,
+           cum - n_tokens AS start,
+           (cum - n_tokens) // {PIPE_CAPACITY} AS seq_id,
+           (cum - n_tokens) // {PIPE_CAPACITY} != (cum - 1) // {PIPE_CAPACITY}
+               AS crosses_boundary
+    FROM c
     """,
 )
