@@ -1847,3 +1847,32 @@ def q_sql_surface2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_sql_surface2", q_sql_surface2, _SQL_SURFACE2)
+
+
+_SQL_SURFACE3 = """
+    WITH types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type, l.n, l.p50, l.p90
+    FROM types t, LATERAL (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY v.value), 4) AS p50,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY v.value), 4) AS p90
+        FROM events v WHERE v.event_type = t.event_type
+    ) l
+    ORDER BY t.event_type
+"""
+
+
+def q_sql_surface3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface parity #3: correlated LATERAL derived tables +
+    ordered-set aggregates (``percentile_cont ... WITHIN GROUP``) in
+    ONE shared ANSI text executed verbatim by both engines. Catalyst
+    decorrelates the lateral into a join + aggregate, so the verbatim
+    BI-tool shape still runs as a distributed plan (no per-row
+    re-execution)."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_SQL_SURFACE3)
+
+
+register("q_sql_surface3", q_sql_surface3, _SQL_SURFACE3)
