@@ -518,6 +518,11 @@ def label_propagation(
     partitions, no driver-side state. Rounds are constant (not
     data-dependent), so lineage stays shallow without checkpointing.
     """
+    # persist: the symmetrized edge set is scanned by every round (and
+    # by the vertex derivation); without it each round re-runs the
+    # distinct shuffle. Each round's ≤|V|-row label table is lazily
+    # checkpointed so the chained lineage materializes once per round
+    # inside the one final action.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
@@ -525,6 +530,7 @@ def label_propagation(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     labels = (
         sym.select(F.col("a").alias("vertex")).distinct()
@@ -541,7 +547,7 @@ def label_propagation(
                 "community",
                 F.struct((-F.col("c")).alias("nc"), F.col("community").alias("l")),
             ).alias("community")
-        )
+        ).localCheckpoint(eager=False)
     return labels
 
 
@@ -567,10 +573,17 @@ def sssp_bounded(
     aggregate. Lineage is linear in rounds (no geometric growth), so
     no checkpoint is needed.
     """
+    # persist: the edge aggregate is referenced by every round; the
+    # frontier checkpoints stop each round's ≤|V|-row result from being
+    # re-derived by later rounds AND by the accumulated union (without
+    # them the one final action replays round k inside rounds k+1..K —
+    # O(K²) joins; lazy localCheckpoint materializes each round exactly
+    # once inside that action, same recipe as connected_components).
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), F.col(w_col).alias("w"))
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))
+        .persist()
     )
     spark = edges.sparkSession
     vt = e.schema[0].dataType.simpleString()
@@ -582,6 +595,7 @@ def sssp_bounded(
             .select(F.col("v").alias("vertex"), (F.col("dist") + F.col("w")).alias("dist"))
             .groupBy("vertex")
             .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
         )
         acc = acc.unionByName(frontier)
     return acc.groupBy("vertex").agg(F.min("dist").alias("dist"))

@@ -95,3 +95,89 @@ def heavy_hitters(
             F.round(F.col("n") / F.lit(float(n_tokens)), 6).alias("freq"),
         )
     )
+
+
+def _group_mg_partition(
+    batches: Iterator[pd.DataFrame], group_col: str, text_col: str, k: int
+) -> Iterator[pd.DataFrame]:
+    """Per-(partition, group) Misra-Gries summaries — one k-counter
+    sketch per group value seen in the partition (the group domain is
+    dimension-sized, so partition memory is O(groups · k))."""
+    sketches: dict[str, dict[str, int]] = {}
+    for pdf in batches:
+        for g, text in zip(pdf[group_col], pdf[text_col]):
+            if text is None or g is None:
+                continue
+            counters = sketches.setdefault(g, {})
+            for w in text.lower().split(" "):
+                if not w:
+                    continue
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+    groups, words = [], []
+    for g in sorted(sketches):
+        for w in sorted(sketches[g]):
+            groups.append(g)
+            words.append(w)
+    yield pd.DataFrame({group_col: groups, "word": words})
+
+
+def group_heavy_hitters(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    phi: float = 0.02,
+) -> DataFrame:
+    """Exact per-group frequent terms: every (group, word) whose
+    frequency exceeds ``phi`` of the GROUP's tokens, with exact counts.
+
+    Same two-phase shape as ``heavy_hitters``, pigeonholed per group:
+    if a word stayed ≤ n_p(g)/k in every partition's group-g sketch,
+    its group-global count is ≤ N_g/k ≤ φ·N_g — so the per-(partition,
+    group) survivor union is a candidate superset per group. The exact
+    pass counts only candidate (group, word) keys (broadcast semi-join)
+    and the per-group token totals come from one dimension-sized
+    aggregate joined back by broadcast — the keyed shuffle carries
+    ≤ partitions·groups·k candidate keys, never groups × vocabulary.
+    """
+    import math
+
+    k = max(1, math.ceil(1.0 / phi))
+    candidates = (
+        docs.select(group_col, text_col)
+        .mapInPandas(
+            lambda it: _group_mg_partition(it, group_col, text_col, k),
+            f"{group_col} string, word string",
+        )
+        .distinct()
+    )
+    words = docs.select(
+        group_col,
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    totals = words.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    counted = (
+        words.join(F.broadcast(candidates), [group_col, "word"], "left_semi")
+        .groupBy(group_col, "word")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        counted.join(F.broadcast(totals), group_col)
+        .filter(F.col("n") > F.col("n_g") * F.lit(phi))
+        .select(
+            group_col,
+            "word",
+            "n",
+            F.round(F.col("n") / F.col("n_g"), 6).alias("freq"),
+        )
+    )

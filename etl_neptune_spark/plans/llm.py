@@ -1483,3 +1483,38 @@ register(
     FROM c
     """,
 )
+
+
+GHH_PHI = 0.021
+
+
+def q_group_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact frequent terms (> 2.1% of the source's tokens)
+    via per-(partition, group) Misra-Gries candidate pruning
+    (operators.sketches.group_heavy_hitters) — the grouped form of
+    q_heavy_hitters, shuffling candidate keys instead of
+    groups × vocabulary."""
+    from ..operators.sketches import group_heavy_hitters
+
+    return group_heavy_hitters(
+        load_table(spark, sf_dir, "documents"), phi=GHH_PHI
+    )
+
+
+register(
+    "q_group_heavy_hitters",
+    q_group_heavy_hitters,
+    f"""
+    WITH words AS (
+        SELECT source, w AS word
+        FROM documents, unnest(string_split(lower(text), ' ')) AS t(w)
+        WHERE w != ''
+    ),
+    totals AS (SELECT source, count(*) AS n_g FROM words GROUP BY source)
+    SELECT w.source, w.word, count(*) AS n,
+           round(count(*) * 1.0 / any_value(t.n_g), 6) AS freq
+    FROM words w JOIN totals t USING (source)
+    GROUP BY w.source, w.word
+    HAVING count(*) > any_value(t.n_g) * {GHH_PHI}
+    """,
+)

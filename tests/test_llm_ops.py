@@ -400,3 +400,36 @@ def test_jaccard_prefix_matches_cap_path(spark, sf_dir):
         (r.id_a, r.id_b, r.jaccard) for r in ngram_jaccard_pairs(docs).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_group_heavy_hitters_eviction_guarantee(spark):
+    """Grouped Misra-Gries: per-group pigeonhole must hold under
+    eviction (k << per-group vocabulary), with exact output counts."""
+    from collections import Counter
+
+    from etl_neptune_spark.operators.sketches import group_heavy_hitters
+
+    rows = []
+    for i in range(300):
+        g = "ga" if i % 2 else "gb"
+        hot = "alpha" if g == "ga" else "beta"
+        rows.append((i, g, f"rare{i} {hot}"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).repartition(8)
+
+    truth: dict[str, Counter] = {}
+    for _, g, t in rows:
+        truth.setdefault(g, Counter()).update(t.split(" "))
+    expect = {
+        (g, w): c
+        for g, cnt in truth.items()
+        for w, c in cnt.items()
+        if c > sum(cnt.values()) * 0.1
+    }
+    got = {
+        (r["source"], r["word"]): r["n"]
+        for r in group_heavy_hitters(docs, phi=0.1).collect()
+    }
+    assert got == expect, (got, expect)
+    assert got[("ga", "alpha")] == 150 and got[("gb", "beta")] == 150
