@@ -29,6 +29,7 @@ _PLAN_MODULES = [
     "etl_neptune_spark.plans.corpus",
     "etl_neptune_spark.plans.tpch",
     "etl_neptune_spark.plans.linkage",
+    "etl_neptune_spark.plans.curation",
 ]
 
 

@@ -40,6 +40,41 @@ def assign_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.withColumn("split", split_expr(id_col))
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Group-aware train/val/test split: every document in a near-dup
+    cluster lands in the SAME split, so no train example has a
+    near-duplicate in val/test (the eval-leakage failure mode a plain
+    per-doc hash split cannot prevent — near-identical docs hash to
+    independent buckets).
+
+    ``dup_pairs`` is any pairwise near-dup edge set (MinHash / exact
+    Jaccard / SimHash output); clusters are its connected components,
+    and the split is the md5 bucket of the cluster's canonical id
+    (min member id — singletons use their own id, so isolated docs get
+    exactly the ``assign_split`` assignment).
+
+    Scale: components cost is a function of the (small) dup-pair graph,
+    not the corpus; the join back is one hash join on the doc id; the
+    split itself stays a per-row expression. No reference counterpart
+    (north-star scope).
+    """
+    from .components import connected_components
+
+    comp = connected_components(dup_pairs, src=pair_a, dst=pair_b)
+    return (
+        docs.join(comp, docs[id_col] == comp["vertex"], "left")
+        .withColumn("group_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("split", split_expr("group_id"))
+        .drop("vertex", "component")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -139,6 +139,84 @@ def cosine_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    min_cosine: float = 0.4,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): pairwise cosine is scored ONLY within a coarse
+    cluster, never across the corpus — here the cluster is the
+    ``cluster_col`` column (in production, the IVF/k-means assignment
+    from ``ivf_topk``'s trainer). Verdict is the deterministic
+    keep-first rule: a vector is dropped iff some smaller-id vector in
+    the same cluster has cosine ≥ ``min_cosine`` (after the same 4 dp
+    round the other cosine operators certify at).
+
+    Returns (id, cluster, keep) for every input row.
+
+    Scale: cost is Σ_c |c|²/blocks — the cluster count grows with the
+    corpus so |c| stays bounded; each (cluster, block-pair) group is one
+    Arrow-batched numpy matmul, and the verdict needs one distinct on
+    the (small) dropped-id set plus one hash anti-join back. No
+    corpus×corpus stage exists.
+    """
+    nb = n_blocks
+    keyed = (
+        emb.select(
+            F.col(cluster_col).alias("grp"),
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+        )
+        .withColumn("blk", F.pmod(F.hash(F.col("vid")), F.lit(nb)))
+        .withColumn("other", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
+        .withColumn("g1", F.least("blk", "other"))
+        .withColumn("g2", F.greatest("blk", "other"))
+        .filter((F.col("blk") != F.col("other")) | (F.col("other") == F.col("g2")))
+    )
+
+    def dropped(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, g1, g2 = key
+        if g1 == g2:
+            ids = pdf["vid"].to_numpy()
+            u = _unit(_matrix(pdf["vec"]))
+            c = np.round(u @ u.T, 4)
+            ii, jj = np.where(np.triu(c >= min_cosine, k=1))
+            a_ids, b_ids = ids[ii], ids[jj]
+        else:
+            pa, pb = pdf[pdf["blk"] == g1], pdf[pdf["blk"] == g2]
+            if len(pa) == 0 or len(pb) == 0:
+                return pd.DataFrame({"vid": []}).astype({"vid": "int64"})
+            ia, ib = pa["vid"].to_numpy(), pb["vid"].to_numpy()
+            c = np.round(
+                _unit(_matrix(pa["vec"])) @ _unit(_matrix(pb["vec"])).T, 4
+            )
+            ii, jj = np.where(c >= min_cosine)
+            a_ids, b_ids = ia[ii], ib[jj]
+        # id_a < id_b and the LARGER id is the one dropped (keep-first).
+        return pd.DataFrame({"vid": np.maximum(a_ids, b_ids)}).astype(
+            {"vid": "int64"}
+        )
+
+    drops = (
+        keyed.groupBy("grp", "g1", "g2")
+        .applyInPandas(dropped, schema="vid long")
+        .dropDuplicates(["vid"])
+    )
+    return (
+        emb.select(id_col, cluster_col)
+        .join(drops, emb[id_col] == drops["vid"], "left")
+        .select(
+            id_col,
+            cluster_col,
+            F.col("vid").isNull().alias("keep"),
+        )
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,

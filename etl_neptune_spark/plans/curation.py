@@ -1,0 +1,155 @@
+"""Certified queries for dataset-curation operators that compose the
+dedup/similarity machinery into training-set decisions (no reference
+counterpart — BASELINE.json north-star scope):
+
+- ``q_leakage_split`` — group-aware train/val/test split: near-dup
+  clusters (connected components of the exact Jaccard pair graph) are
+  assigned to ONE split via the md5 bucket of the cluster's canonical
+  id, eliminating train→eval near-dup leakage that a per-doc hash
+  split cannot prevent (Lee et al. 2022, "Deduplicating Training Data
+  Makes Language Models Better", §6 observes exactly this leakage).
+- ``q_semdedup`` — SemDeDup (Abbas et al. 2023): within-cluster
+  embedding-cosine dedup verdicts; pairwise scoring never leaves the
+  coarse cluster, so there is no corpus×corpus stage.
+- ``q_classifier`` — linear quality-classifier inference over the
+  embedding column (the GPT-3/LLaMA "quality filter" stage shape): a
+  broadcast weight vector, one JVM-side fold per row, zero shuffles.
+  Weights are a deterministic integer formula so the oracle evaluates
+  the identical model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import ngram_jaccard_pairs
+from ..operators.packing import leakage_safe_split
+from ..operators.similarity import dot, semantic_dedup
+from ..sources import load_table
+from .llm import _SH_SQL
+from .registry import register
+
+# Recursive-CTE closure of the exact n-gram Jaccard pair graph — the
+# same cluster definition q_dup_clusters certifies.
+_COMP_CTES = f"""
+    sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+    nonempty AS (SELECT * FROM sh WHERE len(sh) > 0),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+                    / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM sym),
+    reach AS (
+        SELECT v, v AS r FROM verts
+        UNION
+        SELECT reach.v, s.b AS r FROM reach JOIN sym s ON s.a = reach.r
+    ),
+    comp AS (SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v)
+"""
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: md5 bucket of the near-dup cluster's
+    canonical id (min member), so a cluster never straddles splits."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return leakage_safe_split(docs, ngram_jaccard_pairs(load_table(spark, sf_dir, "documents")))
+
+
+register(
+    "q_leakage_split",
+    q_leakage_split,
+    f"""
+    WITH RECURSIVE {_COMP_CTES}
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS group_id,
+           CASE WHEN substring(md5(CAST(coalesce(c.component, d.doc_id)
+                                        AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                WHEN substring(md5(CAST(coalesce(c.component, d.doc_id)
+                                        AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id
+    """,
+)
+
+
+SEMDEDUP_MIN_COS = 0.4
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdicts: drop a vector iff a smaller-id vector in the
+    same coarse cluster (the ``label`` column standing in for the IVF
+    assignment) has cosine ≥ 0.4."""
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), min_cosine=SEMDEDUP_MIN_COS
+    )
+
+
+register(
+    "q_semdedup",
+    q_semdedup,
+    f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    d AS (
+        SELECT DISTINCT b.vec_id
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(
+            list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+            / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
+               * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))),
+            4) >= {SEMDEDUP_MIN_COS}
+    )
+    SELECT e.vec_id, e.label, (d.vec_id IS NULL) AS keep
+    FROM e LEFT JOIN d ON d.vec_id = e.vec_id
+    """,
+)
+
+
+# Deterministic 64-dim weight vector shared by both engines: a small
+# integer recurrence, NOT trained — what's certified is the inference
+# plumbing (broadcast weights, per-row fold, threshold), the part that
+# survives swapping in real fasttext/LR weights.
+CLASSIFIER_W = [((7 * i + 3) % 13 - 6) / 10.0 for i in range(64)]
+
+
+def q_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference: sigmoid(w·v) per embedding,
+    4 dp, plus the keep verdict at the 0.5 operating point. One
+    narrow projection — zero shuffles, scales with the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in CLASSIFIER_W])
+    z = dot(F.col("embedding"), w)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return emb.select(
+        "vec_id",
+        score.alias("score"),
+        (score >= F.lit(0.5)).alias("pred"),
+    )
+
+
+register(
+    "q_classifier",
+    q_classifier,
+    f"""
+    WITH w AS (SELECT {list(CLASSIFIER_W)}::DOUBLE[] AS w),
+    scored AS (
+        SELECT vec_id,
+               round(1.0 / (1.0 + exp(-list_sum(list_transform(
+                   range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE) * w.w[i])))), 4) AS score
+        FROM embeddings, w
+    )
+    SELECT vec_id, score, (score >= 0.5) AS pred FROM scored
+    """,
+)

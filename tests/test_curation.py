@@ -1,0 +1,74 @@
+"""Dataset-curation composition tests: leakage-safe split, SemDeDup
+verdicts, classifier inference."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_neptune_spark.operators.dedup import ngram_jaccard_pairs
+from etl_neptune_spark.operators.packing import assign_split, leakage_safe_split
+from etl_neptune_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    semantic_dedup,
+)
+from etl_neptune_spark.sources import load_table
+
+
+def test_leakage_split_never_straddles_clusters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    out = leakage_safe_split(docs, pairs).cache()
+    # the core guarantee: one split per near-dup group
+    per_group = out.groupBy("group_id").agg(
+        F.count_distinct("split").alias("n_splits")
+    )
+    assert per_group.filter(F.col("n_splits") > 1).count() == 0
+    # at least one genuine multi-doc cluster exists in the fixture
+    assert per_group.count() < out.count()
+    # singletons (docs in no dup pair) get exactly the per-doc split
+    pair_ids = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    singles = out.join(pair_ids, "doc_id", "left_anti")
+    base = assign_split(docs).withColumnRenamed("split", "base_split")
+    mismatch = singles.join(base, "doc_id").filter(
+        F.col("split") != F.col("base_split")
+    )
+    assert mismatch.count() == 0
+    out.unpersist()
+
+
+def test_semantic_dedup_keep_first_within_cluster(spark):
+    # two near-identical vectors in cluster 0 (keep the smaller id),
+    # an identical vector in a DIFFERENT cluster (cross-cluster pairs
+    # are never scored — it must survive), and an orthogonal vector.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0, 0.0], 0),
+        (3, [1.0, 0.0, 0.0, 0.0], 1),
+        (4, [0.0, 1.0, 0.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r.vec_id: r.keep for r in semantic_dedup(emb, min_cosine=0.9).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_semantic_dedup_matches_pairwise_definition(spark, sf_dir):
+    # independent route to the same verdicts: corpus-wide exact pairs
+    # filtered to same-label, drop = larger id of any qualifying pair
+    emb = load_table(spark, sf_dir, "embeddings")
+    verdicts = semantic_dedup(emb, min_cosine=0.4)
+    labels = emb.select("vec_id", "label")
+    pairs = cosine_neardup_pairs(emb, min_cosine=0.4)
+    same_label = (
+        pairs.join(labels.withColumnRenamed("vec_id", "id_a"), "id_a")
+        .withColumnRenamed("label", "label_a")
+        .join(labels.withColumnRenamed("vec_id", "id_b"), "id_b")
+        .filter(F.col("label_a") == F.col("label"))
+    )
+    expect_dropped = {r.id_b for r in same_label.select("id_b").distinct().collect()}
+    got_dropped = {r.vec_id for r in verdicts.filter(~F.col("keep")).collect()}
+    assert got_dropped == expect_dropped
+    assert len(expect_dropped) > 0
