@@ -388,6 +388,7 @@ def bfs_hops(
     max_hops: int = 8,
     src: str = "src",
     dst: str = "dst",
+    driver_cap: int = 100_000,
 ) -> DataFrame:
     """(vertex, hops): minimum number of directed edges from ``source``
     to every vertex reachable within ``max_hops`` — classic frontier
@@ -412,6 +413,32 @@ def bfs_hops(
         .persist()
     )
     vt = e.schema[0].dataType.simpleString()
+    # Bounded-driver fast path, same posture (and same cap semantics)
+    # as connected_components: the DISTINCT pair set of an
+    # id-compressed interaction graph is metadata-scale relative to the
+    # event log that produced it, and a Python BFS over ≤ cap edges
+    # replaces O(diameter) whole-cluster job launches with microseconds
+    # of driver work. ``driver_cap=0`` forces the distributed loop.
+    if driver_cap and e.count() <= driver_cap:
+        adj: dict = {}
+        for r in e.collect():
+            adj.setdefault(r["u"], []).append(r["v"])
+        e.unpersist()
+        hops = {source: 0}
+        frontier_py = [source]
+        for h in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier_py:
+                for v in adj.get(u, ()):
+                    if v not in hops:
+                        hops[v] = h
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier_py = nxt
+        return spark.createDataFrame(
+            sorted(hops.items()), schema=f"vertex {vt}, hops int"
+        )
     dist = spark.createDataFrame([(source, 0)], schema=f"vertex {vt}, hops int")
     frontier = dist.select("vertex")
     for h in range(1, max_hops + 1):
@@ -439,6 +466,7 @@ def temporal_reach(
     dst: str = "dst",
     ts_col: str = "ts",
     max_rounds: int = 12,
+    driver_cap: int = 100_000,
 ) -> DataFrame:
     """(vertex, t): earliest TIME-RESPECTING arrival from ``source`` —
     a path may only continue along edges whose timestamp is ≥ the
@@ -463,10 +491,48 @@ def temporal_reach(
         .filter(
             F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
         )
+        # a null timestamp can never satisfy the ets >= t admissibility
+        # predicate — drop it here so both execution paths agree
+        .filter(F.col("ets").isNotNull())
         .distinct()
         .persist()
     )
     vt = e.schema[0].dataType.simpleString()
+    # Bounded-driver fast path (connected_components posture): when the
+    # DISTINCT (u, v, ts) edge set fits under the cap, earliest-arrival
+    # Dijkstra on the driver is exact — arrival times are monotone
+    # along admissible paths (each hop's timestamp ≥ the tail's
+    # arrival), so settling vertices in arrival order is the classic
+    # time-respecting-path algorithm (Wu et al., VLDB 2014). Replaces
+    # O(rounds) whole-cluster job launches; ``driver_cap=0`` forces the
+    # distributed fixpoint (the 100 TB path).
+    if driver_cap and e.count() <= driver_cap:
+        import bisect
+        import datetime
+        import heapq
+
+        adj: dict = {}
+        for r in e.collect():
+            adj.setdefault(r["u"], {}).setdefault(r["v"], []).append(r["ets"])
+        e.unpersist()
+        for nbrs in adj.values():
+            for tss in nbrs.values():
+                tss.sort()
+        t0 = datetime.datetime(1970, 1, 1)
+        best = {source: t0}
+        heap = [(t0, source)]
+        while heap:
+            t, u = heapq.heappop(heap)
+            if t > best.get(u, t):
+                continue
+            for v, tss in adj.get(u, {}).items():
+                i = bisect.bisect_left(tss, t)
+                if i < len(tss) and (v not in best or tss[i] < best[v]):
+                    best[v] = tss[i]
+                    heapq.heappush(heap, (tss[i], v))
+        return spark.createDataFrame(
+            sorted(best.items()), schema=f"vertex {vt}, t timestamp"
+        )
     arrival = spark.createDataFrame(
         [(source, "1970-01-01 00:00:00")], schema=f"vertex {vt}, t string"
     ).select("vertex", F.col("t").cast("timestamp").alias("t"))
@@ -558,6 +624,7 @@ def sssp_bounded(
     dst: str = "dst",
     w_col: str = "w",
     max_hops: int = 6,
+    driver_cap: int = 100_000,
 ) -> DataFrame:
     """(vertex, dist): minimum path weight from ``source`` over paths
     of AT MOST ``max_hops`` edges (directed; integer weights) — the
@@ -587,6 +654,34 @@ def sssp_bounded(
     )
     spark = edges.sparkSession
     vt = e.schema[0].dataType.simpleString()
+    # Bounded-driver fast path (connected_components posture): the
+    # per-pair min-weight edge aggregate is ≤|V|² rows however large
+    # the event log; under the cap, hop-bounded Bellman-Ford in Python
+    # replaces max_hops whole-cluster rounds. ``driver_cap=0`` forces
+    # the distributed loop (the 100 TB path).
+    if driver_cap and e.count() <= driver_cap:
+        adj: dict = {}
+        for r in e.collect():
+            adj.setdefault(r["u"], []).append((r["v"], r["w"]))
+        e.unpersist()
+        best = {source: 0}
+        frontier_py = {source: 0}
+        for _ in range(max_hops):
+            nxt: dict = {}
+            for u, d in frontier_py.items():
+                for v, w in adj.get(u, ()):
+                    nd = d + w
+                    if nd < nxt.get(v, nd + 1):
+                        nxt[v] = nd
+            frontier_py = nxt
+            for v, d in nxt.items():
+                if d < best.get(v, d + 1):
+                    best[v] = d
+            if not frontier_py:
+                break
+        return spark.createDataFrame(
+            sorted(best.items()), schema=f"vertex {vt}, dist bigint"
+        )
     frontier = spark.createDataFrame([(source, 0)], schema=f"vertex {vt}, dist bigint")
     acc = frontier
     for _ in range(max_hops):

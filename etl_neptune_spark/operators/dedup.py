@@ -831,9 +831,14 @@ def jaccard_prefix_pairs(
     it), one candidate-keyed verify join against the bounded per-doc
     sets. Verify cost is O(candidates · avg set size).
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    sh = doc_shingles(docs, id_col, text_col)
+    # The shingle frame feeds three consumers (postings + both sides of
+    # the verify join) and the Arrow shingle kernel is the dominant
+    # per-row cost — same materialization argument as the MinHash path
+    # above.
+    sh = doc_shingles(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     posts = sh.select(
         F.col(id_col),
         F.size("shingles").alias("n_sh"),
@@ -852,6 +857,13 @@ def jaccard_prefix_pairs(
         )
         .select(id_col, "shingle")
     )
+    # Both sides of the candidate self-join scan the prefix postings;
+    # eager materialization stops the two concurrent scan stages from
+    # each re-running the df-tag + rank windows (two shuffles) before a
+    # lazy cache could fill. The prefix is small by construction
+    # (|A| - ceil(tau*|A|) + 1 entries per doc).
+    prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
+    prefix.count()
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")

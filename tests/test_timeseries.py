@@ -406,6 +406,40 @@ def test_temporal_reach_respects_time_order(spark):
     }
 
 
+def test_graph_driver_fast_path_matches_distributed(spark, sf_dir):
+    """The cap-guarded bounded-driver paths must be value-identical to
+    the distributed fixpoint loops (driver_cap=0) on real fixture
+    graphs — the fast path is an execution strategy, not a semantic."""
+    from etl_neptune_spark.operators.components import (
+        bfs_hops,
+        sssp_bounded,
+        temporal_reach,
+    )
+    from etl_neptune_spark.plans.graph import _interaction_edges
+    from etl_neptune_spark.sources import load_table
+
+    e = _interaction_edges(spark, sf_dir)
+    fast = {(r.vertex, r.hops) for r in bfs_hops(e, 0).collect()}
+    dist = {(r.vertex, r.hops) for r in bfs_hops(e, 0, driver_cap=0).collect()}
+    assert fast == dist and len(fast) > 1
+
+    ew = e.withColumn("w", (F.col("src") + F.col("dst")) % 7 + 1)
+    fast_w = {(r.vertex, r.dist) for r in sssp_bounded(ew, 0).collect()}
+    dist_w = {(r.vertex, r.dist) for r in sssp_bounded(ew, 0, driver_cap=0).collect()}
+    assert fast_w == dist_w and len(fast_w) > 1
+
+    events = load_table(spark, sf_dir, "events")
+    et = events.select(
+        (F.col("user_id") % 200).cast("bigint").alias("src"),
+        (F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("bigint") % 200)
+        .alias("dst"),
+        "ts",
+    ).filter(F.col("dst").isNotNull())
+    fast_t = {(r.vertex, str(r.t)) for r in temporal_reach(et, 0).collect()}
+    dist_t = {(r.vertex, str(r.t)) for r in temporal_reach(et, 0, driver_cap=0).collect()}
+    assert fast_t == dist_t and len(fast_t) > 1
+
+
 def test_ewma_hand_computed(spark):
     from datetime import datetime
 
