@@ -283,41 +283,60 @@ def ewma(
 
     A sequential recurrence has no shuffle-free SQL form (each row
     depends on ALL its predecessors), so this is the documented
-    Python-boundary case (SCALE.md §Python boundary policy): ONE
-    ``applyInPandas`` over the key — a single keyed shuffle, Arrow
-    transfer, and a linear in-memory scan per key. State per group is
-    that key's history only, so memory is bounded by the hottest key,
-    not the table; at 100 TB the keyed layout is exactly how a
-    1000-executor cluster runs it. The recurrence is evaluated with the
-    explicit op order ``alpha·x + (1−alpha)·y`` so an oracle computing
-    the identical IEEE doubles sequence (e.g. a recursive CTE) matches
-    bit-for-bit — pandas' own ``ewm`` is NOT used because its kernel
-    associates the update differently (``y + alpha·(x−y)``), which
-    rounds differently.
+    Python-boundary case (SCALE.md §Python boundary policy): ONE keyed
+    repartition + in-partition sort, then a STREAMING ``mapInPandas``
+    scan that carries the last (key, ewma) across Arrow batch
+    boundaries. Versus the per-group ``applyInPandas`` form this
+    removes the per-key kernel-invocation overhead (one Python call
+    per Arrow batch, not per key — the difference is 10² – 10⁴× fewer
+    calls on real key cardinalities) and never materializes a whole
+    group: state is ONE scalar per in-flight key, so memory is bounded
+    by the batch size even if the hottest key holds a billion rows —
+    strictly better than group-at-a-time at 100 TB. The recurrence is
+    evaluated with the explicit op order ``alpha·x + (1−alpha)·y`` so
+    an oracle computing the identical IEEE doubles sequence (e.g. a
+    recursive CTE) matches bit-for-bit — pandas' own ``ewm`` is NOT
+    used because its kernel associates the update differently
+    (``y + alpha·(x−y)``), which rounds differently.
     """
+    from collections.abc import Iterator
+
+    import numpy as np
     import pandas as pd
 
     out_fields = f"{key_col} bigint, {id_col} bigint, {val_col} double, ewma double"
     a = float(alpha)
     b = 1.0 - a
 
-    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
-        vals = pdf[val_col].to_numpy(dtype="float64")
-        out = vals.copy()
-        for i in range(1, len(out)):
-            out[i] = a * vals[i] + b * out[i - 1]
-        return pd.DataFrame(
-            {
-                key_col: pdf[key_col].to_numpy(),
-                id_col: pdf[id_col].to_numpy(),
-                val_col: vals,
-                "ewma": out,
-            }
-        )
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive (key, ts, id)-sorted within the partition; a key
+        # never spans partitions, so the carry resets exactly at key
+        # boundaries.
+        ck: object = None
+        cy = 0.0
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            vals = pdf[val_col].to_numpy(dtype="float64")
+            out = np.empty_like(vals)
+            for i in range(len(vals)):
+                k = keys[i]
+                if k != ck:
+                    ck, cy = k, vals[i]
+                else:
+                    cy = a * vals[i] + b * cy
+                out[i] = cy
+            yield pd.DataFrame(
+                {
+                    key_col: keys,
+                    id_col: pdf[id_col].to_numpy(),
+                    val_col: vals,
+                    "ewma": out,
+                }
+            )
 
     return (
         df.select(key_col, ts_col, id_col, val_col)
-        .groupBy(key_col)
-        .applyInPandas(_kernel, out_fields)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, ts_col, id_col)
+        .mapInPandas(_kernel, out_fields)
     )

@@ -710,6 +710,144 @@ register(
 )
 
 
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4 ``parse_json`` /
+    ``variant_get``): the props JSON is parsed ONCE into the binary
+    variant encoding and every downstream access is a typed path
+    extraction — the modern lakehouse layout for open-schema payloads
+    (the reference's dynamic property bags, neptune_etl_aws.py:222) at
+    100 TB: shredded columnar storage + typed gets instead of
+    re-parsing a JSON string per access per query. Post-shred the plan
+    is plain relational: bucket the extracted measure and hash-agg
+    counts per (event_type, bucket)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+register(
+    "q_variant_shred",
+    q_variant_shred,
+    """
+    WITH shred AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type, k % 10 AS bucket,
+           count(*) AS n, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+    FROM shred GROUP BY event_type, k % 10
+    """,
+)
+
+
+def q_try_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_*`` expression surface: at 100 TB a handful of
+    malformed rows must degrade to NULL, not kill the job (the
+    reference's pervasive log-and-continue posture,
+    neptune_etl_aws.py:1386-1388, as engine expressions instead of
+    try/except). Certifies try_cast (bad→NULL, good→typed), try_divide
+    (÷0→NULL), and try_to_timestamp (unparseable→NULL) against
+    DuckDB's TRY_CAST / NULLIF equivalents."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select(
+        "event_id",
+        F.expr("try_cast(event_type AS BIGINT)").alias("bad_int"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias("good_int"),
+        F.try_divide(F.col("value"), (k % 3).cast("double")).alias("div3"),
+        F.try_to_timestamp(F.date_format("ts", "yyyy-MM-dd")).alias("day_ts"),
+        F.try_to_timestamp("event_type").alias("bad_ts"),
+    )
+
+
+register(
+    "q_try_safety",
+    q_try_safety,
+    """
+    SELECT event_id,
+           TRY_CAST(event_type AS BIGINT) AS bad_int,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS good_int,
+           value / nullif(CAST(TRY_CAST(json_extract_string(props, '$.k')
+                                        AS BIGINT) % 3 AS DOUBLE), 0.0) AS div3,
+           TRY_CAST(strftime(ts, '%Y-%m-%d') AS TIMESTAMP) AS day_ts,
+           TRY_CAST(event_type AS TIMESTAMP) AS bad_ts
+    FROM events
+    """,
+)
+
+
+def q_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order-function parity (the MapType surface §1.3 maps
+    tags/env-vars onto): build → ``transform_values`` → ``map_filter``
+    → keyed reads, all JVM-side codegen. DuckDB evaluates the
+    value-equivalent program over a list of entry structs — the
+    cross-engine certificate is the post-HOF entry set, rendered
+    order-canonically."""
+    cust = load_table(spark, sf_dir, "customer")
+    m0 = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("name").alias("k"), F.length("c_name").cast("bigint").alias("v")),
+            F.struct(F.lit("nation").alias("k"), F.col("c_nationkey").cast("bigint").alias("v")),
+            F.struct(F.lit("seg").alias("k"), F.length("c_mktsegment").cast("bigint").alias("v")),
+        )
+    )
+    m1 = F.transform_values(m0, lambda k, v: v * 2 + F.length(k))
+    m2 = F.map_filter(m1, lambda k, v: v % 4 != 0)
+    return cust.select(
+        "c_custkey",
+        F.size(m2).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m2)), ",").alias("keys"),
+        F.aggregate(F.map_values(m2), F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "total"
+        ),
+        F.element_at(m1, "nation").alias("nation_v"),
+    )
+
+
+register(
+    "q_map_suite",
+    q_map_suite,
+    """
+    WITH ent AS (
+        SELECT c_custkey,
+               [struct_pack(k := 'name', v := CAST(len(c_name) AS BIGINT)),
+                struct_pack(k := 'nation', v := CAST(c_nationkey AS BIGINT)),
+                struct_pack(k := 'seg', v := CAST(len(c_mktsegment) AS BIGINT))]
+                   AS m0
+        FROM customer
+    ),
+    hof AS (
+        SELECT c_custkey,
+               list_filter(
+                   list_transform(m0,
+                       e -> struct_pack(k := e.k, v := e.v * 2 + len(e.k))),
+                   e -> e.v % 4 <> 0) AS m2,
+               list_transform(m0,
+                   e -> struct_pack(k := e.k, v := e.v * 2 + len(e.k))) AS m1
+        FROM ent
+    )
+    SELECT c_custkey,
+           len(m2) AS n_keys,
+           array_to_string(list_sort(list_transform(m2, e -> e.k)), ',') AS keys,
+           coalesce(list_sum(list_transform(m2, e -> e.v)), 0) AS total,
+           (SELECT e.v FROM unnest(m1) AS t(e) WHERE e.k = 'nation') AS nation_v
+    FROM hof
+    """,
+)
+
+
 def q_tags_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13/W3 — tag list→map pivot + precedence lookup
     (``{t.Key: t.Value}`` then ``Tier``-or-``tier``,
