@@ -225,6 +225,7 @@ def brute_force_topk(
     k: int = 5,
     dim: int | None = None,
     n_blocks: int = 8,
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector (self excluded).
 
@@ -232,17 +233,25 @@ def brute_force_topk(
     that IS the brute-force contract), each cogroup scores one corpus
     block against all queries in one matmul and keeps its local top-k,
     and a global ranking window over the ≤ B·k survivors per query
-    yields the exact answer."""
+    yields the exact answer.
+
+    With ``exclude_label_col``, candidates sharing the query's label
+    are masked out before ranking — HARD-NEGATIVE MINING for
+    contrastive training (per anchor, the most similar vectors of a
+    DIFFERENT class); the masking happens inside the same matmul
+    kernel, so the cost is unchanged."""
     from pyspark.sql import Window
 
     nb = n_blocks
+    lbl = [F.col(exclude_label_col).alias("lbl")] if exclude_label_col else []
     c_blocks = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         F.pmod(F.hash(F.col(id_col)), F.lit(nb)).alias("blk"),
+        *lbl,
     )
     q_rep = queries.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), *lbl
     ).withColumn("blk", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
 
     def score(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
@@ -254,6 +263,9 @@ def brute_force_topk(
         qi, ci = qpdf["vid"].to_numpy(), cpdf["vid"].to_numpy()
         c = np.round(_unit(_matrix(qpdf["vec"])) @ _unit(_matrix(cpdf["vec"])).T, 4)
         c[qi[:, None] == ci[None, :]] = -np.inf  # exclude self
+        if exclude_label_col:
+            ql, cl = qpdf["lbl"].to_numpy(), cpdf["lbl"].to_numpy()
+            c[ql[:, None] == cl[None, :]] = -np.inf  # exclude same class
         rows = []
         kk = min(k, c.shape[1])
         for r in range(c.shape[0]):

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import ngram_jaccard_pairs
 from ..operators.packing import leakage_safe_split
-from ..operators.similarity import dot, semantic_dedup
+from ..operators.similarity import brute_force_topk, dot, semantic_dedup
 from ..sources import load_table
 from .llm import _SH_SQL
 from .registry import register
@@ -112,6 +112,54 @@ register(
     )
     SELECT e.vec_id, e.label, (d.vec_id IS NULL) AS keep
     FROM e LEFT JOIN d ON d.vec_id = e.vec_id
+    """,
+)
+
+
+HARDNEG_K = 3
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor
+    (vec_id % 50 = 0), the top-3 most-similar vectors of a DIFFERENT
+    label — exact, via the blocked brute-force kernel with same-class
+    candidates masked inside the matmul (operators.similarity.
+    brute_force_topk(exclude_label_col=...)). The triplet-mining step
+    of every embedding-model pipeline; swap the brute-force kernel for
+    the IVF path at corpus scale, the masking is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb.filter(F.col("vec_id") % 50 == 0),
+        emb,
+        k=HARDNEG_K,
+        exclude_label_col="label",
+    )
+
+
+register(
+    "q_hard_negatives",
+    q_hard_negatives,
+    f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(
+                   list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+                   / (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i])))
+                      * sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))),
+                   4) AS cos
+        FROM e q JOIN e c ON q.label != c.label
+        WHERE q.vec_id % 50 = 0
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {HARDNEG_K}
     """,
 )
 

@@ -2014,3 +2014,50 @@ def q_sql_surface3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_sql_surface3", q_sql_surface3, _SQL_SURFACE3)
+
+
+_SQL_SURFACE4 = """
+    WITH RECURSIVE o AS (
+        SELECT user_id, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(round(value * 100) AS BIGINT) % 5 AS pct,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE user_id % 50 = 0
+    ),
+    oc AS (SELECT * FROM o WHERE rn <= 8),
+    r AS (
+        SELECT user_id, event_id, rn, cents AS bal
+        FROM oc WHERE rn = 1
+        UNION ALL
+        SELECT oc.user_id, oc.event_id, oc.rn,
+               CAST(floor((r.bal * (100 + oc.pct)) / 100.0) AS BIGINT)
+                   + oc.cents
+        FROM oc JOIN r ON oc.user_id = r.user_id AND oc.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, rn, bal FROM r
+"""
+
+
+def q_sql_surface4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface parity #4: ``WITH RECURSIVE`` (Spark 4 recursive
+    CTEs) — a per-key COMPOUNDING balance in exact integer cents, ONE
+    shared ANSI text executed verbatim by both engines. The recurrence
+    multiplies then floors each step, so it is genuinely sequential
+    (floor division distributes over neither sum nor product — no
+    window/aggregate rewrite exists); every intermediate stays an
+    exact BIGINT (products ≤ 1e8 are exact in the double used by the
+    shared ``floor(x/100.0)`` step), so the certificate is value-exact
+    with no float tolerance. The depth cap bounds the iterative
+    executor's rounds; on an unbounded-depth production recurrence the
+    keyed ``mapInPandas`` EWMA kernel (operators.timeseries.ewma) is
+    the 100 TB path, and this surface is the cross-engine semantics
+    pin for it."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_SQL_SURFACE4)
+
+
+register("q_sql_surface4", q_sql_surface4, _SQL_SURFACE4)
