@@ -157,3 +157,88 @@ def run_neardup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+MIN_QUALITY = 0.35
+
+
+def ingest_corpus_batch(
+    store: GraphStore,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = MIN_QUALITY,
+    langs: tuple[str, ...] = ("en",),
+    num_hashes: int = 12,
+    bands: int = 6,
+    compact_every: int = 16,
+):
+    """``foreachBatch`` body for the full streaming corpus-ingest gate
+    — the batch ``run_corpus_pipeline`` semantics at ingest time, so a
+    100 TB backfill and the live stream apply IDENTICAL admission
+    rules:
+
+    1. quality + language gate (operators.text native expressions —
+       narrow, stream-safe, no state);
+    2. near-dup flag vs the persistent band index
+       (``flag_neardups_batch`` semantics, reusing its incremental
+       O(batch) delta merge);
+    3. admitted docs land in the ``corpus_manifest`` delta log with
+       their token counts — the same (id, n_tokens) contract the batch
+       packer (operators.packing.pack_sequences) consumes.
+
+    Idempotent under crash-replay for the same reasons as
+    ``flag_neardups_batch``: every read excludes the current batch's
+    own deltas and every write is keyed by batch id.
+    """
+    from ..operators.text import lang_id, quality_score
+
+    inner = flag_neardups_batch(
+        store, id_col, text_col, num_hashes, bands, compact_every=compact_every
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        gated = batch.filter(
+            (quality_score(F.col(text_col)) >= min_quality)
+            & lang_id(F.col(text_col)).isin(*langs)
+        )
+        inner(gated, batch_id)
+        verdicts = store.read(spark, f"verdicts_{batch_id}")
+        if verdicts is None:
+            return
+        admitted = gated.join(
+            verdicts.filter(~F.col("is_neardup")).select(id_col), id_col
+        )
+        manifest = admitted.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+            F.lit(batch_id).alias("ingest_batch"),
+        )
+        store.append_delta(manifest, "corpus_manifest", batch_id)
+
+    return apply
+
+
+def run_corpus_ingest_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    store: GraphStore,
+    schema: str = "doc_id long, text string",
+    checkpoint: str | None = None,
+    **gate_kwargs,
+) -> None:
+    """Drain a file-arrival document stream through the full ingest
+    gate (quality → language → near-dup → manifest) with availableNow."""
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    q = (
+        stream.writeStream.foreachBatch(ingest_corpus_batch(store, **gate_kwargs))
+        .option(
+            "checkpointLocation",
+            checkpoint or f"{store.root}/_checkpoints/corpus_ingest",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

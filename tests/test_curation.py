@@ -38,6 +38,29 @@ def test_leakage_split_never_straddles_clusters(spark, sf_dir):
     out.unpersist()
 
 
+def test_hard_negatives_never_return_same_label(spark, sf_dir):
+    from etl_neptune_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb.filter(F.col("vec_id") % 50 == 0), emb, k=3, exclude_label_col="label"
+    )
+    labels = emb.select("vec_id", "label")
+    joined = (
+        out.join(labels.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .withColumnRenamed("label", "q_label")
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    )
+    assert joined.filter(F.col("q_label") == F.col("label")).count() == 0
+    assert out.count() > 0
+    # ranks are 1..k per query
+    per_q = out.groupBy("query_id").agg(
+        F.min("rank").alias("lo"), F.max("rank").alias("hi"), F.count("*").alias("n")
+    )
+    bad = per_q.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count()
+    assert bad == 0
+
+
 def test_semantic_dedup_keep_first_within_cluster(spark):
     # two near-identical vectors in cluster 0 (keep the smaller id),
     # an identical vector in a DIFFERENT cluster (cross-cluster pairs

@@ -692,3 +692,59 @@ def test_streaming_changelog_apply_matches_composed_diff(spark, tmp_path):
         v0, snapshot_diff(v0, v3, keys=["k"]), keys=["k"]
     )
     assert {r.k: r.v for r in squashed.collect()} == want
+
+
+def test_corpus_ingest_stream_gates_and_manifest(spark, tmp_path):
+    """Composed streaming ingest: quality/lang gate → near-dup flag →
+    manifest append. The admitted set must equal exactly what the
+    BATCH operators decide (same expressions), and the manifest must
+    carry the packer's (id, n_tokens) contract."""
+    from etl_neptune_spark.operators.text import lang_id, quality_score
+    from etl_neptune_spark.streaming.dedup import (
+        BANDS_TABLE,
+        MIN_QUALITY,
+        run_corpus_ingest_stream,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps running "
+            "through the field with the wind and the sun in the morning")
+    b1 = spark.createDataFrame(
+        [(1, good + " first document body with plenty of words inside"),
+         (2, "zzz qqq 123 987 xxy")],          # fails the lang/quality gate
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, good + " first document body with plenty of words INSIDE"),  # ~dup of 1
+         (4, "the storage engine keeps the pages in the cache and the log "
+             "holds the writes while the reader scans the index and the "
+             "planner picks the join order for the query under the hood")],
+        "doc_id long, text string",
+    )
+    # the gate the stream applies, evaluated via the batch operators
+    gate = (quality_score(F.col("text")) >= MIN_QUALITY) & (
+        lang_id(F.col("text")) == "en"
+    )
+    assert {r.doc_id for r in b1.filter(gate).collect()} == {1}
+    assert {r.doc_id for r in b2.filter(gate).collect()} == {3, 4}
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src, exist_ok=True)
+    _add_flat_batch(b1, src, "b1")
+    store = GraphStore(str(tmp_path / "store"))
+    run_corpus_ingest_stream(spark, src, store)
+    _add_flat_batch(b2, src, "b2")
+    run_corpus_ingest_stream(spark, src, store)
+
+    manifest = store.read(spark, "corpus_manifest")
+    rows = {r.doc_id: r.n_tokens for r in manifest.collect()}
+    # 2 rejected by the gate, 3 rejected as a near-dup of 1
+    assert set(rows) == {1, 4}
+    expect_tokens = {
+        r.doc_id: r.n
+        for r in b1.unionByName(b2)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    assert rows == {k: expect_tokens[k] for k in rows}
+    indexed = {r.doc_id for r in store.read(spark, BANDS_TABLE).collect()}
+    assert indexed == {1, 4}
