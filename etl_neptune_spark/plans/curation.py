@@ -201,3 +201,113 @@ register(
     SELECT vec_id, score, (score >= 0.5) AS pred FROM scored
     """,
 )
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature encoder
+    of gradient-boosting / tabular-DL pipelines, in its leakage-safe
+    form: each row's category code is the mean target of the OTHER
+    rows in its category, ``(Σ_cat − x) / (n_cat − 1)``. Computed as
+    one category hash-agg broadcast back onto the scan (the category
+    dimension is small; no window over the fact table), with the
+    numerator/denominator kept in exact integer cents and ONE double
+    division at the end — bit-identical across engines, the
+    q_regression numeric discipline. Singleton categories encode NULL
+    (no leave-one-out estimate exists)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.sum("cents").alias("s"), F.count("*").alias("n")
+    )
+    loo_num = F.col("s") - F.col("cents")
+    loo_den = F.col("n") - F.lit(1)
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(
+            loo_den > 0, loo_num.cast("double") / loo_den.cast("double")
+        ).alias("te_cents"),
+    )
+
+
+register(
+    "q_target_encode",
+    q_target_encode,
+    """
+    WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type, sum(cents) AS s, count(*) AS n
+        FROM ev GROUP BY event_type
+    )
+    SELECT ev.event_id, ev.event_type,
+           CASE WHEN stats.n > 1
+                THEN CAST(stats.s - ev.cents AS DOUBLE)
+                     / CAST(stats.n - 1 AS DOUBLE)
+           END AS te_cents
+    FROM ev JOIN stats USING (event_type)
+    """,
+)
+
+
+FHASH_DIM = 64
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): each
+    (feature, value) pair maps to one of ``FHASH_DIM`` buckets via an
+    ENGINE-PORTABLE hash — two md5 hex digits decoded positionally
+    (``strpos`` over the hex alphabet; Spark's ``hash``/``xxhash64``
+    seeds don't match other engines, md5 does). Zero shuffle until the
+    final per-bucket rollup; the per-row bucket assignment scales with
+    the scan. Emits the collision-aware bucket load per feature
+    namespace — the sizing diagnostic for choosing the dimension."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def bucket(feat: str, val) -> tuple:
+        s = F.concat(F.lit(feat), F.lit("="), val.cast("string"))
+        h = F.md5(s)
+        d = "0123456789abcdef"
+        v1 = F.instr(F.lit(d), F.substring(h, 1, 1)) - 1
+        v2 = F.instr(F.lit(d), F.substring(h, 2, 1)) - 1
+        return (F.lit(feat), F.pmod(v1 * 16 + v2, F.lit(FHASH_DIM)))
+
+    t_feat, t_bucket = bucket("type", F.col("event_type"))
+    u_feat, u_bucket = bucket("user", F.col("user_id") % 100)
+    pairs = ev.select(
+        F.explode(
+            F.array(
+                F.struct(t_feat.alias("feat"), t_bucket.alias("bucket")),
+                F.struct(u_feat.alias("feat"), u_bucket.alias("bucket")),
+            )
+        ).alias("p")
+    ).select("p.feat", "p.bucket")
+    return pairs.groupBy("feat", "bucket").agg(F.count("*").alias("n"))
+
+
+register(
+    "q_feature_hash",
+    q_feature_hash,
+    f"""
+    WITH pairs AS (
+        SELECT 'type' AS feat,
+               ((strpos('0123456789abcdef', substring(md5('type=' || event_type), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substring(md5('type=' || event_type), 2, 1)) - 1)
+                   % {FHASH_DIM} AS bucket
+        FROM events
+        UNION ALL
+        SELECT 'user',
+               ((strpos('0123456789abcdef', substring(md5('user=' || CAST(user_id % 100 AS VARCHAR)), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substring(md5('user=' || CAST(user_id % 100 AS VARCHAR)), 2, 1)) - 1)
+                   % {FHASH_DIM}
+        FROM events
+    )
+    SELECT feat, bucket, count(*) AS n FROM pairs GROUP BY feat, bucket
+    """,
+)
