@@ -64,3 +64,31 @@ def json_refs_joined(col: Column | str, sep: str = ",") -> Column:
     """Refs rendered as a separator-joined string (order-stable)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.array_join(extract_json_refs(c), sep)
+
+
+def json_refs_udtf():
+    """The same recursive walk as a Spark 4 Python UDTF — true
+    table-function semantics (one (ref, pos) ROW per reference,
+    LATERAL-joinable from SQL) instead of array-return + explode.
+    Returned lazily from a factory so importing this module never
+    requires an active session. Registered per-session by the caller:
+
+        spark.udtf.register("json_refs_udtf", json_refs_udtf())
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ref: string, pos: int")
+    class JsonRefs:
+        def eval(self, payload: str):
+            if payload is None:
+                return
+            try:
+                tree = json.loads(payload)
+            except (ValueError, TypeError):
+                return
+            out: list[str] = []
+            _walk(tree, out)
+            for i, r in enumerate(out):
+                yield r, i
+
+    return JsonRefs

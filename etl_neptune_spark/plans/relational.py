@@ -901,6 +901,48 @@ register(
 )
 
 
+def q_json_refs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 in its TABLE-FUNCTION form (Spark 4 Python UDTF): the
+    recursive reference walk yields one (ref, pos) row per token,
+    LATERAL-joined per event — the UDTF API surface certified against
+    DuckDB's positional unnest of the same token stream. Same
+    slow-path policy as the pandas-UDF form (q_json_refs): per-row
+    O(tree), embarrassingly parallel, no state."""
+    from ..functions.json_refs import json_refs_udtf
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, "events")
+    spark.udtf.register("json_refs_udtf", json_refs_udtf())
+    return spark.sql(
+        """
+        SELECT e.event_id, s.ref, s.pos
+        FROM events e, LATERAL json_refs_udtf(e.props) s
+        """
+    )
+
+
+register(
+    "q_json_refs_udtf",
+    q_json_refs_udtf,
+    """
+    WITH arrs AS (
+        SELECT event_id, regexp_extract_all(props, '-?[0-9]+') AS arr
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_id,
+               list_transform(range(1, len(arr) + 1),
+                              i -> struct_pack(ref := arr[i],
+                                               pos := CAST(i - 1 AS INT)))
+                   AS ps
+        FROM arrs
+    )
+    SELECT event_id, e.ref AS ref, e.pos AS pos
+    FROM pairs, unnest(ps) AS t(e)
+    """,
+)
+
+
 register(
     "q_tags_map",
     q_tags_map,
