@@ -901,6 +901,33 @@ register(
 )
 
 
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/STRING_AGG parity: per user, the '|'-joined ORDERED
+    distinct event types — rendered order-canonically in both engines
+    (sorted collect_set vs string_agg DISTINCT ... ORDER BY), so the
+    certificate is exact. One keyed hash agg; the per-group payload is
+    bounded by the type vocabulary, not the event count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), "|").alias(
+            "types"
+        ),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+register(
+    "q_string_agg",
+    q_string_agg,
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, '|' ORDER BY event_type) AS types,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+
+
 def q_json_refs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 in its TABLE-FUNCTION form (Spark 4 Python UDTF): the
     recursive reference walk yields one (ref, pos) row per token,

@@ -25,6 +25,12 @@ sys.path.insert(0, ".")
 # Sanctioned exceptions, each with the reason the pattern is fine there.
 ALLOW = {
     "q_join_theta": {"BroadcastNestedLoopJoin"},  # ≤8-row literal build side
+    # Python UDTFs evaluate via BatchEvalPythonUDTF by design — this is
+    # the engine's DOCUMENTED slow-path exception (recursive JSON walk,
+    # SURVEY §2.9), demonstrating the table-function API surface; the
+    # production-volume form of the same walk is the Arrow pandas UDF
+    # (q_json_refs, ArrowEvalPython).
+    "q_json_refs_udtf": {"BatchEvalPython"},
     # driver-cap union-find path materializes a local result: no
     # distributed plan survives to audit, so these markers never appear;
     # entry kept for documentation.
