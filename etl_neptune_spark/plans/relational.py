@@ -1445,6 +1445,107 @@ register(
 )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median absolute deviation
+    (median(|x − median|), the breakdown-resistant spread estimate) and
+    the count of rows beyond 3·1.4826·MAD — the robust z-score rule
+    that survives the heavy tails that wreck mean/stddev gates. Two
+    exact type-7 medians (the q_boxplot convention both engines share),
+    each a keyed agg whose dimension-sized result broadcasts back onto
+    the scan (no fact-table window); integer-cent inputs keep the
+    interpolated midpoints exact (x.0/x.5)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    med = ev.groupBy("event_type").agg(F.percentile("cents", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).alias("med_cents"),
+            F.round(F.first("mad"), 4).alias("mad_cents"),
+            F.sum(
+                (
+                    F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+                ).cast("bigint")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+register(
+    "q_mad_outliers",
+    q_mad_outliers,
+    """
+    WITH ev AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS med
+        FROM ev GROUP BY event_type
+    ),
+    dev AS (
+        SELECT ev.event_type, med.med, abs(ev.cents - med.med) AS adev
+        FROM ev JOIN med USING (event_type)
+    )
+    SELECT event_type,
+           round(any_value(med), 4) AS med_cents,
+           round(quantile_cont(adev, 0.5), 4) AS mad_cents,
+           sum(CASE WHEN adev > 3.0 * 1.4826 * (
+                   SELECT quantile_cont(d2.adev, 0.5) FROM dev d2
+                   WHERE d2.event_type = dev.event_type)
+               THEN 1 ELSE 0 END) AS n_outliers
+    FROM dev GROUP BY event_type
+    """,
+)
+
+
+SAMPLE_PER_GROUP = 5
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-stratum sample: the first
+    ``SAMPLE_PER_GROUP`` rows of each event type in md5(event_id)
+    order — reproducible across runs, engines, and partitionings (the
+    per-group complement to the global A-Res sampler,
+    q_sample_weighted). One keyed window; at scale the rank-k
+    selection pushes into a per-group top-k buffer, never a global
+    sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_PER_GROUP)
+        .select("event_type", "event_id", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+register(
+    "q_sample_per_group",
+    q_sample_per_group,
+    f"""
+    SELECT event_type, event_id, CAST(rn AS INT) AS rn FROM (
+        SELECT event_type, event_id,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        FROM events
+    ) WHERE rn <= {SAMPLE_PER_GROUP}
+    """,
+)
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt of the customer numeric columns (Spark
     ``unpivot``/``melt`` ≡ ANSI UNPIVOT): one narrow projection, no
