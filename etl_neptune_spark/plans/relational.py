@@ -1546,6 +1546,86 @@ register(
 )
 
 
+def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout — the classic warehouse A/B analysis: users
+    hash-split into two arms (user_id parity standing in for the
+    assignment hash), per-user conversion = any 'purchase' event, then
+    the two-proportion pooled z statistic. All sufficient statistics
+    are exact BIGINT counts from two hash aggs (user rollup → arm
+    rollup); the z-score is one fixed double expression over those four
+    integers, written identically in both engines and rounded 4 dp.
+    Scales as two keyed aggs — the metric pipeline shape, no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    # conversion = any HIGH-VALUE purchase (top decile of the price
+    # range) — a per-user rare event, so both arms keep variance.
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
+            ).cast("int")
+        ).alias("conv")
+    )
+    arms = users.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count("*").alias("n"), F.sum("conv").alias("c")
+    )
+    one = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c"))).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c"))).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(pp * (1 - pp) * (1 / F.col("n0") + 1 / F.col("n1")))
+    return one.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 4).alias("rate0"),
+        F.round(p1, 4).alias("rate1"),
+        F.when(se > 0, F.round((p1 - p0) / se, 4)).alias("z"),
+    )
+
+
+register(
+    "q_abtest",
+    q_abtest,
+    """
+    WITH users AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND value > 150.0
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT user_id % 2 AS arm, count(*) AS n, sum(conv) AS c
+        FROM users GROUP BY user_id % 2
+    ),
+    one AS (
+        SELECT sum(CASE WHEN arm = 0 THEN n END) AS n0,
+               sum(CASE WHEN arm = 0 THEN c END) AS c0,
+               sum(CASE WHEN arm = 1 THEN n END) AS n1,
+               sum(CASE WHEN arm = 1 THEN c END) AS c1
+        FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           round(c0 / n0, 4) AS rate0,
+           round(c1 / n1, 4) AS rate1,
+           CASE WHEN sqrt((c0 + c1) / (n0 + n1)
+                           * (1 - (c0 + c1) / (n0 + n1))
+                           * (1 / n0 + 1 / n1)) > 0
+                THEN round((c1 / n1 - c0 / n0)
+                           / sqrt((c0 + c1) / (n0 + n1)
+                                  * (1 - (c0 + c1) / (n0 + n1))
+                                  * (1 / n0 + 1 / n1)), 4)
+           END AS z
+    FROM one
+    """,
+)
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt of the customer numeric columns (Spark
     ``unpivot``/``melt`` ≡ ANSI UNPIVOT): one narrow projection, no
