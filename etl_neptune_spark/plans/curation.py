@@ -311,3 +311,69 @@ register(
     SELECT feat, bucket, count(*) AS n FROM pairs GROUP BY feat, bucket
     """,
 )
+
+
+QNORM_GRID = 100  # percentile grid resolution
+
+
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization — the data-mixing step that
+    puts heterogeneous sources' score distributions on ONE scale (so a
+    length/quality threshold means the same thing for every source):
+    each doc's within-source percent_rank (deterministic doc_id
+    tiebreak) is linearly interpolated into the GLOBAL type-7 quantile
+    grid of the same measure. The grid is one 101-point percentile
+    aggregate (dimension-sized, broadcast); the rank is one
+    source-keyed window; the interpolation is a per-row expression —
+    no fact-table self-join anywhere."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    grid = docs.agg(
+        F.percentile(
+            "n_chars", F.array(*[F.lit(i / QNORM_GRID) for i in range(QNORM_GRID + 1)])
+        ).alias("qg")
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.withColumn("pr", F.percent_rank().over(w))
+    j = ranked.join(F.broadcast(grid))
+    pos = F.col("pr") * QNORM_GRID
+    idx = F.floor(pos).cast("int")
+    frac = pos - idx
+    lo = F.element_at("qg", idx + 1)
+    hi = F.element_at("qg", F.least(idx + F.lit(2), F.lit(QNORM_GRID + 1)))
+    return j.select(
+        "doc_id",
+        "source",
+        F.round("pr", 4).alias("pr"),
+        F.round(lo + frac * (hi - lo), 4).alias("norm_chars"),
+    )
+
+
+register(
+    "q_quantile_norm",
+    q_quantile_norm,
+    f"""
+    WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+    grid AS (
+        SELECT quantile_cont(n_chars,
+                             {[i / QNORM_GRID for i in range(QNORM_GRID + 1)]})
+                   AS qg
+        FROM docs
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_chars,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS pr
+        FROM docs
+    )
+    SELECT doc_id, source, round(pr, 4) AS pr,
+           round(qg[CAST(floor(pr * {QNORM_GRID}) AS INT) + 1]
+                 + (pr * {QNORM_GRID} - floor(pr * {QNORM_GRID}))
+                   * (qg[least(CAST(floor(pr * {QNORM_GRID}) AS INT) + 2,
+                               {QNORM_GRID + 1})]
+                      - qg[CAST(floor(pr * {QNORM_GRID}) AS INT) + 1]), 4)
+               AS norm_chars
+    FROM ranked, grid
+    """,
+)
