@@ -322,27 +322,29 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     length/quality threshold means the same thing for every source):
     each doc's within-source percent_rank (deterministic doc_id
     tiebreak) is linearly interpolated into the GLOBAL type-7 quantile
-    grid of the same measure. The grid is one 101-point percentile
-    aggregate (dimension-sized, broadcast); the rank is one
-    source-keyed window; the interpolation is a per-row expression —
-    no fact-table self-join anywhere."""
+    grid of the same measure. The grid is resolved by ONE bounded
+    101-value driver action and folded in as literals — the BM25
+    anchor-literal posture, so the scoring pass is a pure projection
+    over the ranked scan (no 1-row cross join, no extra stage); the
+    rank is one source-keyed window; the interpolation is a per-row
+    expression — no fact-table self-join anywhere."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    grid = docs.agg(
+    grid_vals = docs.agg(
         F.percentile(
             "n_chars", F.array(*[F.lit(i / QNORM_GRID) for i in range(QNORM_GRID + 1)])
         ).alias("qg")
-    )
+    ).first()["qg"]
+    qg = F.array(*[F.lit(float(v)) for v in grid_vals])
     w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     ranked = docs.withColumn("pr", F.percent_rank().over(w))
-    j = ranked.join(F.broadcast(grid))
     pos = F.col("pr") * QNORM_GRID
     idx = F.floor(pos).cast("int")
     frac = pos - idx
-    lo = F.element_at("qg", idx + 1)
-    hi = F.element_at("qg", F.least(idx + F.lit(2), F.lit(QNORM_GRID + 1)))
-    return j.select(
+    lo = F.element_at(qg, idx + 1)
+    hi = F.element_at(qg, F.least(idx + F.lit(2), F.lit(QNORM_GRID + 1)))
+    return ranked.select(
         "doc_id",
         "source",
         F.round("pr", 4).alias("pr"),
