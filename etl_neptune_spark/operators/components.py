@@ -505,7 +505,12 @@ def temporal_reach(
     # arrival), so settling vertices in arrival order is the classic
     # time-respecting-path algorithm (Wu et al., VLDB 2014). Replaces
     # O(rounds) whole-cluster job launches; ``driver_cap=0`` forces the
-    # distributed fixpoint (the 100 TB path).
+    # distributed fixpoint (the 100 TB path). Contract note:
+    # ``max_rounds`` is the DISTRIBUTED strategy's convergence guard
+    # (it raises rather than return an unconverged set), not a path
+    # bound — Dijkstra needs no such guard, so a deep improving chain
+    # that would trip the guard distributed still returns its exact
+    # fixpoint here.
     if driver_cap and e.count() <= driver_cap:
         import bisect
         import datetime

@@ -311,19 +311,28 @@ def ewma(
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # rows arrive (key, ts, id)-sorted within the partition; a key
         # never spans partitions, so the carry resets exactly at key
-        # boundaries.
+        # boundaries. Keys compare as OBJECTS (None == None holds), so
+        # a null-key run behaves as one group — matching the grouped
+        # form this kernel replaced — instead of NaN != NaN restarting
+        # the recurrence every row.
+        started = False
         ck: object = None
+        ck_null = False
         cy = 0.0
         for pdf in batches:
-            keys = pdf[key_col].to_numpy()
+            keys = pdf[key_col].to_numpy(dtype=object)
+            knull = pdf[key_col].isna().to_numpy()
             vals = pdf[val_col].to_numpy(dtype="float64")
             out = np.empty_like(vals)
             for i in range(len(vals)):
-                k = keys[i]
-                if k != ck:
-                    ck, cy = k, vals[i]
-                else:
+                same = started and (
+                    (knull[i] and ck_null)
+                    or (not knull[i] and not ck_null and keys[i] == ck)
+                )
+                if same:
                     cy = a * vals[i] + b * cy
+                else:
+                    started, ck, ck_null, cy = True, keys[i], bool(knull[i]), vals[i]
                 out[i] = cy
             yield pd.DataFrame(
                 {
@@ -337,6 +346,13 @@ def ewma(
     return (
         df.select(key_col, ts_col, id_col, val_col)
         .repartition(key_col)
-        .sortWithinPartitions(key_col, ts_col, id_col)
+        # nulls LAST to match the pandas sort (na_position='last') of
+        # the grouped kernel this replaced — a null-ts row folds in
+        # after the real series, never as the seed
+        .sortWithinPartitions(
+            F.col(key_col).asc_nulls_last(),
+            F.col(ts_col).asc_nulls_last(),
+            F.col(id_col).asc_nulls_last(),
+        )
         .mapInPandas(_kernel, out_fields)
     )

@@ -27,47 +27,22 @@ from ..operators.dedup import ngram_jaccard_pairs
 from ..operators.packing import leakage_safe_split
 from ..operators.similarity import brute_force_topk, dot, semantic_dedup
 from ..sources import load_table
-from .llm import _SH_SQL
+from .llm import _CLOSURE_CTES
 from .registry import register
-
-# Recursive-CTE closure of the exact n-gram Jaccard pair graph — the
-# same cluster definition q_dup_clusters certifies.
-_COMP_CTES = f"""
-    sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
-    nonempty AS (SELECT * FROM sh WHERE len(sh) > 0),
-    pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
-        WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
-                    / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
-    ),
-    sym AS (
-        SELECT id_a AS a, id_b AS b FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs
-    ),
-    verts AS (SELECT DISTINCT a AS v FROM sym),
-    reach AS (
-        SELECT v, v AS r FROM verts
-        UNION
-        SELECT reach.v, s.b AS r FROM reach JOIN sym s ON s.a = reach.r
-    ),
-    comp AS (SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v)
-"""
 
 
 def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe split: md5 bucket of the near-dup cluster's
     canonical id (min member), so a cluster never straddles splits."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return leakage_safe_split(docs, ngram_jaccard_pairs(load_table(spark, sf_dir, "documents")))
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(docs.select("doc_id"), ngram_jaccard_pairs(docs))
 
 
 register(
     "q_leakage_split",
     q_leakage_split,
     f"""
-    WITH RECURSIVE {_COMP_CTES}
+    WITH RECURSIVE {_CLOSURE_CTES}
     SELECT d.doc_id,
            coalesce(c.component, d.doc_id) AS group_id,
            CASE WHEN substring(md5(CAST(coalesce(c.component, d.doc_id)

@@ -661,11 +661,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="id_a", dst="id_b")
 
 
-register(
-    "q_dup_clusters",
-    q_dup_clusters,
-    f"""
-    WITH RECURSIVE sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+# Shared recursive-CTE fragment: transitive closure of the exact
+# n-gram Jaccard pair graph — the ONE cluster definition used by
+# q_dup_clusters, q_cluster_survivors, and plans.curation's
+# q_leakage_split (imported there); ends at CTE ``comp``
+# (vertex, component=min member id).
+_CLOSURE_CTES = f"""sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
     nonempty AS (SELECT * FROM sh WHERE len(sh) > 0),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -683,8 +684,16 @@ register(
         SELECT v, v AS r FROM verts
         UNION
         SELECT reach.v, s.b AS r FROM reach JOIN sym s ON s.a = reach.r
-    )
-    SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
+    ),
+    comp AS (SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v)"""
+
+
+register(
+    "q_dup_clusters",
+    q_dup_clusters,
+    f"""
+    WITH RECURSIVE {_CLOSURE_CTES}
+    SELECT vertex, component FROM comp
     """,
 )
 
@@ -1003,26 +1012,7 @@ register(
     "q_cluster_survivors",
     q_cluster_survivors,
     f"""
-    WITH RECURSIVE sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
-    nonempty AS (SELECT * FROM sh WHERE len(sh) > 0),
-    pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
-        WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
-                    / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
-    ),
-    sym AS (
-        SELECT id_a AS a, id_b AS b FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs
-    ),
-    verts AS (SELECT DISTINCT a AS v FROM sym),
-    reach AS (
-        SELECT v, v AS r FROM verts
-        UNION
-        SELECT reach.v, s.b AS r FROM reach JOIN sym s ON s.a = reach.r
-    ),
-    comp AS (SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v),
+    WITH RECURSIVE {_CLOSURE_CTES},
     ranked AS (
         SELECT c.component, d.doc_id, d.n_chars,
                row_number() OVER (PARTITION BY c.component

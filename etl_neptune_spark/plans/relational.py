@@ -761,7 +761,9 @@ def q_try_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
     (÷0→NULL), and try_to_timestamp (unparseable→NULL) against
     DuckDB's TRY_CAST / NULLIF equivalents."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # the divisor derivation must itself be try_cast — a malformed $.k
+    # would otherwise throw under ANSI before try_divide ever runs
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
     return ev.select(
         "event_id",
         F.expr("try_cast(event_type AS BIGINT)").alias("bad_int"),

@@ -60,6 +60,7 @@ def flag_neardups_batch(
     bands: int = 6,
     admit_dups: bool = False,
     compact_every: int = 16,
+    intra_batch: bool = False,
 ):
     """``foreachBatch`` body: flag arriving docs that LSH-collide with
     the stored corpus, then merge the admitted docs' band keys into the
@@ -72,6 +73,12 @@ def flag_neardups_batch(
     ``compact_every``: fold the band-index delta log into one snapshot
     every N batches (amortized O(store) housekeeping; the per-batch
     write itself is always O(batch)).
+
+    ``intra_batch``: also flag docs that band-collide with a SMALLER-id
+    doc of the SAME batch (keep-first) — without this, two near-dups
+    co-arriving in one micro-batch are both admitted (neither is in the
+    store yet). The self-join runs on the batch's own (small) band-key
+    set, so the cost stays O(batch).
     """
 
     def apply(batch: DataFrame, batch_id: int) -> None:
@@ -100,6 +107,21 @@ def flag_neardups_batch(
             .groupBy(id_col)
             .agg(F.count_distinct("__stored_id").alias("n_collisions"))
         )
+        intra_hits = None
+        if intra_batch:
+            intra_hits = (
+                keys.select("band", "band_hash", F.col(id_col).alias("__later"))
+                .join(
+                    keys.select(
+                        "band", "band_hash", F.col(id_col).alias("__earlier")
+                    ),
+                    ["band", "band_hash"],
+                )
+                .filter(F.col("__later") > F.col("__earlier"))
+                .select(F.col("__later").alias(id_col))
+                .distinct()
+                .withColumn("__intra", F.lit(True))
+            )
         verdicts = (
             batch.select(id_col)
             .distinct()
@@ -112,6 +134,14 @@ def flag_neardups_batch(
                 F.coalesce("n_collisions", F.lit(0)).alias("n_collisions"),
             )
         )
+        if intra_hits is not None:
+            verdicts = verdicts.join(intra_hits, id_col, "left").select(
+                F.col(id_col),
+                (F.col("is_neardup") | F.coalesce("__intra", F.lit(False))).alias(
+                    "is_neardup"
+                ),
+                "n_collisions",
+            )
         store.write(verdicts, f"verdicts_{batch_id}", batch_id)
 
         admitted = (
@@ -172,19 +202,30 @@ def ingest_corpus_batch(
     bands: int = 6,
     compact_every: int = 16,
 ):
-    """``foreachBatch`` body for the full streaming corpus-ingest gate
-    — the batch ``run_corpus_pipeline`` semantics at ingest time, so a
-    100 TB backfill and the live stream apply IDENTICAL admission
-    rules:
+    """``foreachBatch`` body for a streaming corpus-ingest gate built
+    from the SAME operators the batch pipeline uses:
 
-    1. quality + language gate (operators.text native expressions —
-       narrow, stream-safe, no state);
-    2. near-dup flag vs the persistent band index
-       (``flag_neardups_batch`` semantics, reusing its incremental
-       O(batch) delta merge);
+    1. quality + language gate (operators.text ``quality_score`` /
+       ``lang_id`` — the identical expressions, narrow and stateless);
+    2. near-dup flag vs the persistent band index PLUS keep-first
+       within the arriving batch (``flag_neardups_batch`` with
+       ``intra_batch=True`` — co-arriving near-dups admit only the
+       min id; byte-identical exact dups share every band, so exact
+       dedup is subsumed), reusing the incremental O(batch) delta
+       merge;
     3. admitted docs land in the ``corpus_manifest`` delta log with
        their token counts — the same (id, n_tokens) contract the batch
        packer (operators.packing.pack_sequences) consumes.
+
+    Scope note vs ``pipelines.corpus.run_corpus_pipeline``: the batch
+    pipeline additionally applies the Gopher repetition gate and eval
+    decontamination, and resolves near-dup CLUSTERS (transitive) where
+    this gate applies pairwise keep-first — callers wanting the full
+    batch ruleset compose those operators into the stream the same way
+    (repetition_features is narrow/stateless; decontaminate needs the
+    broadcast eval shingle set). What IS shared — thresholds, hash
+    family, banding, keep-first orientation — is shared by
+    construction, imported from the same modules.
 
     Idempotent under crash-replay for the same reasons as
     ``flag_neardups_batch``: every read excludes the current batch's
@@ -193,7 +234,13 @@ def ingest_corpus_batch(
     from ..operators.text import lang_id, quality_score
 
     inner = flag_neardups_batch(
-        store, id_col, text_col, num_hashes, bands, compact_every=compact_every
+        store,
+        id_col,
+        text_col,
+        num_hashes,
+        bands,
+        compact_every=compact_every,
+        intra_batch=True,
     )
 
     def apply(batch: DataFrame, batch_id: int) -> None:

@@ -713,11 +713,13 @@ def test_corpus_ingest_stream_gates_and_manifest(spark, tmp_path):
          (2, "zzz qqq 123 987 xxy")],          # fails the lang/quality gate
         "doc_id long, text string",
     )
+    engine_doc = ("the storage engine keeps the pages in the cache and the log "
+                  "holds the writes while the reader scans the index and the "
+                  "planner picks the join order for the query under the hood")
     b2 = spark.createDataFrame(
         [(3, good + " first document body with plenty of words INSIDE"),  # ~dup of 1
-         (4, "the storage engine keeps the pages in the cache and the log "
-             "holds the writes while the reader scans the index and the "
-             "planner picks the join order for the query under the hood")],
+         (4, engine_doc),
+         (5, engine_doc + " today")],  # CO-ARRIVING near-dup of 4: keep-first drops it
         "doc_id long, text string",
     )
     # the gate the stream applies, evaluated via the batch operators
@@ -725,7 +727,7 @@ def test_corpus_ingest_stream_gates_and_manifest(spark, tmp_path):
         lang_id(F.col("text")) == "en"
     )
     assert {r.doc_id for r in b1.filter(gate).collect()} == {1}
-    assert {r.doc_id for r in b2.filter(gate).collect()} == {3, 4}
+    assert {r.doc_id for r in b2.filter(gate).collect()} == {3, 4, 5}
 
     src = str(tmp_path / "docs")
     os.makedirs(src, exist_ok=True)
@@ -737,7 +739,8 @@ def test_corpus_ingest_stream_gates_and_manifest(spark, tmp_path):
 
     manifest = store.read(spark, "corpus_manifest")
     rows = {r.doc_id: r.n_tokens for r in manifest.collect()}
-    # 2 rejected by the gate, 3 rejected as a near-dup of 1
+    # 2 rejected by the gate, 3 rejected as a near-dup of stored 1,
+    # 5 rejected keep-first as a CO-ARRIVING near-dup of 4
     assert set(rows) == {1, 4}
     expect_tokens = {
         r.doc_id: r.n

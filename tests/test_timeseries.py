@@ -464,6 +464,31 @@ def test_ewma_hand_computed(spark):
     assert got == {1: 10.0, 2: 15.0, 3: 22.5, 4: 7.0, 5: 1.0, 6: 2.0}
 
 
+def test_ewma_null_ts_folds_last_and_null_keys_chain(spark):
+    """Null semantics pinned: a null-ts row folds in AFTER the real
+    series (never as the seed), and a null-key run is ONE group (the
+    carry chains), matching the grouped kernel this op replaced."""
+    from datetime import datetime
+
+    from etl_neptune_spark.operators.timeseries import ewma
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 1, 10.0),
+        (1, datetime(2024, 1, 1, 0, 1), 2, 20.0),
+        (1, None, 3, 40.0),          # folds last: 0.5*40+0.5*15 = 27.5
+        (None, datetime(2024, 1, 1, 0, 0), 4, 8.0),
+        (None, datetime(2024, 1, 1, 0, 1), 5, 4.0),  # chains: 0.5*4+0.5*8=6
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma(df, "user_id", "ts", "value", "event_id", alpha=0.5).collect()
+    }
+    assert got == {1: 10.0, 2: 15.0, 3: 27.5, 4: 8.0, 5: 6.0}
+
+
 def test_ohlc_open_close_are_first_last(spark):
     from datetime import datetime
 
