@@ -1548,6 +1548,55 @@ register(
 )
 
 
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations ≡ ANSI COLLATE):
+    a case-mixed key column (upper for even keys, lower for odd)
+    grouped under the case-insensitive collation — the ENGINE folds
+    case inside the hash agg, no normalize-then-group rewrite. The
+    certificate renders the group canonically (binary min variant +
+    lower form) so both engines' outputs compare exactly; the binary
+    variant count proves the group really contained mixed case."""
+    cust = load_table(spark, sf_dir, "customer")
+    v = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+    ).otherwise(F.lower("c_mktsegment"))
+    return (
+        cust.select(v.alias("seg"))
+        .groupBy(F.expr("collate(seg, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct(F.expr("collate(seg, 'UTF8_BINARY')")).alias(
+                "n_variants"
+            ),
+            F.min(F.expr("collate(seg, 'UTF8_BINARY')")).alias("first_variant"),
+        )
+        .select(
+            F.lower("first_variant").alias("segment"),
+            "n",
+            "n_variants",
+            F.col("first_variant").cast("string").alias("first_variant"),
+        )
+    )
+
+
+register(
+    "q_collation",
+    q_collation,
+    """
+    WITH v AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                    ELSE lower(c_mktsegment) END AS seg
+        FROM customer
+    )
+    SELECT lower(min(seg)) AS segment,
+           count(*) AS n,
+           count(DISTINCT seg) AS n_variants,
+           min(seg) AS first_variant
+    FROM v GROUP BY seg COLLATE NOCASE
+    """,
+)
+
+
 def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment readout — the classic warehouse A/B analysis: users
     hash-split into two arms (user_id parity standing in for the
