@@ -1548,6 +1548,63 @@ register(
 )
 
 
+def q_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support (the 2-item sequence core of
+    GSP/PrefixSpan): for every ORDERED event-type pair (a, b), how many
+    users exhibit 'some a happens before some b'. The naive definition
+    is an EXISTS over event pairs (quadratic per user); it reduces
+    EXACTLY to ``min_ts(a) < max_ts(b)`` — an a precedes a b iff the
+    EARLIEST a precedes the LATEST b. So the plan is one (user, type)
+    hash agg, a user-keyed self-join of the tiny per-user type summary
+    (≤ |types|² rows per user), and a pair rollup — cost is linear in
+    the event log with a |types|²-bounded blowup, never event-pairs.
+    Support is exact per-mille of the total user population."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    a = per.select(
+        "user_id", F.col("event_type").alias("type_a"), F.col("mn").alias("mn_a")
+    )
+    b = per.select(
+        "user_id", F.col("event_type").alias("type_b"), F.col("mx").alias("mx_b")
+    )
+    total = ev.select("user_id").distinct().count()  # bounded 1-value action
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("mn_a") < F.col("mx_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users",
+            # integer floor division in BOTH engines (double-cast
+            # truncation rounds differently across dialects)
+            F.expr(f"(n_users * 1000) div {total}").alias("support_pm"),
+        )
+    )
+
+
+register(
+    "q_seq_pairs",
+    q_seq_pairs,
+    """
+    WITH per AS (
+        SELECT user_id, event_type, min(ts) AS mn, max(ts) AS mx
+        FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT count(DISTINCT user_id) AS n FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_users,
+           (count(*) * 1000) // tot.n AS support_pm
+    FROM per a JOIN per b ON a.user_id = b.user_id AND a.mn < b.mx
+    CROSS JOIN tot
+    GROUP BY a.event_type, b.event_type, tot.n
+    """,
+)
+
+
 def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collation-aware grouping (Spark 4 collations ≡ ANSI COLLATE):
     a case-mixed key column (upper for even keys, lower for odd)
