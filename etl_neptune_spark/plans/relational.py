@@ -1548,6 +1548,83 @@ register(
 )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted equi-join (operators.skew.salted_join):
+    the fact side's key is salted and the dim side replicated across
+    the salt space, so one hot key spreads over ``salt`` reducers —
+    the standard remedy when the dim is too big to broadcast and AQE's
+    skew split isn't available. Certified value-identical to the plain
+    join (the oracle) — salting is an execution strategy, not a
+    semantic."""
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    return salted_join(orders, cust, "o_custkey", salt=8).select(
+        "o_orderkey", "c_name", "c_nationkey"
+    )
+
+
+register(
+    "q_salted_join",
+    q_salted_join,
+    """
+    SELECT o.o_orderkey, c.c_name, c.c_nationkey
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+
+
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` ≡ IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantic the
+    MERGE engine's change detection relies on (operators/merge.py),
+    certified at the join operator itself. Each side pre-aggregates to
+    its (nullable key, count) summary, so the null-safe join runs on
+    dimension-sized frames."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(
+        F.col("user_id") % 1000
+    )
+    a = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_b"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_a", "n_b", (F.col("n_a") * F.col("n_b")).alias("pairs")
+    )
+
+
+register(
+    "q_nullsafe_join",
+    q_nullsafe_join,
+    """
+    WITH keyed AS (
+        SELECT event_id,
+               CASE WHEN event_id % 97 = 0 THEN NULL
+                    ELSE user_id % 1000 END AS k
+        FROM events
+    ),
+    a AS (SELECT k, count(*) AS n_a FROM keyed WHERE event_id % 2 = 0 GROUP BY k),
+    b AS (SELECT k, count(*) AS n_b FROM keyed WHERE event_id % 2 = 1 GROUP BY k)
+    SELECT a.k, a.n_a, b.n_b, a.n_a * b.n_b AS pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+
+
 def q_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern support (the 2-item sequence core of
     GSP/PrefixSpan): for every ORDERED event-type pair (a, b), how many
