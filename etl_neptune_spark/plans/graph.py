@@ -810,3 +810,109 @@ register(
     SELECT v AS vertex, min(dist) AS dist FROM d GROUP BY v
     """,
 )
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of edges whose reverse
+    edge also exists — the mutual-dependency signal for a service-call
+    topology (a high value means 'Calls' edges are really
+    conversations). One distinct-edge self-join on the reversed key +
+    a global rollup; exact per-mille via integer floor division."""
+    e = (
+        _interaction_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    n = e.count()  # bounded: |V|^2-capped distinct edge set
+    return recip.agg(
+        F.lit(n).alias("n_edges"),
+        F.count("*").alias("n_reciprocated"),
+        F.expr(f"(count(*) * 1000) div {n}").alias("reciprocity_pm"),
+    )
+
+
+register(
+    "q_reciprocity",
+    q_reciprocity,
+    f"""
+    WITH raw AS (
+        SELECT DISTINCT CAST(user_id % {PR_MOD} AS BIGINT) AS src,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                   % {PR_MOD} AS dst
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+              IS NOT NULL
+    ),
+    e AS (SELECT src, dst FROM raw WHERE src <> dst),
+    r AS (
+        SELECT e.src, e.dst FROM e
+        WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)
+    )
+    SELECT (SELECT count(*) FROM e) AS n_edges,
+           count(*) AS n_reciprocated,
+           (count(*) * 1000) // (SELECT count(*) FROM e) AS reciprocity_pm
+    FROM r
+    """,
+)
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: exact Jaccard between the USER SETS of
+    every event-type pair — the segment-similarity readout (which
+    behaviors share an audience). One (user, type) distinct frame,
+    a user-keyed self-join bounded by |types|² per user, and exact
+    |A∩B| / (|A|+|B|−|A∩B|) from integer counts."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+register(
+    "q_audience_overlap",
+    q_audience_overlap,
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_inter
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+           round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
