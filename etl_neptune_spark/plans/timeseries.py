@@ -1404,3 +1404,94 @@ register(
     FROM framed
     """,
 )
+
+
+def q_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total engaged time per user — the interval-union rollup of the
+    gap-sessionized activity (Σ session spans): because sessionization
+    already MERGED overlapping/adjacent activity into disjoint
+    intervals, the union length is a plain keyed sum of exact
+    millisecond spans on top of the session frame — no interval
+    sweep-line needed. Also reports session count and the longest
+    session."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sess = sessionize(events, on="user_id", ts_col="ts", gap_sec=GAP_MIN * 60,
+                      order_col="event_id")
+    spans = sess.groupBy("user_id", "session_id").agg(
+        (F.unix_millis(F.max("ts").cast("timestamp"))
+         - F.unix_millis(F.min("ts").cast("timestamp"))).alias("span_ms")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("span_ms").alias("engaged_ms"),
+        F.max("span_ms").alias("longest_ms"),
+    )
+
+
+register(
+    "q_engagement",
+    q_engagement,
+    f"""
+    WITH {_SESSION_CTE},
+    spans AS (
+        SELECT user_id, session_id,
+               epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           sum(span_ms) AS engaged_ms, max(span_ms) AS longest_ms
+    FROM spans GROUP BY user_id
+    """,
+)
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: seconds from a user's FIRST view to
+    their FIRST later purchase, summarized with exact type-7 quantiles
+    over integer seconds (the q_boxplot convention). Two conditional
+    min aggregates per user (one pass), then one dimension-sized
+    rollup — no event-pair join anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    lag = per.filter(
+        F.col("v").isNotNull() & F.col("p").isNotNull() & (F.col("p") > F.col("v"))
+    ).select(
+        F.expr(
+            "(unix_millis(cast(p AS timestamp))"
+            " - unix_millis(cast(v AS timestamp))) div 1000"
+        ).alias("lag_s")
+    )
+    return lag.agg(
+        F.count("*").alias("n_converted"),
+        F.min("lag_s").alias("min_s"),
+        F.round(F.percentile("lag_s", 0.5), 4).alias("p50_s"),
+        F.round(F.percentile("lag_s", 0.9), 4).alias("p90_s"),
+        F.max("lag_s").alias("max_s"),
+    )
+
+
+register(
+    "q_conversion_lag",
+    q_conversion_lag,
+    """
+    WITH per AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+        FROM events GROUP BY user_id
+    ),
+    lag AS (
+        SELECT (epoch_ms(p) - epoch_ms(v)) // 1000 AS lag_s
+        FROM per WHERE v IS NOT NULL AND p IS NOT NULL AND p > v
+    )
+    SELECT count(*) AS n_converted,
+           min(lag_s) AS min_s,
+           round(quantile_cont(lag_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(lag_s, 0.9), 4) AS p90_s,
+           max(lag_s) AS max_s
+    FROM lag
+    """,
+)
