@@ -2496,3 +2496,66 @@ def q_sql_surface4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_sql_surface4", q_sql_surface4, _SQL_SURFACE4)
+
+
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization — the feature-scaling pass of a
+    tabular pipeline — from EXACT integer sufficient statistics: the
+    (n, Σcents, Σcents²) hash agg per event type broadcasts back onto
+    the scan, and mean/std/z are ONE fixed double expression over
+    those integers (sample std, the n−1 form), written identically in
+    both engines and rounded 4 dp. No window over the fact table; sums
+    of squares stay inside BIGINT at this value range (≤ ~2^53 rows ×
+    cents² would need decimal — the decimal-cents discipline documents
+    the switch point)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    mean = s.cast("double") / n.cast("double")
+    var = (n * ss - s * s).cast("double") / (n * (n - 1)).cast("double")
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(mean, 4).alias("mean_cents"),
+        F.round(
+            F.when(
+                (n > 1) & ((n * ss - s * s) > 0),
+                (F.col("cents") - mean) / F.sqrt(var),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("z"),
+    )
+
+
+register(
+    "q_zscore",
+    q_zscore,
+    """
+    WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type, count(*) AS n, sum(cents) AS s,
+               sum(cents * cents) AS ss
+        FROM ev GROUP BY event_type
+    )
+    SELECT ev.event_id, ev.event_type,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_cents,
+           round(CASE WHEN n > 1 AND (n * ss - s * s) > 0
+                      THEN (ev.cents - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                           / sqrt(CAST(n * ss - s * s AS DOUBLE)
+                                  / CAST(n * (n - 1) AS DOUBLE))
+                      ELSE 0.0 END, 4) AS z
+    FROM ev JOIN stats USING (event_type)
+    """,
+)
