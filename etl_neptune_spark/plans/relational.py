@@ -2559,3 +2559,54 @@ register(
     FROM ev JOIN stats USING (event_type)
     """,
 )
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user spend — the concentration metric
+    for usage/revenue skew (how unevenly load or value distributes
+    over the population), computed EXACTLY in integers: per-user cents
+    (fact-table hash agg) ranks on a user-level frame that is
+    dimension-sized (one row per user — the documented single-partition
+    exception class, cf. q_mixture), and G = (2·Σ i·xᵢ)/(n·Σx) −
+    (n+1)/n uses exact BIGINT sums with ONE double division at the
+    end."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    w = Window.orderBy("cents", "user_id")
+    ranked = per.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").alias("n_users"),
+        F.sum("cents").alias("total_cents"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("cents")))
+            / (F.count("*") * F.sum("cents"))
+            - (F.count("*") + 1) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+register(
+    "q_gini",
+    q_gini,
+    """
+    WITH per AS (
+        SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, user_id) AS i
+        FROM per
+    )
+    SELECT count(*) AS n_users,
+           sum(cents) AS total_cents,
+           round((2.0 * sum(i * cents)) / (count(*) * sum(cents))
+                 - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
+    FROM ranked
+    """,
+)
