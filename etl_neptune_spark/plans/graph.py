@@ -916,3 +916,63 @@ register(
     JOIN sizes sb ON sb.event_type = i.type_b
     """,
 )
+
+
+HITS_ITERS = 3
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators.components.hits_scores) over
+    the events interaction graph: the alternating recurrence collapsed
+    to a single co-citation-matrix power iteration (a_{t+1} = AᵀA·a_t),
+    3 fixed rounds, EXACT integer arithmetic end to end — certified
+    hash-exact against DuckDB's recursive-CTE run of the identical
+    recurrence (the q_pagerank template, no float tolerance)."""
+    from ..operators.components import hits_scores
+
+    return hits_scores(_interaction_edges(spark, sf_dir), iters=HITS_ITERS)
+
+
+register(
+    "q_hits",
+    q_hits,
+    f"""
+    WITH RECURSIVE
+    raw AS (
+        SELECT DISTINCT CAST(user_id % {PR_MOD} AS BIGINT) AS u,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                   % {PR_MOD} AS v
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+              IS NOT NULL
+    ),
+    verts AS (
+        SELECT DISTINCT x FROM (SELECT u AS x FROM raw UNION SELECT v FROM raw)
+    ),
+    cmat AS (
+        SELECT e1.v AS w, e2.v AS vv, count(*) AS c
+        FROM raw e1 JOIN raw e2 ON e1.u = e2.u
+        GROUP BY e1.v, e2.v
+        UNION ALL
+        SELECT x, x, 0 FROM verts
+    ),
+    au AS (
+        SELECT x AS w, CAST(1 AS BIGINT) AS a, 0 AS it FROM verts
+        UNION ALL
+        SELECT cmat.vv AS w, sum(cmat.c * au.a) AS a, min(au.it) + 1 AS it
+        FROM au JOIN cmat ON cmat.w = au.w
+        WHERE au.it < {HITS_ITERS}
+        GROUP BY cmat.vv
+    ),
+    fin AS (SELECT w, a FROM au WHERE it = {HITS_ITERS}),
+    hub AS (
+        SELECT raw.u, sum(fin.a) AS hub
+        FROM raw JOIN fin ON fin.w = raw.v
+        GROUP BY raw.u
+    )
+    SELECT fin.w AS vertex, fin.a AS authority,
+           coalesce(hub.hub, 0) AS hub
+    FROM fin LEFT JOIN hub ON hub.u = fin.w
+    """,
+)
