@@ -2610,3 +2610,46 @@ register(
     FROM ranked
     """,
 )
+
+
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy (nats) of each user's
+    event-type mix — the engagement-breadth feature. Exact integer
+    counts from two hash aggs feed p·ln p with one division per term
+    and a 4 dp round; the per-user term count is bounded by the type
+    vocabulary, so the plan is two keyed aggregates and a broadcast
+    back — no window, no event-pair blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n_ut"))
+    u = ut.groupBy("user_id").agg(F.sum("n_ut").alias("n_u"))
+    p = F.col("n_ut").cast("double") / F.col("n_u").cast("double")
+    return (
+        ut.join(F.broadcast(u), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_u").alias("n_events"),
+            F.count("*").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+        )
+    )
+
+
+register(
+    "q_entropy",
+    q_entropy,
+    """
+    WITH ut AS (
+        SELECT user_id, event_type, count(*) AS n_ut
+        FROM events GROUP BY user_id, event_type
+    ),
+    u AS (SELECT user_id, sum(n_ut) AS n_u FROM ut GROUP BY user_id)
+    SELECT ut.user_id,
+           max(u.n_u) AS n_events,
+           count(*) AS n_types,
+           round(-sum((CAST(n_ut AS DOUBLE) / CAST(n_u AS DOUBLE))
+                      * ln(CAST(n_ut AS DOUBLE) / CAST(n_u AS DOUBLE))), 4)
+               AS entropy
+    FROM ut JOIN u USING (user_id)
+    GROUP BY ut.user_id
+    """,
+)
