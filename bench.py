@@ -74,6 +74,13 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # The driver's tail buffer truncated the (large) single JSON line in
+    # r3 (BENCH_r03.json parsed: null). Persist the full artifact at the
+    # repo root so round-over-round regression tracking never depends on
+    # the driver capturing stdout intact.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
     print(json.dumps(out))
 
 

@@ -722,9 +722,11 @@ def hits_scores(
     induce the identical ranking, every intermediate is an exact
     BIGINT (no float drift, hash-exact across engines), and the
     magnitude stays far under 2^63 for the bounded-vertex-space graphs
-    this targets (documented: ~|V|²·max(C) growth per round — scale
-    ``iters`` with care or reintroduce per-round L1 scaling at larger
-    spectral radii).
+    this targets. That bound is now ENFORCED, not just documented: the
+    max co-citation row sum is measured once (one scalar aggregate on
+    the checkpointed C) and the run aborts with a clear error if
+    maxrow^(iters+1) could cross 2^62 — Spark's non-ANSI BIGINT sum
+    would otherwise wrap silently and corrupt the ranking.
 
     Plan: C is checkpointed once; each round is one equi-join + keyed
     sum (Pregel shape); zero-weight self-entries keep isolated-authority
@@ -754,6 +756,24 @@ def hits_scores(
         )
         .localCheckpoint()
     )
+    # Overflow guard: a_{t+1}[vv] = Σ_w c[w,vv]·a_t[w], so with a_0 ≡ 1
+    # every |a_t| ≤ maxrow^t where maxrow = max_vv Σ_w c[w,vv], and the
+    # final hub multiply adds one more factor. Spark's non-ANSI BIGINT
+    # sum wraps SILENTLY on overflow — fail loudly up front instead of
+    # returning corrupted rankings on a denser graph / larger iters.
+    import math
+
+    max_row = (
+        cmat.groupBy("vv").agg(F.sum("c").alias("s")).agg(F.max("s")).first()[0]
+        or 0
+    )
+    if max_row > 1 and (iters + 1) * math.log2(max_row) >= 62:
+        raise ValueError(
+            f"hits_scores: unnormalized integer iteration would overflow "
+            f"BIGINT (max co-citation row sum {max_row}, iters={iters}; "
+            f"bound maxrow^(iters+1) ≥ 2^62). Lower iters or add "
+            f"per-round scaling."
+        )
     a = verts.select(F.col("x").alias("w"), F.lit(1).cast("long").alias("a"))
     for _ in range(iters):
         a = (

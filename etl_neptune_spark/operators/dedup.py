@@ -136,18 +136,24 @@ def minhash_band_entries(
     (the classical MinHash estimator), reproducible in any engine with
     md5 and string ordering (how the DuckDB oracle certifies it).
     Computed in the same Arrow pass as the banding md5; only
-    ``bands`` short rows per doc leave the Python worker."""
+    ``bands`` short rows per doc leave the Python worker.
+
+    Kernel layout (the md5 work is the dominant cost of every MinHash
+    query): digests are computed once per DISTINCT shingle per Arrow
+    batch — near-dup corpora repeat shingles across documents by
+    construction, so the naive per-occurrence loop re-hashes the same
+    strings over and over — and the per-document column minimum is one
+    vectorized numpy reduction over fixed-width ``<U32`` hex arrays
+    (exact lexicographic order, identical to the string ``min``)."""
     rows = num_hashes // bands
 
     def gen(batches):
         md5 = hashlib.md5
         for pdf in batches:
+            digs = _batch_digests(pdf["shingles"], num_hashes)
             out_id, out_band, out_hash = [], [], []
             for i, sh in zip(pdf[id_col], pdf["shingles"]):
-                sig = [
-                    min(md5(f"{j}:{s}".encode()).hexdigest() for s in sh)
-                    for j in range(num_hashes)
-                ]
+                sig = digs.signature(sh)
                 for b in range(bands):
                     out_id.append(i)
                     out_band.append(b)
@@ -165,6 +171,53 @@ def minhash_band_entries(
     return shingled.mapInPandas(gen, schema=f"{id_col} long, band int, band_hash string")
 
 
+class _batch_digests:
+    """Per-batch MinHash digest table: md5 digests keyed by DISTINCT
+    shingle, stored as (hi, lo) uint64 pairs — a fixed-width lowercase
+    hex string orders EXACTLY like its 128-bit value, so the vectorized
+    numpy min over (hi, then lo among hi-ties) reproduces ``min()``
+    over hex strings byte-identically (what the DuckDB oracle's
+    ``min(md5(...))`` computes), while the reduction stays a native
+    integer ufunc (numpy has no unicode min loop)."""
+
+    _FULL = None  # uint64 max, set lazily to avoid import-order issues
+
+    def __init__(self, shingle_lists, num_hashes: int) -> None:
+        import numpy as np
+
+        md5 = hashlib.md5
+        uniq: dict[str, int] = {}
+        for sh in shingle_lists:
+            for s in sh:
+                if s not in uniq:
+                    uniq[s] = len(uniq)
+        self.index = uniq
+        self.num_hashes = num_hashes
+        raw = b"".join(
+            md5(f"{j}:{s}".encode()).digest()
+            for s in uniq
+            for j in range(num_hashes)
+        )
+        # big-endian split: hex(digest) == f"{hi:016x}{lo:016x}"
+        self.mat = (
+            np.frombuffer(raw, dtype=">u8")
+            .astype(np.uint64)
+            .reshape(len(uniq), num_hashes, 2)
+        )
+        if _batch_digests._FULL is None:
+            _batch_digests._FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def signature(self, shingles) -> list[str]:
+        import numpy as np
+
+        idx = [self.index[s] for s in shingles]
+        sub = self.mat[idx]
+        hi, lo = sub[..., 0], sub[..., 1]
+        mh = hi.min(axis=0)
+        ml = np.where(hi == mh[None, :], lo, self._FULL).min(axis=0)
+        return [f"{int(h):016x}{int(l):016x}" for h, l in zip(mh, ml)]
+
+
 def minhash_signatures(
     shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = 12
 ) -> DataFrame:
@@ -173,17 +226,12 @@ def minhash_signatures(
     calibration and custom banding."""
 
     def gen(batches):
-        md5 = hashlib.md5
         for pdf in batches:
+            digs = _batch_digests(pdf["shingles"], num_hashes)
             ids, sigs = [], []
             for i, sh in zip(pdf[id_col], pdf["shingles"]):
                 ids.append(i)
-                sigs.append(
-                    [
-                        min(md5(f"{j}:{s}".encode()).hexdigest() for s in sh)
-                        for j in range(num_hashes)
-                    ]
-                )
+                sigs.append(digs.signature(sh))
             yield pd.DataFrame(
                 {id_col: pd.Series(ids, dtype="int64"), "sig": sigs}
             )
@@ -875,18 +923,30 @@ def jaccard_prefix_pairs(
     )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
-                4,
-            ),
+    try:
+        out = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b", "jaccard")
         )
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
-    )
+        # The verified pair list is tiny (bounded by true near-dup
+        # density); materialize it so the big intermediates can be
+        # dropped NOW instead of leaking cached blocks into a
+        # long-lived session (repeat invocations would otherwise
+        # accumulate until eviction pressure).
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        return out
+    finally:
+        sh.unpersist()
+        prefix.unpersist()

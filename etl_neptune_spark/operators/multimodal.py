@@ -8,14 +8,14 @@ feature-extract / resize / frame-sample run as ``mapInPandas`` batch
 iterators so each Python crossing handles a whole Arrow batch and the
 operator parallelizes per input split with no shuffle.
 
-The actual codec is resolved at import: PIL is tried first
-(``_HAVE_PIL``) and used for any payload that IS a decodable image;
-everything else — including this container, which ships no image
-libraries, and the driver fixtures, whose payloads are UTF-8 text —
-falls back to a deterministic fake decoder over the payload bytes
-(clearly marked). The Spark-side plumbing — schema, batching, UDF
-signatures, partitioning — is identical on both paths and is what the
-tests pin.
+Codec resolution order per payload: PIL when installed (any format) →
+the pure-stdlib PNG codec (``functions.pngcodec``: zlib + numpy, REAL
+decode/resize/re-encode for 8-bit PNG — always available, including in
+this container) → a deterministic fake over the raw bytes for payloads
+that are not decodable images (the driver fixtures' UTF-8 text always
+lands here, keeping the oracle queries byte-identical regardless of
+installed libraries). The Spark-side plumbing — schema, batching, UDF
+signatures, partitioning — is identical on every path.
 """
 
 from __future__ import annotations
@@ -27,13 +27,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-try:  # real codec when the environment provides it
+try:  # full-format codec when the environment provides it
     from PIL import Image as _PILImage
 
     _HAVE_PIL = True
-except ImportError:  # this container: no image libs — stub path
+except ImportError:  # this container: PNG-only via the stdlib codec
     _PILImage = None
     _HAVE_PIL = False
+
+from ..functions import pngcodec as _png
 
 IMAGE_META_SCHEMA = (
     "doc_id bigint, n_bytes bigint, width int, height int, channels int, format string"
@@ -63,9 +65,10 @@ def _fake_decode(payload: bytes) -> dict:
 
 def _decode_payload(payload: bytes) -> dict:
     """Image metadata: PIL when available AND the bytes decode as an
-    image; the deterministic fake otherwise. Fixture payloads are text
-    bytes, so oracle runs always take the fake path — byte-identical
-    with or without PIL installed."""
+    image; the pure-stdlib PNG codec for PNG payloads (real decode,
+    always available); the deterministic fake otherwise. Fixture
+    payloads are text bytes, so oracle runs on the driver tables always
+    take the fake path — byte-identical with or without PIL."""
     if _HAVE_PIL:
         try:
             img = _PILImage.open(io.BytesIO(payload))
@@ -77,6 +80,18 @@ def _decode_payload(payload: bytes) -> dict:
                 "format": (img.format or "unknown").lower(),
             }
         except Exception:
+            pass
+    if _png.is_png(payload):
+        try:
+            img = _png.decode(payload)
+            return {
+                "n_bytes": len(payload),
+                "width": int(img.shape[1]),
+                "height": int(img.shape[0]),
+                "channels": int(img.shape[2]) if img.ndim == 3 else 1,
+                "format": "png",
+            }
+        except _png.PngError:
             pass
     return _fake_decode(payload)
 
@@ -145,10 +160,11 @@ def resize_images(
     """binary payload → resized binary payload + output dims.
 
     Payloads that PIL can decode are really resized
-    (``Image.resize`` → PNG bytes); all others — every payload when no
-    image library is installed, and the text-byte fixtures always —
-    take the deterministic fake resample (width*height/64 bytes),
-    preserving the contract: binary in, binary out, metadata typed."""
+    (``Image.resize`` → PNG bytes); PNG payloads are really resized by
+    the stdlib codec even without PIL (decode → nearest-neighbor
+    resample → re-encode); everything else — the text-byte fixtures
+    always — takes the deterministic fake resample (width*height/64
+    bytes), preserving the contract: binary in, binary out, typed."""
 
     def _fake_resize(raw: bytes, target: int) -> bytes:
         if not raw:
@@ -171,6 +187,16 @@ def resize_images(
                         continue
                     except Exception:
                         pass
+                if _png.is_png(raw):
+                    try:
+                        out.append(
+                            _png.encode(
+                                _png.resize_nearest(_png.decode(raw), width, height)
+                            )
+                        )
+                        continue
+                    except _png.PngError:
+                        pass
                 out.append(_fake_resize(raw, target))
             yield pd.DataFrame(
                 {
@@ -183,6 +209,89 @@ def resize_images(
 
     return df.select(id_col, bin_col).mapInPandas(
         batches, "doc_id bigint, payload binary, width int, height int"
+    )
+
+
+def fabricate_png(
+    df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """(id, payload) with payload a REAL PNG byte stream, fabricated
+    deterministically from table columns: dims ``(size % 13 + 4) ×
+    (size % 7 + 3)``, RGB pixels ``(i · (id % 251 + 1)) % 256``. This is
+    the fixture adapter for certifying the codec END-TO-END through the
+    driver gate — the pixel recurrence is SQL-expressible, so an oracle
+    can predict exactly what a correct decode must recover (see
+    q_png_pipeline), while the bytes on the wire are genuine
+    zlib-compressed PNG scanlines, not text."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            pays = []
+            for i, n in zip(pdf[id_col].values, pdf[size_col].values):
+                w, h = int(n) % 13 + 4, int(n) % 7 + 3
+                k = int(i) % 251 + 1
+                img = (
+                    (np.arange(w * h * 3, dtype=np.int64) * k % 256)
+                    .astype(np.uint8)
+                    .reshape(h, w, 3)
+                )
+                pays.append(_png.encode(img))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": pays})
+
+    return df.select(id_col, size_col).mapInPandas(
+        batches, "doc_id bigint, payload binary"
+    )
+
+
+def decode_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """REAL-decode certificate: PNG payload → dims, channels, format,
+    and an exact integer pixel checksum (Σ pixel bytes mod 10007) from
+    the DECODED image. Any corruption anywhere in encode → transport →
+    decode changes the checksum; the fake path is never taken (a
+    non-PNG payload raises, by design — this operator certifies the
+    codec, not the fallback)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col].values, pdf[bin_col].values):
+                img = _png.decode(bytes(b))
+                h, w = img.shape[:2]
+                c = int(img.shape[2]) if img.ndim == 3 else 1
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "format": "png",
+                        "pixel_checksum": int(
+                            np.sum(img, dtype=np.int64) % 10007
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "format",
+                    "pixel_checksum",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches,
+        "doc_id bigint, width int, height int, channels int, "
+        "format string, pixel_checksum bigint",
     )
 
 

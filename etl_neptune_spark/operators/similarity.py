@@ -38,6 +38,8 @@ value is ~1e-11 per pair — the DuckDB oracle agrees in practice.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -266,6 +268,11 @@ def brute_force_topk(
         if exclude_label_col:
             ql, cl = qpdf["lbl"].to_numpy(), cpdf["lbl"].to_numpy()
             c[ql[:, None] == cl[None, :]] = -np.inf  # exclude same class
+            # SQL three-valued "q.label != c.label" also drops any pair
+            # where EITHER label is NULL — match that, not numpy equality
+            # (which only excludes both-NULL pairs).
+            qn, cn = pd.isna(qpdf["lbl"]).to_numpy(), pd.isna(cpdf["lbl"]).to_numpy()
+            c[qn[:, None] | cn[None, :]] = -np.inf
         rows = []
         kk = min(k, c.shape[1])
         for r in range(c.shape[0]):
@@ -477,15 +484,79 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.n
     return cents
 
 
+def cap_ivf_cells(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cell_cap: int,
+    dim: int,
+    seed: int = 42,
+    split_bits: int = 4,
+    max_rounds: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Quantizer-skew guard for the IVF layout: no cogroup cell may
+    exceed ``cell_cap`` corpus rows. Oversized cells get a seeded
+    sign-hyperplane suffix computed from the VECTOR itself (corpus rows
+    from ``vec``, probe rows from ``qvec``), so both roles land in the
+    same sub-cell without any coordination — the ``refined_sign_buckets``
+    recipe applied to IVF cells. Each round costs one cell-size
+    aggregate plus one broadcast join against the (tiny) oversized-cell
+    list; ``max_rounds`` bounds the loop, with exact-duplicate /
+    near-identical vectors as the documented residual floor (hyperplanes
+    cannot separate them).
+
+    ``corpus`` must have (vid, vec, cell); ``queries`` (qid, qvec, cell).
+    Returns both with string-typed, capped cell keys."""
+    corpus = corpus.withColumn("cell", F.col("cell").cast("string"))
+    queries = queries.withColumn("cell", F.col("cell").cast("string"))
+    for round_no in range(max_rounds):
+        over = (
+            corpus.groupBy("cell")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > cell_cap)
+            .select("cell")
+        )
+        if over.isEmpty():
+            break
+        ov = F.broadcast(over.withColumn("__over", F.lit(True)))
+        sfx_seed = seed + 101 * (round_no + 1)
+
+        def _split(df: DataFrame, vcol: str) -> DataFrame:
+            return (
+                df.join(ov, "cell", "left")
+                .withColumn(
+                    "cell",
+                    F.when(
+                        F.col("__over"),
+                        F.concat(
+                            F.col("cell"),
+                            F.lit("|"),
+                            sign_bucket(vcol, split_bits, dim, sfx_seed),
+                        ),
+                    ).otherwise(F.col("cell")),
+                )
+                .drop("__over")
+            )
+
+        corpus = _split(corpus, "vec")
+        queries = _split(queries, "qvec")
+        # Re-plan from a checkpoint each round: the loop otherwise
+        # stacks join layers whose re-analysis cost compounds and whose
+        # recomputation multiplies under the next round's aggregate.
+        corpus = corpus.localCheckpoint(eager=False)
+        queries = queries.localCheckpoint(eager=False)
+    return corpus, queries
+
+
 def ivf_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     nprobe: int = 2,
     train_sample: int = 4096,
     seed: int = 42,
+    cell_cap: int | None = 4096,
 ) -> DataFrame:
     """IVF-style approximate top-k: k-means coarse quantizer trained on
     a bounded sample, corpus assigned to its nearest centroid
@@ -494,12 +565,31 @@ def ivf_topk(
     classical inverted-file ANN layout. Larger ``nprobe`` trades
     latency for recall.
 
+    Scale parameters:
+
+    - ``n_clusters=None`` (default) derives the cell count from the
+      corpus: ~√N clamped to [4, train_sample // 8] — the FAISS sizing
+      rule. A FIXED cell count is a scale bug: at 1B+ vectors a
+      16-cell quantizer makes every cogroup cell ~N/16 rows and the
+      scorer OOMs one worker per cell.
+    - ``cell_cap`` bounds the rows any single cogroup task can see even
+      under quantizer skew (a dense corpus region can overload one
+      centroid regardless of cell count): oversized cells are
+      sub-split with seeded sign-hyperplane suffixes — applied to the
+      VECTOR, so a query probe and a corpus row land in the same
+      sub-cell deterministically — until every cell fits or the split
+      rounds cap out (exact-duplicate vectors set the floor). Same
+      recipe as ``refined_sign_buckets``.
+
     Self-query form (every vector is a query), matching ``lsh_topk``.
     No SQL oracle exists for k-means state, so this operator is
     certified rows-only plus a recall-vs-brute-force test."""
     from pyspark.sql import Window
 
     spark = emb.sparkSession
+    if n_clusters is None:
+        n = emb.count()  # one bounded action, metadata-cheap on parquet
+        n_clusters = int(min(max(4, round(math.sqrt(n))), max(4, train_sample // 8)))
     # Unbiased bounded training sample: order by a seeded hash of the id
     # and take the first N — a deterministic uniform draw across the
     # whole corpus, planned as TakeOrderedAndProject (per-partition
@@ -548,6 +638,15 @@ def ivf_topk(
         F.col("vec").alias("qvec"),
         F.explode(F.array(*[f"probe{p}" for p in range(nprobe)])).alias("cell"),
     )
+
+    if cell_cap is not None and len(sample_pdf):
+        from pyspark import StorageLevel
+
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        corpus, queries = cap_ivf_cells(
+            corpus, queries, cell_cap, dim=len(sample_pdf[vec_col].iloc[0]),
+            seed=seed,
+        )
 
     def score(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []}).astype(

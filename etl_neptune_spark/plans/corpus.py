@@ -143,8 +143,8 @@ register(
         FROM t
     )
     SELECT doc_id, n_tokens,
-           cum - n_tokens AS start,
-           (cum - n_tokens) // 2048 AS seq_id,
+           CAST(cum - n_tokens AS BIGINT) AS start,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
            (cum - n_tokens) // 2048 != (cum - 1) // 2048 AS crosses_boundary
     FROM c
     """,
@@ -359,9 +359,10 @@ register(
     ),
     tot AS (SELECT sum(c_train) AS nt, sum(c_val) AS nv FROM counts)
     SELECT token, c_train, c_val,
-           c_train * {PPM} // nt AS ppm_train,
-           c_val * {PPM} // nv AS ppm_val,
-           abs(c_train * {PPM} // nt - c_val * {PPM} // nv) AS ppm_diff
+           CAST(c_train * {PPM} // nt AS BIGINT) AS ppm_train,
+           CAST(c_val * {PPM} // nv AS BIGINT) AS ppm_val,
+           CAST(abs(c_train * {PPM} // nt - c_val * {PPM} // nv) AS BIGINT)
+               AS ppm_diff
     FROM counts, tot
     ORDER BY ppm_diff DESC, token
     LIMIT {DRIFT_TOP}
@@ -511,7 +512,8 @@ register(
     """
     WITH per_source AS (
         SELECT source,
-               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS src_tokens
+               CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+                   AS src_tokens
         FROM documents GROUP BY source
     )
     SELECT source, src_tokens,
@@ -558,7 +560,7 @@ register(
     SELECT p.w1, p.w2, p.pair_count, u1.c AS c1, u2.c AS c2,
            round(ln((p.pair_count / CAST(t.n_bigrams AS DOUBLE))
                     / ((u1.c / CAST(t.n_words AS DOUBLE))
-                       * (u2.c / CAST(t.n_words AS DOUBLE)))), 4) AS pmi
+                       * (u2.c / CAST(t.n_words AS DOUBLE)))), 4) + 0.0 AS pmi
     FROM pair p
     JOIN uni u1 ON u1.word = p.w1
     JOIN uni u2 ON u2.word = p.w2

@@ -334,7 +334,7 @@ register(
     SELECT coalesce(outs.node, ins.node) AS node,
            coalesce(out_degree, 0) AS out_degree,
            coalesce(in_degree, 0) AS in_degree,
-           coalesce(out_weight, 0) AS out_weight,
+           CAST(coalesce(out_weight, 0) AS BIGINT) AS out_weight,
            coalesce(db_count, 0) AS db_count,
            coalesce(in_degree, 0) = 0 AS is_entry_point,
            coalesce(db_count, 0) > 0 AS has_db_dependency
@@ -826,10 +826,17 @@ def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     recip = e.join(rev, ["src", "dst"], "left_semi")
     n = e.count()  # bounded: |V|^2-capped distinct edge set
+    # n == 0 guard: "div 0" is NULL (or an ANSI error) — emit NULL
+    # explicitly so an empty edge set matches the oracle's CASE arm.
+    pm = (
+        F.expr(f"(count(*) * 1000) div {n}")
+        if n > 0
+        else F.lit(None).cast("bigint")
+    )
     return recip.agg(
         F.lit(n).alias("n_edges"),
         F.count("*").alias("n_reciprocated"),
-        F.expr(f"(count(*) * 1000) div {n}").alias("reciprocity_pm"),
+        pm.alias("reciprocity_pm"),
     )
 
 
@@ -853,7 +860,9 @@ register(
     )
     SELECT (SELECT count(*) FROM e) AS n_edges,
            count(*) AS n_reciprocated,
-           (count(*) * 1000) // (SELECT count(*) FROM e) AS reciprocity_pm
+           CASE WHEN (SELECT count(*) FROM e) > 0
+                THEN (count(*) * 1000) // (SELECT count(*) FROM e)
+           END AS reciprocity_pm
     FROM r
     """,
 )
@@ -972,7 +981,7 @@ register(
         GROUP BY raw.u
     )
     SELECT fin.w AS vertex, fin.a AS authority,
-           coalesce(hub.hub, 0) AS hub
+           CAST(coalesce(hub.hub, 0) AS BIGINT) AS hub
     FROM fin LEFT JOIN hub ON hub.u = fin.w
     """,
 )

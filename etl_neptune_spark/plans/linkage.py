@@ -84,7 +84,8 @@ register(
     cnt AS (SELECT span, count(*) AS occ FROM sp GROUP BY span)
     SELECT sp.doc_id,
            count(*) AS n_spans,
-           sum(CASE WHEN cnt.occ >= 2 THEN 1 ELSE 0 END) AS n_dup_spans,
+           CAST(sum(CASE WHEN cnt.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
            round(sum(CASE WHEN cnt.occ >= 2 THEN 1 ELSE 0 END) * 1.0
                  / count(*), 4) AS dup_frac,
            round(sum(CASE WHEN cnt.occ >= 2 THEN 1 ELSE 0 END) * 1.0

@@ -111,7 +111,7 @@ register(
         FROM bucketed b
     ),
     batched AS (
-        SELECT ranked.*, off + (rn - 1) // 500 AS batch_id
+        SELECT ranked.*, CAST(off + (rn - 1) // 500 AS BIGINT) AS batch_id
         FROM ranked JOIN offs USING (bkt)
     ),
     fetched AS (

@@ -746,7 +746,8 @@ register(
         FROM events
     )
     SELECT event_type, k % 10 AS bucket,
-           count(*) AS n, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+           count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k, max(k) AS max_k
     FROM shred GROUP BY event_type, k % 10
     """,
 )
@@ -843,7 +844,8 @@ register(
     SELECT c_custkey,
            len(m2) AS n_keys,
            array_to_string(list_sort(list_transform(m2, e -> e.k)), ',') AS keys,
-           coalesce(list_sum(list_transform(m2, e -> e.v)), 0) AS total,
+           CAST(coalesce(list_sum(list_transform(m2, e -> e.v)), 0) AS BIGINT)
+               AS total,
            (SELECT e.v FROM unnest(m1) AS t(e) WHERE e.k = 'nation') AS nation_v
     FROM hof
     """,
@@ -1500,10 +1502,10 @@ register(
     SELECT event_type,
            round(any_value(med), 4) AS med_cents,
            round(quantile_cont(adev, 0.5), 4) AS mad_cents,
-           sum(CASE WHEN adev > 3.0 * 1.4826 * (
+           CAST(sum(CASE WHEN adev > 3.0 * 1.4826 * (
                    SELECT quantile_cont(d2.adev, 0.5) FROM dev d2
                    WHERE d2.event_type = dev.event_type)
-               THEN 1 ELSE 0 END) AS n_outliers
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev GROUP BY event_type
     """,
 )
@@ -1657,8 +1659,10 @@ def q_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_b",
             "n_users",
             # integer floor division in BOTH engines (double-cast
-            # truncation rounds differently across dialects)
-            F.expr(f"(n_users * 1000) div {total}").alias("support_pm"),
+            # truncation rounds differently across dialects); total==0
+            # can only co-occur with an empty result, but guard anyway
+            # so ANSI mode never sees a div-0 literal
+            F.expr(f"(n_users * 1000) div {max(total, 1)}").alias("support_pm"),
         )
     )
 
@@ -1789,10 +1793,10 @@ register(
         FROM users GROUP BY user_id % 2
     ),
     one AS (
-        SELECT sum(CASE WHEN arm = 0 THEN n END) AS n0,
-               sum(CASE WHEN arm = 0 THEN c END) AS c0,
-               sum(CASE WHEN arm = 1 THEN n END) AS n1,
-               sum(CASE WHEN arm = 1 THEN c END) AS c1
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS c1
         FROM arms
     )
     SELECT n0, c0, n1, c1,
@@ -2062,9 +2066,9 @@ register(
         FROM base GROUP BY event_type
     )
     SELECT event_type, n,
-           n * sxy - sx * sy AS cov_num,
-           n * sxx - sx * sx AS var_x_num,
-           n * syy - sy * sy AS var_y_num,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS var_x_num,
+           CAST(n * syy - sy * sy AS BIGINT) AS var_y_num,
            CAST(n * sxy - sx * sy AS DOUBLE)
                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
@@ -2315,8 +2319,9 @@ register(
         FROM embeddings
     )
     SELECT vec_id, label,
-           list_sum(list_transform(c, x -> abs(x))) AS l1_cents,
-           list_sum(list_transform(c, x -> x * x)) AS dot_self_cents2,
+           CAST(list_sum(list_transform(c, x -> abs(x))) AS BIGINT) AS l1_cents,
+           CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT)
+               AS dot_self_cents2,
            CAST(len(list_filter(c, x -> x > 0)) AS INTEGER) AS n_pos,
            c[1] AS first_cents,
            list_min(c) AS min_cents,
@@ -2378,9 +2383,9 @@ register(
         FROM base GROUP BY event_type
     )
     SELECT event_type, n,
-           n*sxy - sx*sy AS slope_num,
-           n*sxx - sx*sx AS slope_den,
-           sy*sxx - sx*sxy AS icept_num,
+           CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+           CAST(n*sxx - sx*sx AS BIGINT) AS slope_den,
+           CAST(sy*sxx - sx*sxy AS BIGINT) AS icept_num,
            CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
                AS slope_cents,
            CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
@@ -2604,7 +2609,7 @@ register(
         FROM per
     )
     SELECT count(*) AS n_users,
-           sum(cents) AS total_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
            round((2.0 * sum(i * cents)) / (count(*) * sum(cents))
                  - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
     FROM ranked
@@ -2644,7 +2649,7 @@ register(
     ),
     u AS (SELECT user_id, sum(n_ut) AS n_u FROM ut GROUP BY user_id)
     SELECT ut.user_id,
-           max(u.n_u) AS n_events,
+           CAST(max(u.n_u) AS BIGINT) AS n_events,
            count(*) AS n_types,
            round(-sum((CAST(n_ut AS DOUBLE) / CAST(n_u AS DOUBLE))
                       * ln(CAST(n_ut AS DOUBLE) / CAST(n_u AS DOUBLE))), 4)

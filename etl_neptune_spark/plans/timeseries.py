@@ -297,8 +297,9 @@ _SESSION_CTE = f"""
         -- (ts, event_id) tie-break mirrors sessionize's deterministic
         -- ordering; ORDER BY ts alone leaves equal-ts rows unspecified.
         SELECT user_id, ts,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
         FROM flagged
     )
 """
@@ -873,7 +874,8 @@ register(
         FROM active
     ),
     runs AS (SELECT k, grp, count(*) AS run FROM grp GROUP BY k, grp)
-    SELECT k, max(run) AS longest_streak, sum(run) AS n_active_hours
+    SELECT k, max(run) AS longest_streak,
+           CAST(sum(run) AS BIGINT) AS n_active_hours
     FROM runs GROUP BY k
     """,
 )
@@ -929,7 +931,8 @@ register(
         GROUP BY from_type, to_type
     )
     SELECT from_type, to_type, n,
-           (n * 1000) // sum(n) OVER (PARTITION BY from_type) AS per_mille
+           CAST((n * 1000) // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+               AS per_mille
     FROM counts
     """,
 )
@@ -1281,7 +1284,7 @@ register(
         FROM manifest
     )
     SELECT path, size_bytes, bin,
-           sum(size_bytes) OVER (PARTITION BY bin) AS bin_bytes
+           CAST(sum(size_bytes) OVER (PARTITION BY bin) AS BIGINT) AS bin_bytes
     FROM binned
     """,
 )
@@ -1439,7 +1442,8 @@ register(
         FROM sess GROUP BY user_id, session_id
     )
     SELECT user_id, count(*) AS n_sessions,
-           sum(span_ms) AS engaged_ms, max(span_ms) AS longest_ms
+           CAST(sum(span_ms) AS BIGINT) AS engaged_ms,
+           max(span_ms) AS longest_ms
     FROM spans GROUP BY user_id
     """,
 )

@@ -433,3 +433,100 @@ def test_group_heavy_hitters_eviction_guarantee(spark):
     }
     assert got == expect, (got, expect)
     assert got[("ga", "alpha")] == 150 and got[("gb", "beta")] == 150
+
+
+def test_ivf_cell_cap_enforced_on_skewed_corpus(spark):
+    """ADVICE r3 #5: a quantizer-skewed corpus (one dense direction +
+    noise) can overload a single IVF cell regardless of n_clusters; the
+    sign-suffix splitting must keep every corpus cell under the cap,
+    keep corpus and query probes co-bucketed, and never drop rows."""
+    import numpy as np
+
+    from etl_neptune_spark.operators.similarity import cap_ivf_cells, ivf_topk
+
+    rng = np.random.default_rng(5)
+    base = rng.uniform(0.5, 1.0, size=16)
+    rows = [
+        (i, [float(x) for x in base + rng.normal(0, 0.35, size=16)])
+        for i in range(900)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # Pin the invariant directly on the helper: every vector assigned
+    # to ONE mega-cell (the worst quantizer skew possible), queries
+    # probing the same cell.
+    corpus = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("vec"),
+        F.lit(0).alias("cell"),
+    )
+    queries = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.lit(0).alias("cell"),
+    )
+    cap = 200
+    c2, q2 = cap_ivf_cells(corpus, queries, cap, dim=16, seed=42)
+    sizes = [r["count"] for r in c2.groupBy("cell").count().collect()]
+    assert max(sizes) <= cap, f"cell of {max(sizes)} exceeds cap {cap}"
+    assert sum(sizes) == 900  # splitting never drops or duplicates rows
+    # co-bucketing: a query's refined cell must exist among corpus cells
+    # (same suffix function of the same vector), so self-pairs survive
+    ccells = {r["cell"] for r in c2.select("cell").distinct().collect()}
+    qcells = {r["cell"] for r in q2.select("cell").distinct().collect()}
+    assert qcells <= ccells
+
+    # And the full operator still returns ranked neighbors under a cap.
+    out = ivf_topk(emb, k=3, n_clusters=4, nprobe=2, cell_cap=cap)
+    assert out.count() > 0
+    one = out.filter(F.col("rank") == 1).limit(10).collect()
+    assert all(r.query_id != r.neighbor_id for r in one)
+
+
+def test_ivf_auto_clusters_scale_with_corpus(spark):
+    """n_clusters=None derives ~sqrt(N) cells instead of a fixed 16."""
+    import numpy as np
+
+    from etl_neptune_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, size=8)]) for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # sqrt(400) = 20 cells; just assert the auto path runs and returns
+    # ranked output (cluster count is internal).
+    out = ivf_topk(emb, k=2, nprobe=2, train_sample=400)
+    assert out.count() > 0
+
+
+def test_minhash_signature_kernel_matches_naive_definition(spark):
+    """The vectorized batch-digest kernel must reproduce the certified
+    definition exactly: sig[j] = min over shingles of md5(f"{j}:{s}")
+    as a hex string (what the DuckDB oracle computes)."""
+    import hashlib
+
+    from etl_neptune_spark.operators.dedup import (
+        doc_shingles,
+        minhash_signatures,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with unique words here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures(doc_shingles(docs), num_hashes=6).collect()
+    }
+    for doc_id, text in rows:
+        w = text.lower().split(" ")
+        sh = list(dict.fromkeys(" ".join(w[j : j + 3]) for j in range(len(w) - 2)))
+        expect = [
+            min(hashlib.md5(f"{j}:{s}".encode()).hexdigest() for s in sh)
+            for j in range(6)
+        ]
+        assert got[doc_id] == expect, doc_id

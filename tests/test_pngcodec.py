@@ -1,0 +1,158 @@
+"""Real-image-codec certification (VERDICT r3 "what's missing" #1).
+
+The container ships no image library, so the PNG path must be real on
+the pure-stdlib codec alone: these tests decode hand-built PNG byte
+streams (constructed chunk-by-chunk with zlib, independently of the
+encoder under test), round-trip encode→decode→resize→aHash, and drive
+REAL PNG payloads through the Spark multimodal operators, asserting
+the real-decode path (not the deterministic fake) produced the result.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from etl_neptune_spark.functions import pngcodec
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _manual_png(width, height, colortype, scanlines: bytes) -> bytes:
+    """Build a PNG byte stream by hand (independent of pngcodec.encode):
+    scanlines already carry their per-line filter byte."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scanlines))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_decode_golden_gray_filter0():
+    # 3x2 grayscale, filter 0 lines; pixel values chosen by hand.
+    scan = bytes([0, 10, 20, 30]) + bytes([0, 40, 50, 60])
+    img = pngcodec.decode(_manual_png(3, 2, 0, scan))
+    assert img.shape == (2, 3)
+    assert img.tolist() == [[10, 20, 30], [40, 50, 60]]
+
+
+def test_decode_golden_rgb_all_filters():
+    # 2x5 RGB exercising every filter type on a known-good byte layout.
+    # Row filters: 0 (None), 1 (Sub), 2 (Up), 3 (Average), 4 (Paeth).
+    # Expected pixels computed by hand from the PNG spec recurrences.
+    row0 = bytes([0, 100, 110, 120, 130, 140, 150])
+    row1 = bytes([1, 10, 10, 10, 5, 5, 5])  # Sub: cumulative along x
+    row2 = bytes([2, 1, 2, 3, 4, 5, 6])  # Up: add row above
+    row3 = bytes([3, 8, 8, 8, 8, 8, 8])  # Average of left and up
+    row4 = bytes([4, 1, 1, 1, 1, 1, 1])  # Paeth predictor
+    img = pngcodec.decode(_manual_png(2, 5, 2, row0 + row1 + row2 + row3 + row4))
+    assert img.shape == (5, 2, 3)
+    assert img[0].tolist() == [[100, 110, 120], [130, 140, 150]]
+    # Sub: first pixel = raw, second adds the pixel bpp back
+    assert img[1].tolist() == [[10, 10, 10], [15, 15, 15]]
+    # Up: row1 + delta
+    assert img[2].tolist() == [[11, 12, 13], [19, 20, 21]]
+    # Average: x=0 → left=0, avg=floor(up/2); x=1 → avg((left+up)/2)
+    r3p0 = [8 + 11 // 2, 8 + 12 // 2, 8 + 13 // 2]
+    r3p1 = [
+        8 + (r3p0[0] + 19) // 2,
+        8 + (r3p0[1] + 20) // 2,
+        8 + (r3p0[2] + 21) // 2,
+    ]
+    assert img[3].tolist() == [r3p0, r3p1]
+    # Paeth at x=0: a=0,c=0 → pred=up; spot-check first pixel only
+    assert img[4][0].tolist() == [r3p0[0] + 1, r3p0[1] + 1, r3p0[2] + 1]
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_encode_decode_roundtrip(channels):
+    rng = np.random.default_rng(7)
+    shape = (13, 9) if channels == 1 else (13, 9, channels)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = pngcodec.decode(pngcodec.encode(img))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_encode_is_deterministic():
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert pngcodec.encode(img) == pngcodec.encode(img)
+
+
+def test_unsupported_rejected():
+    with pytest.raises(pngcodec.PngError):
+        pngcodec.decode(b"not a png at all")
+    # 16-bit depth PNG must be rejected, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(3)))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(pngcodec.PngError):
+        pngcodec.decode(bad)
+
+
+def test_resize_nearest_exact_indices():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    small = pngcodec.resize_nearest(img, 2, 2)
+    # ys = [0, 2], xs = [0, 2]
+    assert small.tolist() == [[0, 2], [8, 10]]
+    big = pngcodec.resize_nearest(img, 8, 8)
+    assert big.shape == (8, 8)
+    assert big[0, 0] == 0 and big[7, 7] == 15
+
+
+def test_ahash64_shape_and_stability():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    h = pngcodec.ahash64(img)
+    assert len(h) == 64 and set(h) <= {"0", "1"}
+    assert h == pngcodec.ahash64(img)
+    # aHash is invariant to nearest-neighbor upscale (same 8x8 thumbnail)
+    assert h == pngcodec.ahash64(pngcodec.resize_nearest(img, 64, 64))
+
+
+def test_spark_decode_and_resize_real_png(spark):
+    """REAL codec end-to-end on the Spark operators: fabricate PNG
+    payloads (deterministic per doc), decode metadata, resize, and
+    assert the real path ran — the fake decoder could not produce
+    these width/height values for payloads of this length."""
+    from etl_neptune_spark.operators.multimodal import (
+        decode_image_meta,
+        resize_images,
+    )
+
+    rows = []
+    for i in range(1, 9):
+        w, h = 3 + i, 2 + (i % 3)
+        img = (np.arange(w * h * 3, dtype=np.uint32) * (i + 7) % 256).astype(
+            np.uint8
+        ).reshape(h, w, 3)
+        rows.append((i, bytearray(pngcodec.encode(img)), w, h))
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, w int, h int"
+    )
+
+    meta = {r.doc_id: r for r in decode_image_meta(df).collect()}
+    for i, _, w, h in rows:
+        assert meta[i].width == w and meta[i].height == h
+        assert meta[i].channels == 3 and meta[i].format == "png"
+
+    resized = {r.doc_id: r for r in resize_images(df, width=5, height=4).collect()}
+    for i, _, _, _ in rows:
+        out = pngcodec.decode(bytes(resized[i].payload))
+        assert out.shape == (4, 5, 3)  # really re-encoded PNG at target dims

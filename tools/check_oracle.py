@@ -6,7 +6,13 @@ row-count, schema (column names), and an order-insensitive value
 comparison (columns sorted by name, rows sorted). Use while iterating so
 CORRECTNESS_r{N}.json holds no surprises.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--strict] [sf_dir] [query ...]
+
+``--strict`` replicates the driver's exact-hash semantics: every column is
+compared ``astype(str)`` with NO float tolerance, so a DuckDB HUGEINT that
+materializes as ``8300.0`` against Spark's ``8300`` is a failure even though
+the values are numerically equal. Run strict before every commit — the
+driver's CORRECTNESS gate hashes rendered values, not numbers.
 """
 
 from __future__ import annotations
@@ -39,7 +45,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+def compare(
+    name: str,
+    spark_pdf: pd.DataFrame,
+    duck_pdf: pd.DataFrame,
+    strict: bool = False,
+) -> list[str]:
     problems: list[str] = []
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} duckdb={len(duck_pdf)}")
@@ -51,7 +62,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(s) == len(d):
         for c in s.columns:
             sv, dv = s[c], d[c]
-            if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            if strict:
+                bad = sv.astype(str) != dv.astype(str)
+            elif pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
                 sv = pd.to_numeric(sv, errors="coerce")
                 dv = pd.to_numeric(dv, errors="coerce")
                 bad = ~(
@@ -74,8 +87,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from etl_neptune_spark.session import get_spark
@@ -104,7 +119,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb raised {type(exc).__name__}: {exc}")
             failed.append(name)
             continue
-        problems = compare(name, spark_pdf, duck_pdf)
+        problems = compare(name, spark_pdf, duck_pdf, strict=strict)
         if problems:
             print(f"FAIL {name}:")
             for p in problems:
