@@ -395,6 +395,18 @@ def _ngram_overlap_pairs(
     # groupBy + join — so all three branches sit on ONE exchange
     # (hashpartitioning(shingle)) that Spark reuses, and the self-join
     # below needs no further shuffle of the postings.
+    from pyspark import StorageLevel
+
+    # The Arrow shingle kernel and the df-tag window feed FIVE plan
+    # branches (both sides of the light self-join, the heavy rollup —
+    # and the callers may join the shingle frame again for verify).
+    # Without eager materialization every concurrently-launched scan
+    # stage re-runs the kernel + window before a lazy cache could fill
+    # (the minhash_lsh_pairs materialization argument). ``tagged`` is
+    # the inverted index itself — exactly the intermediate you'd keep
+    # resident at scale; the bounded count that fills the cache costs
+    # one pass and saves up to three.
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     posts = sh.select(
         F.col(id_col),
         F.size("shingles").alias("n_sh"),
@@ -402,7 +414,8 @@ def _ngram_overlap_pairs(
     )
     tagged = posts.withColumn(
         "df", F.count("*").over(Window.partitionBy("shingle"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tagged.count()
 
     lite = tagged.filter(F.col("df") <= df_cap)
     a = lite.select(
@@ -436,7 +449,17 @@ def _ngram_overlap_pairs(
         )
         .withColumn("n_inter", F.col("c_light") + F.col("c_heavy"))
     )
-    return full
+    try:
+        # The candidate-pair frame is bounded by true near-dup density —
+        # tiny next to the postings. Materialize it so the big cached
+        # intermediates can be dropped NOW instead of leaking blocks
+        # into a long-lived session (the jaccard_prefix_pairs posture).
+        full = full.persist(StorageLevel.MEMORY_AND_DISK)
+        full.count()
+        return full
+    finally:
+        sh.unpersist()
+        tagged.unpersist()
 
 
 def simhash16(text: Column) -> Column:

@@ -354,3 +354,98 @@ register(
     FROM ranked, grid
     """,
 )
+
+
+DSIR_TARGET = "src0"  # deterministic target domain for the fixture
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    raw-pool document by the unigram log-likelihood ratio between a
+    TARGET domain (here: source '{DSIR_TARGET}') and the raw pool —
+    the data-selection stage that upweights in-domain text before
+    pretraining. Add-1 smoothing over the SHARED vocabulary on both
+    sides; per-doc score = Σ count(w)·(ln p_t(w) − ln p_r(w)), 4 dp.
+
+    Scale posture: word counts are two keyed hash aggs over the token
+    explode (linear); the three corpus totals (N_target, N_raw, |V|)
+    are ONE bounded driver action turned into literals (the TF-IDF
+    posture); scoring joins each doc's term vector against the
+    vocab-bounded model table — vocabulary-sized, broadcast-able,
+    never corpus×corpus. Per-term log factors are identical IEEE
+    doubles in both engines; the per-doc sum is vocabulary-bounded
+    (the q_entropy summation posture)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    is_t = F.col("source") == DSIR_TARGET
+    model = words.groupBy("word").agg(
+        F.count_if(is_t).alias("c_t"),
+        F.count_if(~is_t).alias("c_r"),
+    )
+    tot = model.agg(
+        F.sum("c_t").alias("nt"),
+        F.sum("c_r").alias("nr"),
+        F.count("*").alias("v"),
+    ).first()
+    nt, nr, v = int(tot["nt"]), int(tot["nr"]), int(tot["v"])
+    lr = F.log((F.col("c_t") + 1).cast("double") / F.lit(float(nt + v))) - F.log(
+        (F.col("c_r") + 1).cast("double") / F.lit(float(nr + v))
+    )
+    doc_terms = (
+        words.filter(~is_t)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c_w"))
+    )
+    return (
+        doc_terms.join(model.select("word", lr.alias("lr")), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_w").alias("n_words"),
+            F.round(F.sum(F.col("c_w") * F.col("lr")), 4).alias("dsir_score"),
+        )
+    )
+
+
+register(
+    "q_dsir",
+    q_dsir,
+    f"""
+    WITH words AS (
+        SELECT doc_id, source, w AS word
+        FROM documents, unnest(string_split(lower(text), ' ')) AS t(w)
+        WHERE w != ''
+    ),
+    model AS (
+        SELECT word,
+               count(*) FILTER (WHERE source = '{DSIR_TARGET}') AS c_t,
+               count(*) FILTER (WHERE source != '{DSIR_TARGET}') AS c_r
+        FROM words GROUP BY word
+    ),
+    tot AS (
+        SELECT CAST(sum(c_t) AS BIGINT) AS nt, CAST(sum(c_r) AS BIGINT) AS nr,
+               count(*) AS v
+        FROM model
+    ),
+    doc_terms AS (
+        SELECT doc_id, word, count(*) AS c_w
+        FROM words WHERE source != '{DSIR_TARGET}'
+        GROUP BY doc_id, word
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.c_w) AS BIGINT) AS n_words,
+           round(sum(d.c_w * (ln(CAST(m.c_t + 1 AS DOUBLE)
+                                 / CAST(t.nt + t.v AS DOUBLE))
+                              - ln(CAST(m.c_r + 1 AS DOUBLE)
+                                   / CAST(t.nr + t.v AS DOUBLE)))), 4)
+               AS dsir_score
+    FROM doc_terms d
+    JOIN model m USING (word)
+    CROSS JOIN tot t
+    GROUP BY d.doc_id
+    """,
+)

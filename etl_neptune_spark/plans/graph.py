@@ -985,3 +985,56 @@ register(
     FROM fin LEFT JOIN hub ON hub.u = fin.w
     """,
 )
+
+
+CLOSENESS_HOPS = 3
+
+
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded closeness centrality (operators.components.
+    msbfs_closeness): multi-source frontier BFS over the interaction
+    graph, every vertex a source, distances capped at 3 hops — the
+    k-hop closeness used on large graphs where exact all-pairs is
+    O(V·E). Exact integer sufficient statistics (n_reached,
+    total_dist); certified against DuckDB's recursive-UNION frontier
+    (the dedup in recursive UNION is precisely BFS settling, so the
+    oracle's row universe is |V|²-bounded like the operator's)."""
+    from ..operators.components import msbfs_closeness
+
+    return msbfs_closeness(
+        _interaction_edges(spark, sf_dir), max_hops=CLOSENESS_HOPS
+    )
+
+
+register(
+    "q_closeness",
+    q_closeness,
+    f"""
+    WITH RECURSIVE raw AS (
+        SELECT DISTINCT CAST(user_id % {PR_MOD} AS BIGINT) AS u,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                   % {PR_MOD} AS v
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+              IS NOT NULL
+    ),
+    e AS (SELECT u, v FROM raw WHERE u <> v),
+    verts AS (
+        SELECT DISTINCT x FROM (SELECT u AS x FROM e UNION SELECT v FROM e)
+    ),
+    d AS (
+        SELECT x AS s, x AS v, 0 AS dist FROM verts
+        UNION
+        SELECT d.s, e.v, d.dist + 1
+        FROM d JOIN e ON e.u = d.v
+        WHERE d.dist < {CLOSENESS_HOPS}
+    ),
+    md AS (SELECT s, v, min(dist) AS dist FROM d GROUP BY s, v)
+    SELECT s AS vertex,
+           CAST(count(*) FILTER (WHERE dist > 0) AS BIGINT) AS n_reached,
+           CAST(sum(dist) FILTER (WHERE dist > 0) AS BIGINT) AS total_dist
+    FROM md GROUP BY s
+    HAVING count(*) FILTER (WHERE dist > 0) > 0
+    """,
+)

@@ -1554,3 +1554,82 @@ register(
     HAVING count(*) > any_value(t.n_g) * {GHH_PHI}
     """,
 )
+
+
+def q_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the storage/transport
+    layout a billion-vector ANN corpus actually ships (FAISS SQ8 /
+    vector-DB scalar quantization): per-vector scale = max|x|/127,
+    code_i = round-half-up(x_i/scale). 4× smaller than float32 with
+    recall barely moved, and dot products downstream run on int8 SIMD.
+
+    Certified EXACTLY, no float rendering: the rounding is the portable
+    floor(x/scale + 0.5) (both engines define floor identically; no
+    banker's-rounding divergence), and the emitted certificate is all
+    integers — floor(scale·1e9), L1/L2 of the code vector, saturation
+    count. Zero shuffle: one narrow Arrow-free projection, higher-order
+    functions only, scales embarrassingly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("xd"),
+    ).withColumn(
+        "scale", F.array_max(F.transform("xd", F.abs)) / F.lit(127.0)
+    )
+    codes = F.when(
+        F.col("scale") == 0.0,
+        F.transform("xd", lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            "xd", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
+        )
+    )
+    df = df.withColumn("codes", codes)
+    return df.select(
+        "vec_id",
+        F.floor(F.col("scale") * F.lit(1e9)).cast("bigint").alias("scale_e9"),
+        F.aggregate(
+            F.transform("codes", F.abs),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("l1_codes"),
+        F.aggregate(
+            "codes",
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x.cast("bigint") * x.cast("bigint"),
+        ).alias("l2_codes"),
+        F.size(F.filter("codes", lambda x: F.abs(x) == 127)).alias("n_sat"),
+    )
+
+
+register(
+    "q_int8_quant",
+    q_int8_quant,
+    """
+    WITH s AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0.0
+                    THEN list_transform(xd, x -> 0)
+                    ELSE list_transform(xd,
+                        x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+               END AS codes
+        FROM s
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1e9) AS BIGINT) AS scale_e9,
+           CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT)
+               AS l1_codes,
+           CAST(list_sum(list_transform(codes,
+               x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT)
+               AS l2_codes,
+           CAST(len(list_filter(codes, x -> abs(x) = 127)) AS INTEGER) AS n_sat
+    FROM c
+    """,
+)

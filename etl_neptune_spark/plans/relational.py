@@ -2658,3 +2658,62 @@ register(
     GROUP BY ut.user_id
     """,
 )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — the robust-stats companion to
+    q_mad_outliers: clip each event's value (exact integer cents) at
+    the group's [p05, p95] band and report the clipped rollup. The
+    percentile bounds are floor/ceil-snapped to integers so every
+    downstream number is EXACT BIGINT arithmetic (no engine
+    interpolation-rendering in the certificate). Plan: one keyed
+    percentile agg on the dimension-sized group frame, broadcast back,
+    one pass of least/greatest — no fact-table window, no second
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.floor(F.percentile("cents", 0.05)).cast("bigint").alias("lo"),
+        F.ceil(F.percentile("cents", 0.95)).cast("bigint").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("lo").alias("lo_cents"),
+            F.max("hi").alias("hi_cents"),
+            F.count_if(F.col("cents") < F.col("lo")).alias("n_below"),
+            F.count_if(F.col("cents") > F.col("hi")).alias("n_above"),
+            F.sum(clipped).alias("sum_winsorized"),
+        )
+    )
+
+
+register(
+    "q_winsorize",
+    q_winsorize,
+    """
+    WITH ev AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    bounds AS (
+        SELECT event_type,
+               CAST(floor(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
+               CAST(ceil(quantile_cont(cents, 0.95)) AS BIGINT) AS hi
+        FROM ev GROUP BY event_type
+    )
+    SELECT ev.event_type,
+           max(b.lo) AS lo_cents,
+           max(b.hi) AS hi_cents,
+           CAST(count(*) FILTER (WHERE ev.cents < b.lo) AS BIGINT) AS n_below,
+           CAST(count(*) FILTER (WHERE ev.cents > b.hi) AS BIGINT) AS n_above,
+           CAST(sum(least(greatest(ev.cents, b.lo), b.hi)) AS BIGINT)
+               AS sum_winsorized
+    FROM ev JOIN bounds b USING (event_type)
+    GROUP BY ev.event_type
+    """,
+)
