@@ -295,6 +295,83 @@ def decode_pixel_stats(
     )
 
 
+def fabricate_wav(
+    df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """(id, payload) with payload a REAL 16-bit PCM WAV byte stream,
+    fabricated deterministically from table columns: n = size%500+64
+    mono samples, sample_i = ((i · (id%127+1)) % 4001) − 2000. The
+    audio counterpart of ``fabricate_png`` — the sample recurrence is
+    SQL-expressible, so an oracle can predict exactly what a correct
+    decode must recover (q_wav_pipeline) while the bytes are a genuine
+    RIFF container."""
+    from ..functions import wavcodec as _wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            pays = []
+            for i, n in zip(pdf[id_col].values, pdf[size_col].values):
+                cnt = int(n) % 500 + 64
+                k = int(i) % 127 + 1
+                s = (np.arange(cnt, dtype=np.int64) * k % 4001 - 2000).astype(
+                    np.int16
+                )
+                pays.append(_wav.encode(s))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": pays})
+
+    return df.select(id_col, size_col).mapInPandas(
+        batches, "doc_id bigint, payload binary"
+    )
+
+
+def decode_audio_stats(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """REAL-decode audio certificate: WAV payload → sample count, frame
+    count, exact integer frame energies (total + first 256-sample
+    frame) and the zero-crossing count, all from the DECODED samples —
+    pure integer arithmetic, bit-reproducible, SQL-predictable for
+    fabricated fixtures. A non-WAV payload raises by design (this
+    certifies the codec, not a fallback)."""
+    from ..functions import wavcodec as _wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col].values, pdf[bin_col].values):
+                samples, _sr = _wav.decode(bytes(b))
+                en = _wav.frame_energies(samples, frame=256)
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "n_samples": int(samples.shape[0]),
+                        "n_frames": int(len(en)),
+                        "total_energy": int(en.sum()),
+                        "energy_f0": int(en[0]) if len(en) else 0,
+                        "n_zero_cross": _wav.zero_crossings(samples),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "n_frames",
+                    "total_energy",
+                    "energy_f0",
+                    "n_zero_cross",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches,
+        "doc_id bigint, n_samples bigint, n_frames bigint, "
+        "total_energy bigint, energy_f0 bigint, n_zero_cross bigint",
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", every_n: int = 10
 ) -> DataFrame:

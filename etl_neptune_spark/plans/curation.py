@@ -449,3 +449,47 @@ register(
     GROUP BY d.doc_id
     """,
 )
+
+
+KANON_K = 5
+
+
+def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the release-governance gate a training-data
+    pipeline runs before publishing user-derived datasets (Sweeney
+    2002): group the table by its quasi-identifier combination
+    (nation, market segment, coarse balance band) and flag every
+    equivalence class smaller than k={KANON_K} — those rows are
+    re-identifiable and must be suppressed or generalized before
+    release. One hash aggregate; the flagged-class list is what the
+    suppression pass consumes. At 100 TB this is the same keyed-agg
+    shape as any rollup — no window, no self-join."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = [
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.floor(F.col("c_acctbal").cast("double") / 2000) * 2000)
+        .cast("bigint")
+        .alias("balance_band"),
+    ]
+    return (
+        cust.groupBy(*qi)
+        .agg(F.count("*").alias("class_size"))
+        .withColumn("is_risky", F.col("class_size") < KANON_K)
+    )
+
+
+register(
+    "q_kanonymity",
+    q_kanonymity,
+    f"""
+    SELECT c_nationkey AS nation,
+           c_mktsegment AS segment,
+           CAST(floor(CAST(c_acctbal AS DOUBLE) / 2000) * 2000 AS BIGINT)
+               AS balance_band,
+           count(*) AS class_size,
+           count(*) < {KANON_K} AS is_risky
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)

@@ -1633,3 +1633,58 @@ register(
     FROM c
     """,
 )
+
+
+def q_wav_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec certification through the driver gate — the
+    WAV counterpart of q_png_pipeline: fabricate genuine 16-bit PCM
+    RIFF payloads per document (sample recurrence a deterministic
+    function of (doc_id, n_chars)), ship the binary column, decode
+    with the pure-stdlib codec, and emit exact integer acoustics
+    (frame energies, zero crossings) from the DECODED samples. The
+    oracle recomputes the expected samples arithmetically in SQL, so a
+    hash match proves the PCM round-tripped encode → binary column →
+    decode bit-exactly. Two chained Arrow passes, zero shuffle."""
+    from ..operators.multimodal import decode_audio_stats, fabricate_wav
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_stats(fabricate_wav(docs))
+
+
+register(
+    "q_wav_pipeline",
+    q_wav_pipeline,
+    """
+    WITH base AS (
+        SELECT doc_id, n_chars % 500 + 64 AS n, doc_id % 127 + 1 AS k
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n, i, (i * k) % 4001 - 2000 AS v
+        FROM base, unnest(range(0, n)) AS t(i)
+    ),
+    sg AS (
+        SELECT doc_id, i, CASE WHEN v > 0 THEN 1 ELSE -1 END AS sgn
+        FROM s WHERE v != 0
+    ),
+    lagged AS (
+        SELECT doc_id, sgn,
+               lag(sgn) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM sg
+    ),
+    zc AS (
+        SELECT doc_id, count(*) FILTER (WHERE sgn != prev) AS z
+        FROM lagged WHERE prev IS NOT NULL GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(any_value(s.n) AS BIGINT) AS n_samples,
+           CAST((any_value(s.n) + 255) // 256 AS BIGINT) AS n_frames,
+           CAST(sum(CAST(s.v AS BIGINT) * s.v) AS BIGINT) AS total_energy,
+           CAST(sum(CASE WHEN s.i < 256
+                         THEN CAST(s.v AS BIGINT) * s.v ELSE 0 END) AS BIGINT)
+               AS energy_f0,
+           CAST(coalesce(any_value(zc.z), 0) AS BIGINT) AS n_zero_cross
+    FROM s LEFT JOIN zc USING (doc_id)
+    GROUP BY s.doc_id
+    """,
+)

@@ -156,3 +156,89 @@ def test_spark_decode_and_resize_real_png(spark):
     for i, _, _, _ in rows:
         out = pngcodec.decode(bytes(resized[i].payload))
         assert out.shape == (4, 5, 3)  # really re-encoded PNG at target dims
+
+
+# ---- WAV codec (audio counterpart; same certification posture) ----
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from etl_neptune_spark.functions import wavcodec
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-32768, 32768, size=777, dtype=np.int16)
+    out, sr = wavcodec.decode(wavcodec.encode(mono, sample_rate=8000))
+    assert sr == 8000 and out.shape == (777, 1)
+    assert np.array_equal(out[:, 0], mono)
+
+    stereo = rng.integers(-32768, 32768, size=(123, 2), dtype=np.int16)
+    out2, sr2 = wavcodec.decode(wavcodec.encode(stereo))
+    assert sr2 == 16000 and out2.shape == (123, 2)
+    assert np.array_equal(out2, stereo)
+
+
+def test_wav_golden_header_layout():
+    """Hand-check the RIFF layout against the spec, independent of the
+    decoder: 44-byte canonical header for 2 mono samples."""
+    from etl_neptune_spark.functions import wavcodec
+
+    b = wavcodec.encode(np.array([1, -2], dtype=np.int16), sample_rate=44100)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    assert b[12:16] == b"fmt " and b[36:40] == b"data"
+    assert struct.unpack("<I", b[40:44])[0] == 4  # 2 samples * 2 bytes
+    assert struct.unpack("<H", b[22:24])[0] == 1  # channels
+    assert struct.unpack("<I", b[24:28])[0] == 44100
+    assert b[44:48] == np.array([1, -2], dtype="<i2").tobytes()
+
+
+def test_wav_skips_extra_chunks():
+    """Decoders must skip non-fmt/data chunks (LIST/INFO metadata)."""
+    from etl_neptune_spark.functions import wavcodec
+
+    base = wavcodec.encode(np.array([5, 6, 7], dtype=np.int16))
+    # splice a LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = base[:fmt_end] + extra + base[fmt_end:]
+    out, _ = wavcodec.decode(spliced)
+    assert out[:, 0].tolist() == [5, 6, 7]
+
+
+def test_wav_rejects_non_pcm():
+    from etl_neptune_spark.functions import wavcodec
+    import pytest as _pytest
+
+    with _pytest.raises(wavcodec.WavError):
+        wavcodec.decode(b"RIFFxxxxWAVE")  # no chunks
+    with _pytest.raises(wavcodec.WavError):
+        wavcodec.decode(b"not audio")
+
+
+def test_wav_frame_energy_and_zero_crossings_exact():
+    from etl_neptune_spark.functions import wavcodec
+
+    s = np.array([3, -1, 0, 2, -2, 4], dtype=np.int16)
+    en = wavcodec.frame_energies(s, frame=4)
+    assert en.tolist() == [9 + 1 + 0 + 4, 4 + 16]
+    # nonzero signs: + - + - + → 4 flips
+    assert wavcodec.zero_crossings(s) == 4
+
+
+def test_spark_wav_pipeline_real_decode(spark):
+    from etl_neptune_spark.functions import wavcodec
+    from etl_neptune_spark.operators.multimodal import (
+        decode_audio_stats,
+        fabricate_wav,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 100 + 13 * i) for i in range(1, 7)], "doc_id long, n_chars long"
+    )
+    got = {r.doc_id: r for r in decode_audio_stats(fabricate_wav(df)).collect()}
+    for i in range(1, 7):
+        n = (100 + 13 * i) % 500 + 64
+        k = i % 127 + 1
+        s = np.arange(n, dtype=np.int64) * k % 4001 - 2000
+        assert got[i].n_samples == n
+        assert got[i].total_energy == int((s * s).sum())
+        nz = s[s != 0]
+        assert got[i].n_zero_cross == int((np.diff(np.sign(nz)) != 0).sum())
