@@ -356,3 +356,86 @@ def ewma(
         )
         .mapInPandas(_kernel, out_fields)
     )
+
+
+def holt(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + additive
+    trend) — the forecasting-grade successor of ``ewma``:
+
+        level_1 = x_1,  trend_1 = 0
+        level_t = α·x_t + (1−α)·(level_{t−1} + trend_{t−1})
+        trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+
+    Same Python-boundary posture as ``ewma`` (a two-state sequential
+    recurrence has no shuffle-free SQL form): ONE keyed repartition +
+    in-partition sort, then a streaming ``mapInPandas`` scan carrying
+    (key, level, trend) across Arrow batch boundaries — one Python
+    call per batch, state one pair of scalars per in-flight key. The
+    update is evaluated in the EXACT op order written above so a
+    recursive-CTE oracle computing the identical IEEE double sequence
+    matches bit-for-bit (the q_ewma certification recipe)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    out_fields = (
+        f"{key_col} bigint, {id_col} bigint, {val_col} double, "
+        "level double, trend double"
+    )
+    a, b = float(alpha), 1.0 - float(alpha)
+    g, d = float(beta), 1.0 - float(beta)
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        started = False
+        ck: object = None
+        ck_null = False
+        clv = ctr = 0.0
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy(dtype=object)
+            knull = pdf[key_col].isna().to_numpy()
+            vals = pdf[val_col].to_numpy(dtype="float64")
+            out_l = np.empty_like(vals)
+            out_t = np.empty_like(vals)
+            for i in range(len(vals)):
+                same = started and (
+                    (knull[i] and ck_null)
+                    or (not knull[i] and not ck_null and keys[i] == ck)
+                )
+                if same:
+                    prev = clv
+                    clv = a * vals[i] + b * (clv + ctr)
+                    ctr = g * (clv - prev) + d * ctr
+                else:
+                    started, ck, ck_null = True, keys[i], bool(knull[i])
+                    clv, ctr = vals[i], 0.0
+                out_l[i] = clv
+                out_t[i] = ctr
+            yield pd.DataFrame(
+                {
+                    key_col: keys,
+                    id_col: pdf[id_col].to_numpy(),
+                    val_col: vals,
+                    "level": out_l,
+                    "trend": out_t,
+                }
+            )
+
+    return (
+        df.select(key_col, ts_col, id_col, val_col)
+        .repartition(key_col)
+        .sortWithinPartitions(
+            F.col(key_col).asc_nulls_last(),
+            F.col(ts_col).asc_nulls_last(),
+            F.col(id_col).asc_nulls_last(),
+        )
+        .mapInPandas(_kernel, out_fields)
+    )

@@ -1499,3 +1499,45 @@ register(
     FROM lag
     """,
 )
+
+
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user
+    (operators.timeseries.holt): level + additive trend, the
+    forecasting-grade extension of q_ewma — certified BIT-EXACT (raw
+    doubles, no rounding) against a recursive-CTE oracle evaluating
+    the identical two-state IEEE recurrence in the identical op
+    order."""
+    from ..operators.timeseries import holt
+
+    events = load_table(spark, sf_dir, "events")
+    return holt(
+        events, key_col="user_id", ts_col="ts", val_col="value",
+        id_col="event_id", alpha=0.5, beta=0.3,
+    )
+
+
+register(
+    "q_holt",
+    q_holt,
+    """
+    WITH RECURSIVE o AS (
+        SELECT user_id, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, event_id, value, rn,
+               value AS level, CAST(0.0 AS DOUBLE) AS trend
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.value, o.rn,
+               0.5 * o.value + 0.5 * (r.level + r.trend) AS level,
+               0.3 * ((0.5 * o.value + 0.5 * (r.level + r.trend)) - r.level)
+                   + 0.7 * r.trend AS trend
+        FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value, level, trend FROM r
+    """,
+)

@@ -521,3 +521,36 @@ def test_ohlc_open_close_are_first_last(spark):
     """).collect()
     assert (out[0]["open"], out[0]["high"], out[0]["low"], out[0]["close"]) == (4.0, 9.0, 2.0, 2.0)
     assert (out[1]["open"], out[1]["close"]) == (5.0, 5.0)
+
+
+def test_holt_hand_computed(spark):
+    """Two-state recurrence against a hand-evaluated sequence."""
+    from etl_neptune_spark.operators.timeseries import holt
+
+    rows = [(1, i, float(v), i) for i, v in enumerate([10.0, 12.0, 11.0, 15.0])]
+    df = spark.createDataFrame(rows, "k long, ts long, v double, id long")
+    got = {
+        r.id: (r.level, r.trend)
+        for r in holt(df, "k", "ts", "v", "id", alpha=0.5, beta=0.3).collect()
+    }
+    lv, tr = 10.0, 0.0
+    expect = {0: (lv, tr)}
+    for i, x in [(1, 12.0), (2, 11.0), (3, 15.0)]:
+        prev = lv
+        lv = 0.5 * x + 0.5 * (lv + tr)
+        tr = 0.3 * (lv - prev) + 0.7 * tr
+        expect[i] = (lv, tr)
+    assert got == expect, (got, expect)
+
+
+def test_holt_keys_independent_and_batch_invariant(spark):
+    """Key boundaries reset the carry; result invariant to input
+    partitioning (the streaming-kernel carry contract)."""
+    from etl_neptune_spark.operators.timeseries import holt
+
+    rows = [(k, i, float(k * 10 + i), k * 100 + i) for k in (1, 2, 3) for i in range(40)]
+    df1 = spark.createDataFrame(rows, "k long, ts long, v double, id long")
+    df8 = df1.repartition(8)
+    a = sorted((r.id, r.level, r.trend) for r in holt(df1, "k", "ts", "v", "id").collect())
+    b = sorted((r.id, r.level, r.trend) for r in holt(df8, "k", "ts", "v", "id").collect())
+    assert a == b
