@@ -2717,3 +2717,59 @@ register(
     GROUP BY ev.event_type
     """,
 )
+
+
+PAG_TOTAL, PAG_PAGE = 10_000, 100
+
+
+def q_paginated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC1 (paginated resource scans, neptune_etl_aws.py:356-428) as a
+    Spark 4 custom Python data source (sources/paginated.py): the page
+    space is sharded into InputPartition ranges, so the NextToken loop
+    the reference runs on one Lambda becomes a partition-parallel scan
+    — then an ordinary relational rollup on top. The synthetic pager
+    is deterministic, so the WHOLE ingestion path (partition planning →
+    page fetch → schema → aggregation) is certified by an oracle that
+    recomputes the relation from ``range`` in SQL."""
+    from ..sources.paginated import register_paginated_source
+
+    register_paginated_source(spark)
+    df = (
+        spark.read.format("paginated_scan")
+        .option("total_rows", PAG_TOTAL)
+        .option("page_size", PAG_PAGE)
+        .load()
+    )
+    return df.groupBy("az", "state").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cpu_cores").cast("bigint")).alias("total_cores"),
+        F.min("instance_id").alias("min_id"),
+        F.max("instance_id").alias("max_id"),
+        F.count_distinct("page").alias("n_pages"),
+    )
+
+
+register(
+    "q_paginated_scan",
+    q_paginated_scan,
+    f"""
+    WITH api AS (
+        SELECT i AS instance_id,
+               CASE WHEN i % 7 < 5 THEN 'running'
+                    WHEN i % 7 < 6 THEN 'stopped'
+                    ELSE 'pending' END AS state,
+               'az-' || CAST(i % 3 AS VARCHAR) AS az,
+               (1 << (i % 5)) AS cpu_cores,
+               i // {PAG_PAGE} AS page
+        FROM unnest(range(0, {PAG_TOTAL})) AS t(i)
+    )
+    SELECT az, state,
+           count(*) AS n,
+           CAST(sum(cpu_cores) AS BIGINT) AS total_cores,
+           CAST(min(instance_id) AS BIGINT) AS min_id,
+           CAST(max(instance_id) AS BIGINT) AS max_id,
+           count(DISTINCT page) AS n_pages
+    FROM api
+    GROUP BY az, state
+    """,
+)

@@ -185,3 +185,36 @@ def test_metric_query_plan_batches_and_conditional_catalog(spark):
     assert sum(sizes.values()) == 400 * 2  # cpu + exactly one mem row each
     per_ent = plan.groupBy("entity_id").count().collect()
     assert all(r["count"] == 2 for r in per_ent)
+
+
+def test_paginated_datasource_partitioning_and_bounds(spark):
+    """The page space shards into partition ranges; rows respect the
+    total bound; re-registration is idempotent."""
+    from etl_neptune_spark.sources.paginated import register_paginated_source
+
+    register_paginated_source(spark)
+    register_paginated_source(spark)  # idempotent
+    df = (
+        spark.read.format("paginated_scan")
+        .option("total_rows", 1234)
+        .option("page_size", 100)
+        .option("pages_per_partition", 3)
+        .load()
+    )
+    assert df.count() == 1234
+    # 13 pages / 3 per partition -> 5 partitions
+    assert df.rdd.getNumPartitions() == 5
+    ids = df.agg(
+        F.min("instance_id").alias("lo"), F.max("instance_id").alias("hi")
+    ).first()
+    assert (ids.lo, ids.hi) == (0, 1233)
+    # last page is partial
+    last = df.filter(F.col("page") == 12).count()
+    assert last == 34
+    # empty source plans one empty partition, not an error
+    empty = (
+        spark.read.format("paginated_scan")
+        .option("total_rows", 0)
+        .load()
+    )
+    assert empty.count() == 0
