@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.session import SparkSession
 
 SCHEMA = (
@@ -84,9 +89,45 @@ class _PaginatedScanReader(DataSourceReader):
             yield from _fetch_page(page, self.page_size, self.total_rows)
 
 
+class _PaginatedStreamReader(DataSourceStreamReader):
+    """Micro-batch form of the same pager: the OFFSET is the page
+    number, so each micro-batch ingests the pages that 'arrived' since
+    the last batch — the reference's 15-minute re-scan cadence
+    (stack:178-183) becomes an incremental streaming source instead of
+    a full re-read. ``pages_per_poll`` throttles how many pages a
+    single ``latestOffset`` advance exposes (rate limiting at the
+    source, where the reference throttles its API calls)."""
+
+    def __init__(self, options: dict):
+        self.total_rows = int(options.get("total_rows", 10_000))
+        self.page_size = int(options.get("page_size", 100))
+        self.pages_per_poll = int(options.get("pages_per_poll", 1 << 30))
+        self.n_pages = (self.total_rows + self.page_size - 1) // self.page_size
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def latestOffset(self) -> dict:
+        self._current = min(self.n_pages, self._current + self.pages_per_poll)
+        return {"page": self._current}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        return [_PageRange(int(start["page"]), int(end["page"]))]
+
+    def read(self, partition: _PageRange) -> Iterator[tuple]:
+        for page in range(partition.start_page, partition.end_page):
+            yield from _fetch_page(page, self.page_size, self.total_rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # synthetic pager: nothing to ack
+
+
 class PaginatedScanDataSource(DataSource):
-    """``spark.read.format("paginated_scan")`` — register once per
-    session via :func:`register_paginated_source`."""
+    """``spark.read.format("paginated_scan")`` (batch) and
+    ``spark.readStream.format("paginated_scan")`` (micro-batch page
+    tail) — register once per session via
+    :func:`register_paginated_source`."""
 
     @classmethod
     def name(cls) -> str:
@@ -97,6 +138,9 @@ class PaginatedScanDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _PaginatedScanReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _PaginatedStreamReader(self.options)
 
 
 def register_paginated_source(spark: SparkSession) -> None:

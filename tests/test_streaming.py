@@ -786,3 +786,36 @@ def test_corpus_ingest_replay_is_idempotent(spark, tmp_path):
     assert m1 == m2 and i1 == i2
     # keep-first within the batch: only doc 1 was admitted
     assert {d for d, _, _ in m1} == {1}
+
+
+def test_paginated_stream_source_equals_batch(spark, tmp_path):
+    """The streaming page-tail reader (Spark 4 Python
+    DataSourceStreamReader) must deliver exactly the batch relation
+    when drained with availableNow, across multiple micro-batches
+    (pages_per_poll throttle)."""
+    from etl_neptune_spark.sources.paginated import register_paginated_source
+
+    register_paginated_source(spark)
+    opts = {"total_rows": "730", "page_size": "50", "pages_per_poll": "4"}
+    batch = spark.read.format("paginated_scan").options(**opts).load()
+
+    stream = spark.readStream.format("paginated_scan").options(**opts).load()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    # availableNow falls back to single-batch for Python stream sources
+    # (no offset-bound support) — drain via processAllAvailable, which
+    # keeps polling latestOffset until the page tail stops advancing,
+    # exercising multiple throttled micro-batches.
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 730
+    a = sorted(tuple(r) for r in batch.collect())
+    b = sorted(tuple(r) for r in got.collect())
+    assert a == b
