@@ -493,3 +493,65 @@ register(
     GROUP BY 1, 2, 3
     """,
 )
+
+
+DP_SCALE = 2.0  # Laplace b = sensitivity/epsilon = 1/0.5
+
+
+def q_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-CALIBRATED noisy release counts — the
+    noise-injection pipeline shape (count → add Laplace(b) → release)
+    with a SEEDED inverse-CDF draw so the whole path is certifiable:
+    u = md5-derived 52-bit fraction (exact: 16^13 = 2^52, so u and the
+    centered |c| are exact powers-of-two arithmetic in BOTH engines),
+    noise = −b·sign(c)·ln(1−2|c|). A production release would swap the
+    seeded u for a CSPRNG draw — everything else (sensitivity-scaled
+    b, the transform, the release projection) is the real mechanism.
+
+    One keyed aggregate + per-row scalar math; at 100 TB the noisy
+    release is dimension-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    u_int = F.expr(
+        "aggregate(sequence(1, 13), cast(0 as double), (acc, p) -> "
+        "acc * 16.0D + cast(locate(substr(md5(concat('dp:', event_type)), "
+        "p, 1), '0123456789abcdef') - 1 as double))"
+    )
+    u = u_int / F.lit(4503599627370496.0)  # 16^13 = 2^52, exact division
+    c = u - F.lit(0.5)
+    noise = (
+        F.lit(-DP_SCALE)
+        * F.signum(c)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    )
+    return counts.select(
+        "event_type",
+        "n",
+        F.round(noise, 4).alias("noise"),
+        F.round(F.col("n") + noise, 4).alias("noisy_n"),
+    )
+
+
+register(
+    "q_dp_noise",
+    q_dp_noise,
+    f"""
+    WITH counts AS (
+        SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ),
+    seeded AS (
+        SELECT event_type, n,
+               list_sum(list_transform(range(1, 14), p ->
+                   (strpos('0123456789abcdef',
+                           substr(md5('dp:' || event_type), p, 1)) - 1)
+                   * 16.0 ** (13 - p))) / 4503599627370496.0 AS u
+        FROM counts
+    )
+    SELECT event_type, n,
+           round(-{DP_SCALE} * sign(u - 0.5)
+                 * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noise,
+           round(n + (-{DP_SCALE} * sign(u - 0.5)
+                      * ln(1.0 - 2.0 * abs(u - 0.5))), 4) AS noisy_n
+    FROM seeded
+    """,
+)

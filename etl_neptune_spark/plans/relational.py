@@ -2773,3 +2773,107 @@ register(
     GROUP BY az, state
     """,
 )
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013) — the
+    standard experimentation-platform upgrade of q_abtest: per user,
+    pre-period covariate x (first-half spend) and measurement y
+    (second-half spend) in exact integer cents; θ = cov(x,y)/var(x)
+    from EXACT BIGINT sufficient statistics over the pooled
+    population; adjusted metric ŷ = y − θ·(x − x̄). Emits the exact
+    integer moment sums (hash-stable certificate) plus the per-arm
+    adjusted means and the variance-reduction ratio. Two keyed hash
+    aggs (user rollup → arm rollup) + one driver-free global moment
+    row carried by a cross join — no window over the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    # exact integer midpoint in epoch micros: interval/2 arithmetic
+    # rounds differently across engines, integer floor-mean does not
+    b = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("lo"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("hi"),
+    ).first()
+    mid_us = (int(b["lo"]) + int(b["hi"])) // 2
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(ts_us < F.lit(mid_us), cents).otherwise(0)).alias("x"),
+            F.sum(F.when(ts_us >= F.lit(mid_us), cents).otherwise(0)).alias("y"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    )
+    mom = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    xbar = F.col("sx").cast("double") / F.col("n").cast("double")
+    adj = (
+        F.col("y").cast("double")
+        - theta * (F.col("x").cast("double") - xbar)
+    )
+    return (
+        per_user.crossJoin(mom)
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("x").alias("sum_x"),
+            F.sum("y").alias("sum_y"),
+            F.round(F.avg(F.col("y").cast("double")), 4).alias("mean_raw"),
+            F.round(F.avg(adj), 4).alias("mean_cuped"),
+        )
+        .orderBy("arm")
+    )
+
+
+register(
+    "q_cuped",
+    q_cuped,
+    """
+    WITH bounds AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN epoch_us(ts) < mid_us
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN epoch_us(ts) >= mid_us
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y,
+               CAST(user_id % 2 AS BIGINT) AS arm
+        FROM events, bounds
+        GROUP BY user_id
+    ),
+    mom AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM per_user
+    )
+    SELECT arm,
+           count(*) AS n_users,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           round(avg(CAST(y AS DOUBLE)), 4) AS mean_raw,
+           round(avg(CAST(y AS DOUBLE)
+                     - (CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE))
+                       * (CAST(x AS DOUBLE)
+                          - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 4)
+               AS mean_cuped
+    FROM per_user CROSS JOIN mom
+    GROUP BY arm
+    ORDER BY arm
+    """,
+)
