@@ -275,3 +275,32 @@ def test_cdc_and_linkage_plan_shapes(plans):
     ps = plans("q_span_dedup")
     assert "BatchEvalPython" not in ps
     assert "CartesianProduct" not in ps
+
+
+def test_round4_plan_shapes(plans):
+    # int8 quantization is a pure narrow projection: no exchange at all.
+    pq = plans("q_int8_quant")
+    assert "Exchange" not in pq
+    assert "CartesianProduct" not in pq
+    # winsorize: the percentile-bounds side joins back as a BROADCAST
+    # dim (dimension-sized), never a shuffle join of the fact table
+    # against itself.
+    pw = plans("q_winsorize")
+    assert "BroadcastHashJoin" in pw
+    assert "CartesianProduct" not in pw
+    # paginated custom source: a planned Python data-source scan (its
+    # own partitioning), one keyed agg on top; no Python row-at-a-time
+    # eval node in the relational part.
+    pp = plans("q_paginated_scan")
+    assert "BatchEvalPython" not in pp
+    assert pp.count("HashAggregate") >= 2  # partial + final
+    # dsir: model join is vocab-bounded; the fact side never
+    # nested-loops.
+    pd_ = plans("q_dsir")
+    assert "CartesianProduct" not in pd_
+    assert "BroadcastNestedLoopJoin" not in pd_
+    # cuped: the one-row moment frame rides a broadcast nested loop by
+    # DESIGN (1-row build side, the sanctioned q_join_theta shape) or a
+    # broadcast join — never a shuffled cross.
+    pc = plans("q_cuped")
+    assert "CartesianProduct" not in pc
