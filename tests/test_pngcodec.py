@@ -242,3 +242,64 @@ def test_spark_wav_pipeline_real_decode(spark):
         assert got[i].total_energy == int((s * s).sum())
         nz = s[s != 0]
         assert got[i].n_zero_cross == int((np.diff(np.sign(nz)) != 0).sum())
+
+
+# ---- property-based roundtrips (hypothesis) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, c, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    if c == 1:
+        img = img[:, :, 0]
+    out = pngcodec.decode(pngcodec.encode(img))
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 2048),
+    ch=st.sampled_from([1, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, seed):
+    from etl_neptune_spark.functions import wavcodec
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    if ch == 1:
+        s = s[:, 0]
+    out, _ = wavcodec.decode(wavcodec.encode(s))
+    expect = s[:, None] if s.ndim == 1 else s
+    assert np.array_equal(out, expect)
+
+
+def test_corrupt_png_falls_back_to_fake_not_crash(spark):
+    """A payload with a PNG signature but corrupt internals must fall
+    back to the deterministic fake metadata in decode_image_meta (the
+    log-and-continue posture), never kill the job."""
+    from etl_neptune_spark.operators.multimodal import (
+        _fake_decode,
+        decode_image_meta,
+    )
+
+    good = pngcodec.encode(np.zeros((2, 2, 3), dtype=np.uint8))
+    corrupt = good[:20] + b"\x00garbage\xff" * 3  # signature intact, body broken
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(corrupt))],
+        "doc_id long, payload binary",
+    )
+    meta = {r.doc_id: r for r in decode_image_meta(df).collect()}
+    assert (meta[1].width, meta[1].height, meta[1].format) == (2, 2, "png")
+    fake = _fake_decode(bytes(corrupt))
+    assert meta[2].width == fake["width"] and meta[2].height == fake["height"]
