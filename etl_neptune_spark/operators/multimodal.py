@@ -416,6 +416,16 @@ def perceptual_hash(
             out = []
             for b in pdf[bin_col].values:
                 raw = bytes(b)
+                if _png.is_png(raw):
+                    # REAL pixel path: aHash over the decoded 8×8
+                    # grayscale thumbnail (resolution-invariant — the
+                    # actual perceptual key). Text fixtures never take
+                    # this branch, so oracles are unchanged.
+                    try:
+                        out.append(_png.ahash64(_png.decode(raw)))
+                        continue
+                    except _png.PngError:
+                        pass
                 step = max(1, len(raw) // 64)
                 sel = raw[::step][:64]
                 k, total = len(sel), sum(sel)

@@ -303,3 +303,26 @@ def test_corrupt_png_falls_back_to_fake_not_crash(spark):
     assert (meta[1].width, meta[1].height, meta[1].format) == (2, 2, "png")
     fake = _fake_decode(bytes(corrupt))
     assert meta[2].width == fake["width"] and meta[2].height == fake["height"]
+
+
+def test_perceptual_hash_real_pixels_resolution_invariant(spark):
+    """PNG payloads hash on DECODED pixels: a nearest-neighbor upscale
+    of the same image must produce the identical 64-bit aHash (the
+    whole point of a perceptual key), while the byte-level fallback
+    hash of the two files would differ."""
+    from etl_neptune_spark.operators.multimodal import perceptual_hash
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    big = pngcodec.resize_nearest(img, 64, 64)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(pngcodec.encode(img))),
+            (2, bytearray(pngcodec.encode(big))),
+            (3, bytearray(b"just text bytes, not an image")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.phash for r in perceptual_hash(df).collect()}
+    assert got[1] == got[2] == pngcodec.ahash64(img)
+    assert len(got[3]) <= 64 and set(got[3]) <= {"0", "1"}
