@@ -212,7 +212,10 @@ register(
     q_centroids,
     """
     SELECT label, CAST(t.range AS INTEGER) AS pos,
-           round(avg(CAST(embedding[t.range + 1] AS DOUBLE)), 4) AS centroid
+           -- + 0.0 normalizes -0.0 (DuckDB renders signed zero at
+           -- larger SF; Spark's round() does not — caught at sf0.1)
+           round(avg(CAST(embedding[t.range + 1] AS DOUBLE)), 4) + 0.0
+               AS centroid
     FROM embeddings, range(0, 64) t
     GROUP BY label, t.range
     """,

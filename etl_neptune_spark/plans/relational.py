@@ -2877,3 +2877,51 @@ register(
     ORDER BY arm
     """,
 )
+
+
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF surface, SURVEY §2.9's
+    third Python API beside scalar pandas_udf and the UDTF): a numpy
+    median over exact integer cents per group — Arrow ships each
+    group's column once, the kernel is one vectorized reduction, and
+    the statistic is EXACTLY certifiable (a median of BIGINTs is x.0
+    or x.5, both exact doubles, so numpy and quantile_cont agree
+    bit-for-bit — no summation-order drift, the trap a float-sum UDAF
+    would hit). Demonstrates where a custom aggregate is legitimate at
+    100 TB: per-group order statistics the built-ins don't expose."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG marker: type-hint inference can't resolve
+    # string annotations when pandas is imported function-locally
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_cents(v):
+        import numpy as np
+
+        return float(np.median(v.to_numpy(dtype="int64")))
+
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg, so the count is a pandas UDAF too.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return ev.groupBy("event_type").agg(
+        n_rows(F.col("cents")).alias("n"),
+        median_cents(F.col("cents")).alias("median_cents"),
+    )
+
+
+register(
+    "q_pandas_udaf",
+    q_pandas_udaf,
+    """
+    SELECT event_type, count(*) AS n,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+               AS median_cents
+    FROM events GROUP BY event_type
+    """,
+)
