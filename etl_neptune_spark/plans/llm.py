@@ -8,6 +8,7 @@ DuckDB-checkable SQL.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1686,5 +1687,90 @@ register(
            CAST(coalesce(any_value(zc.z), 0) AS BIGINT) AS n_zero_cross
     FROM s LEFT JOIN zc USING (doc_id)
     GROUP BY s.doc_id
+    """,
+)
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered admission dedup — the runtime-filter idiom
+    made explicit: an incoming batch (doc_id % 10 == 0 plays the new
+    arrivals) is checked against the standing corpus by (1) building a
+    bloom filter over the SMALL side's content digests (bounded,
+    broadcastable — bitwise-OR construction is order-independent, so
+    the filter is deterministic), (2) pre-filtering the corpus scan
+    through it (at 100 TB this is what keeps the probe from shuffling
+    the whole corpus — same mechanism as Spark's AQE runtime bloom,
+    applied explicitly), and (3) finishing with the EXACT semi-join on
+    the survivors. False positives cost only wasted probe rows; the
+    final join restores exactness, which is why the oracle is the
+    plain intersection."""
+    import numpy as np
+
+    # key = digest of the first 8 words (the quote/boilerplate prefix
+    # key — full-text digests have no cross-split dups in this corpus,
+    # which would certify only the empty set)
+    prefix8 = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 1, 8))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", prefix8.alias("content_hash")
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    # Deterministic bloom over the SMALL side's 64-bit digest keys
+    # (bounded driver action — the batch plays the build side, the
+    # q_join_theta posture). Double hashing h1 + i·h2 over the xxhash64
+    # key; bit array broadcast to executors.
+    m_bits, n_hash = 1 << 17, 7
+    keys = np.array(
+        [r["k"] for r in batch.select(F.xxhash64("content_hash").alias("k")).collect()],
+        dtype=np.uint64,
+    )
+    bits = np.zeros(m_bits, dtype=bool)
+    h1 = keys % np.uint64(m_bits)
+    h2 = (keys >> np.uint64(17)) % np.uint64(m_bits - 1) + np.uint64(1)
+    for i in range(n_hash):
+        bits[(h1 + np.uint64(i) * h2) % np.uint64(m_bits)] = True
+    bc = spark.sparkContext.broadcast(bits)
+
+    @F.pandas_udf("boolean")
+    def might_contain(k: pd.Series) -> pd.Series:
+        kk = k.to_numpy(dtype=np.int64).astype(np.uint64)
+        b1 = kk % np.uint64(m_bits)
+        b2 = (kk >> np.uint64(17)) % np.uint64(m_bits - 1) + np.uint64(1)
+        ok = np.ones(len(kk), dtype=bool)
+        for i in range(n_hash):
+            ok &= bc.value[(b1 + np.uint64(i) * b2) % np.uint64(m_bits)]
+        return pd.Series(ok)
+
+    survivors = corpus.filter(might_contain(F.xxhash64("content_hash")))
+    return (
+        batch.alias("b")
+        .join(
+            survivors.select("content_hash").distinct().alias("c"),
+            "content_hash",
+            "left_semi",
+        )
+        .select("doc_id", "content_hash")
+    )
+
+
+register(
+    "q_bloom_prefilter",
+    q_bloom_prefilter,
+    """
+    WITH d AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   string_split(lower(text), ' ')[1:8], ' ')) AS content_hash
+        FROM documents
+    ),
+    batch AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+    corpus AS (SELECT * FROM d WHERE doc_id % 10 != 0)
+    SELECT b.doc_id, b.content_hash
+    FROM batch b
+    WHERE EXISTS (SELECT 1 FROM corpus c
+                  WHERE c.content_hash = b.content_hash)
     """,
 )
