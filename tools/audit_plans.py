@@ -25,6 +25,10 @@ sys.path.insert(0, ".")
 # Sanctioned exceptions, each with the reason the pattern is fine there.
 ALLOW = {
     "q_join_theta": {"BroadcastNestedLoopJoin"},  # ≤8-row literal build side
+    # CUPED's global moment frame is ONE row (count/sums over the whole
+    # population) cross-joined onto the per-user frame — the same
+    # constant-size build side as q_join_theta.
+    "q_cuped": {"BroadcastNestedLoopJoin"},
     # Python UDTFs evaluate via BatchEvalPythonUDTF by design — this is
     # the engine's DOCUMENTED slow-path exception (recursive JSON walk,
     # SURVEY §2.9), demonstrating the table-function API surface; the
