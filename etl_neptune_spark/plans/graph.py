@@ -1038,3 +1038,302 @@ register(
     HAVING count(*) FILTER (WHERE dist > 0) > 0
     """,
 )
+
+
+def _und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected simple edges (a < b, distinct) of the
+    interaction graph — the shared frame of the graph-metrics wave."""
+    e = _interaction_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    return (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+
+
+def _und_degrees(und: DataFrame) -> DataFrame:
+    """(x, d): distinct-neighbor count over the canonical edge set."""
+    return (
+        und.select(F.col("a").alias("x"))
+        .unionByName(und.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+
+
+_UND_SQL = f"""
+    rawu AS (
+        SELECT DISTINCT CAST(user_id % {PR_MOD} AS BIGINT) AS u,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                   % {PR_MOD} AS v
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+              IS NOT NULL
+    ),
+    und AS (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM rawu WHERE u <> v
+    ),
+    deg AS (
+        SELECT x, count(*) AS d FROM (
+            SELECT a AS x FROM und UNION ALL SELECT b AS x FROM und
+        ) GROUP BY x
+    )
+"""
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the interaction graph —
+    do hubs attach to hubs? Pearson r over the degree pairs of every
+    undirected edge (both orientations), from EXACT BIGINT sufficient
+    statistics (the q_corr_stats recipe on graph structure): one
+    degree agg, one edge join, one moment rollup. The quotient is the
+    only double."""
+    und = _und_edges(spark, sf_dir)
+    deg = _und_degrees(und)
+    j = (
+        und.join(deg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
+    )
+    agg = j.agg(
+        (F.count("*") * 2).alias("m2"),
+        F.sum(F.lit(2) * F.col("da") * F.col("db")).alias("sxy"),
+        F.sum(F.col("da") + F.col("db")).alias("sx"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db")).alias("sxx"),
+    )
+    num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "m2",
+        "sxy",
+        "sx",
+        "sxx",
+        F.when(den != 0, F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("assortativity"),
+    )
+
+
+register(
+    "q_assortativity",
+    q_assortativity,
+    f"""
+    WITH {_UND_SQL},
+    mom AS (
+        SELECT CAST(count(*) * 2 AS BIGINT) AS m2,
+               CAST(sum(2 * da.d * db.d) AS BIGINT) AS sxy,
+               CAST(sum(da.d + db.d) AS BIGINT) AS sx,
+               CAST(sum(da.d * da.d + db.d * db.d) AS BIGINT) AS sxx
+        FROM und JOIN deg da ON da.x = und.a JOIN deg db ON db.x = und.b
+    )
+    SELECT m2, sxy, sx, sxx,
+           CASE WHEN m2 * sxx - sx * sx != 0
+                THEN round(CAST(m2 * sxy - sx * sx AS DOUBLE)
+                           / CAST(m2 * sxx - sx * sx AS DOUBLE), 6)
+           END AS assortativity
+    FROM mom
+    """,
+)
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity readout of the label-propagation communities — the
+    quality score that tells you whether the community detector found
+    real structure: per community, intra-edge count e_c, total member
+    degree d_c, |E|, and the exact-int-derived contribution
+    e_c/m − (d_c/2m)². Composes two certified constructions (the LP
+    labels and the degree frame); one membership join + two keyed
+    aggs."""
+    from ..operators.components import label_propagation
+
+    und = _und_edges(spark, sf_dir)
+    comm = label_propagation(_interaction_edges(spark, sf_dir), rounds=LP_ROUNDS)
+    m = und.count()  # bounded: |V|²-capped distinct edge set
+    ca = comm.select(F.col("vertex").alias("a"), F.col("community").alias("comm_a"))
+    cb = comm.select(F.col("vertex").alias("b"), F.col("community").alias("comm_b"))
+    intra = (
+        und.join(ca, "a")
+        .join(cb, "b")
+        .filter(F.col("comm_a") == F.col("comm_b"))
+        .groupBy(F.col("comm_a").alias("community"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    dtot = (
+        _und_degrees(und)
+        .join(comm.select(F.col("vertex").alias("x"), "community"), "x")
+        .groupBy("community")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    return (
+        dtot.join(intra, "community", "left")
+        .select(
+            "community",
+            F.coalesce("e_c", F.lit(0)).cast("bigint").alias("e_c"),
+            F.col("d_c").cast("bigint").alias("d_c"),
+            F.lit(m).cast("bigint").alias("m"),
+            F.round(
+                F.coalesce("e_c", F.lit(0)).cast("double") / F.lit(float(m))
+                - (F.col("d_c").cast("double") / F.lit(float(2 * m))) ** 2,
+                6,
+            ).alias("contribution"),
+        )
+    )
+
+
+register(
+    "q_modularity",
+    q_modularity,
+    f"""
+    WITH {_LP_EDGE_SQL},
+    l0 AS (SELECT DISTINCT a AS v, a AS community FROM sym),
+    {",".join(_lp_round_sql(i) for i in range(1, LP_ROUNDS + 1))},
+    und AS (
+        SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM sym
+    ),
+    m AS (SELECT count(*) AS m FROM und),
+    deg AS (
+        SELECT x, count(*) AS d FROM (
+            SELECT a AS x FROM und UNION ALL SELECT b AS x FROM und
+        ) GROUP BY x
+    ),
+    intra AS (
+        SELECT ca.community, count(*) AS e_c
+        FROM und
+        JOIN l{LP_ROUNDS} ca ON ca.v = und.a
+        JOIN l{LP_ROUNDS} cb ON cb.v = und.b
+        WHERE ca.community = cb.community
+        GROUP BY ca.community
+    ),
+    dtot AS (
+        SELECT c.community, CAST(sum(deg.d) AS BIGINT) AS d_c
+        FROM deg JOIN l{LP_ROUNDS} c ON c.v = deg.x
+        GROUP BY c.community
+    )
+    SELECT dtot.community,
+           CAST(coalesce(intra.e_c, 0) AS BIGINT) AS e_c,
+           dtot.d_c,
+           CAST(m.m AS BIGINT) AS m,
+           round(CAST(coalesce(intra.e_c, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+                 - (CAST(dtot.d_c AS DOUBLE) / CAST(2 * m.m AS DOUBLE)) ** 2, 6)
+               AS contribution
+    FROM dtot LEFT JOIN intra USING (community) CROSS JOIN m
+    """,
+)
+
+
+def q_nbr_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction: for every vertex pair
+    sharing ≥1 neighbor (the wedge frame — Σdeg² bound, never
+    all-pairs), |N(a)∩N(b)| / |N(a)∪N(b)| from exact integer counts.
+    The classic structural-similarity scorer; pairs above a threshold
+    are the 'should probably be an edge' candidates."""
+    und = _und_edges(spark, sf_dir)
+    deg = _und_degrees(und)
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    w1 = sym.select(F.col("b").alias("w"), F.col("a").alias("pa"))
+    w2 = sym.select(F.col("b").alias("w"), F.col("a").alias("pb"))
+    inter = (
+        w1.join(w2, "w")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(deg.select(F.col("x").alias("pa"), F.col("d").alias("da")), "pa")
+        .join(deg.select(F.col("x").alias("pb"), F.col("d").alias("db")), "pb")
+        .select(
+            "pa",
+            "pb",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.25)
+    )
+
+
+register(
+    "q_nbr_jaccard",
+    q_nbr_jaccard,
+    f"""
+    WITH {_UND_SQL},
+    sym AS (
+        SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+    ),
+    inter AS (
+        SELECT w1.a AS pa, w2.a AS pb, count(*) AS n_inter
+        FROM sym w1 JOIN sym w2 ON w1.b = w2.b AND w1.a < w2.a
+        GROUP BY w1.a, w2.a
+    )
+    SELECT pa, pb, n_inter,
+           round(CAST(n_inter AS DOUBLE)
+                 / CAST(da.d + db.d - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter JOIN deg da ON da.x = pa JOIN deg db ON db.x = pb
+    WHERE round(CAST(n_inter AS DOUBLE)
+                / CAST(da.d + db.d - n_inter AS DOUBLE), 4) >= 0.25
+    """,
+)
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the same wedge frame: rare
+    shared neighbors count more (weight 1/ln deg(w)). The weight is
+    INTEGER-SCALED per shared neighbor — floor(10⁶/ln d(w)), a
+    deterministic double→int snap — so the per-pair score is an EXACT
+    BIGINT sum (no float summation-order drift, the trap a naive
+    Σ 1/ln d oracle would hit). Top-100 by score."""
+    und = _und_edges(spark, sf_dir)
+    deg = _und_degrees(und)
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    # shared neighbor w always has deg ≥ 2, so ln(d) > 0
+    wdeg = deg.select(
+        F.col("x").alias("w"),
+        F.floor(F.lit(1_000_000.0) / F.log(F.col("d").cast("double")))
+        .cast("bigint")
+        .alias("wt"),
+    )
+    w1 = sym.select(F.col("b").alias("w"), F.col("a").alias("pa"))
+    w2 = sym.select(F.col("b").alias("w"), F.col("a").alias("pb"))
+    return (
+        w1.join(w2, "w")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(wdeg, "w")
+        .groupBy("pa", "pb")
+        .agg(F.sum("wt").alias("aa_score_e6"), F.count("*").alias("n_common"))
+        .orderBy(F.desc("aa_score_e6"), "pa", "pb")
+        .limit(100)
+    )
+
+
+register(
+    "q_adamic_adar",
+    q_adamic_adar,
+    f"""
+    WITH {_UND_SQL},
+    sym AS (
+        SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+    ),
+    wdeg AS (
+        SELECT x AS w,
+               CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS wt
+        FROM deg
+    )
+    SELECT w1.a AS pa, w2.a AS pb,
+           CAST(sum(wdeg.wt) AS BIGINT) AS aa_score_e6,
+           count(*) AS n_common
+    FROM sym w1
+    JOIN sym w2 ON w1.b = w2.b AND w1.a < w2.a
+    JOIN wdeg ON wdeg.w = w1.b
+    GROUP BY w1.a, w2.a
+    ORDER BY aa_score_e6 DESC, pa, pb
+    LIMIT 100
+    """,
+)
