@@ -2925,3 +2925,56 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the classic fabricated-numbers
+    detector a data-quality pass runs over monetary columns: exact
+    per-digit counts of the leading digit of positive integer cents,
+    Benford expectation p_d = log10(1 + 1/d), and the per-digit
+    chi-square contribution (obs − n·p_d)²/(n·p_d). Counts are exact
+    BIGINTs (hash-stable); expectations are identical closed-form
+    doubles in both engines. One hash agg + dimension-sized math."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    ).filter(F.col("cents") > 0)
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    per = ev.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("obs")
+    )
+    n = F.sum("obs").over(Window.partitionBy())
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    exp = n.cast("double") * p
+    return per.select(
+        "digit",
+        "obs",
+        F.round(exp, 4).alias("expected"),
+        F.round((F.col("obs").cast("double") - exp) ** 2 / exp, 4).alias(
+            "chi2_term"
+        ),
+    )
+
+
+register(
+    "q_benford",
+    q_benford,
+    """
+    WITH per AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               count(*) AS obs
+        FROM (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        WHERE cents > 0
+        GROUP BY 1
+    )
+    SELECT digit, obs,
+           round(CAST(sum(obs) OVER () AS DOUBLE)
+                 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4) AS expected,
+           round((CAST(obs AS DOUBLE)
+                  - CAST(sum(obs) OVER () AS DOUBLE)
+                    * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) ** 2
+                 / (CAST(sum(obs) OVER () AS DOUBLE)
+                    * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 4)
+               AS chi2_term
+    FROM per
+    """,
+)

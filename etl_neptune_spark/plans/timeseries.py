@@ -1541,3 +1541,70 @@ register(
     SELECT user_id, event_id, value, level, trend FROM r
     """,
 )
+
+
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal profile: per (event_type, day-of-week), the
+    exact integer spend moments and the seasonal index
+    dow_mean/overall_mean — the decomposition step a telemetry
+    dashboard runs before anomaly thresholds (a Monday spike is
+    seasonality, not an incident). Two keyed aggs + a broadcast-back
+    of the per-type overall moments; all certificate columns are
+    exact BIGINTs except the two final quotients. dow is normalized
+    (1=Mon..7=Sun) to dodge engine default differences."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        # ISO dow: both engines agree via this normalization
+        ((F.dayofweek("ts") + 5) % 7 + 1).alias("dow"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    per = ev.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_all"), F.sum("cents").alias("s_all")
+    )
+    dow_mean = F.col("s").cast("double") / F.col("n").cast("double")
+    all_mean = F.col("s_all").cast("double") / F.col("n_all").cast("double")
+    return (
+        per.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            "s",
+            F.round(dow_mean, 4).alias("dow_mean_cents"),
+            F.round(dow_mean / all_mean, 4).alias("seasonal_index"),
+        )
+    )
+
+
+register(
+    "q_seasonality",
+    q_seasonality,
+    """
+    WITH ev AS (
+        SELECT event_type,
+               (isodow(ts)) AS dow,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    per AS (
+        SELECT event_type, dow, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM ev GROUP BY event_type, dow
+    ),
+    tot AS (
+        SELECT event_type, count(*) AS n_all,
+               CAST(sum(cents) AS BIGINT) AS s_all
+        FROM ev GROUP BY event_type
+    )
+    SELECT per.event_type, CAST(per.dow AS BIGINT) AS dow, per.n, per.s,
+           round(CAST(per.s AS DOUBLE) / CAST(per.n AS DOUBLE), 4)
+               AS dow_mean_cents,
+           round((CAST(per.s AS DOUBLE) / CAST(per.n AS DOUBLE))
+                 / (CAST(tot.s_all AS DOUBLE) / CAST(tot.n_all AS DOUBLE)), 4)
+               AS seasonal_index
+    FROM per JOIN tot USING (event_type)
+    """,
+)
