@@ -90,3 +90,60 @@ def delta_join_view(
     a_dv = a_old.join(delta_b, list(on))
     dd = delta_a.join(delta_b, list(on))
     return d_av.unionByName(a_dv).unionByName(dd)
+
+
+def delta_join_view_signed(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str],
+    mult_col: str = "__mult",
+) -> DataFrame:
+    """ΔV for V = A ⋈ B under GENERAL deltas (inserts AND deletes) —
+    the full counting algorithm (Gupta-Mumick): deltas carry a signed
+    multiplicity column (+1 insert, −1 delete), and
+
+        ΔV = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    with output multiplicity the PRODUCT of the inputs' (standing rows
+    carry +1). Summing multiplicities per joined row and dropping
+    zeros yields exactly A_new ⋈ B_new — deletions retract the join
+    rows they contributed, re-inserts cancel retractions, no rescan of
+    the standing view. Same three delta-vs-standing joins as the
+    insert-only form, so the 100 TB posture is unchanged (broadcast
+    deltas, bucketed standing sides → shuffle-free).
+
+    ``apply_signed_delta`` collapses (V_old ∪ ΔV) to the new view."""
+    a1 = a_old.withColumn(mult_col, F.lit(1))
+    b1 = b_old.withColumn(mult_col, F.lit(1))
+    da = delta_a.withColumnRenamed(mult_col, "__ma")
+    db = delta_b.withColumnRenamed(mult_col, "__mb")
+
+    def _prod(df: DataFrame, ma: str, mb: str) -> DataFrame:
+        return df.withColumn(mult_col, F.col(ma) * F.col(mb)).drop(ma, mb)
+
+    d_av = _prod(da.join(b1.withColumnRenamed(mult_col, "__mb"), list(on)), "__ma", "__mb")
+    a_dv = _prod(a1.withColumnRenamed(mult_col, "__ma").join(db, list(on)), "__ma", "__mb")
+    dd = _prod(da.join(db, list(on)), "__ma", "__mb")
+    return d_av.unionByName(a_dv).unionByName(dd)
+
+
+def apply_signed_delta(
+    v_old: DataFrame, delta_v: DataFrame, mult_col: str = "__mult"
+) -> DataFrame:
+    """(V_old ⊎ ΔV) under bag semantics: sum signed multiplicities over
+    ALL columns, keep rows with positive net count, and re-expand the
+    multiplicity so the result is a plain bag relation identical to a
+    full recompute. One keyed agg + a bounded per-row explode."""
+    cols = [c for c in v_old.columns if c != mult_col]
+    v1 = v_old.withColumn(mult_col, F.lit(1)) if mult_col not in v_old.columns else v_old
+    merged = (
+        v1.unionByName(delta_v)
+        .groupBy(*cols)
+        .agg(F.sum(mult_col).alias("__net"))
+        .filter(F.col("__net") > 0)
+    )
+    return merged.withColumn(
+        "__i", F.explode(F.sequence(F.lit(1), F.col("__net")))
+    ).select(*cols)

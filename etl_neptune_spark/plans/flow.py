@@ -261,3 +261,62 @@ register(
     GROUP BY o_orderpriority
     """,
 )
+
+
+def q_ivm_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under GENERAL deltas — inserts AND
+    deletes on BOTH sides (operators.incremental.delta_join_view_signed,
+    the full Gupta-Mumick counting algorithm): orders gain a batch
+    (keys %5=0), lose a batch (%7=0 of the standing rows); customers
+    lose the %11=0 segment. The maintained view (standing V ⊎ signed
+    ΔV, zero-net rows dropped) must equal the full recompute of
+    A_new ⋈ B_new — which is exactly what the oracle computes. The
+    delete case is what the insert-only q_ivm_join cannot express:
+    retractions must cancel exactly, including the ΔA ⋈ ΔB cross term
+    (an inserted order joining a deleted customer nets out)."""
+    from ..operators.incremental import (
+        apply_signed_delta,
+        delta_join_view_signed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    a_old = orders.filter(F.col("o_orderkey") % 5 != 0)
+    delta_a = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("__mult", F.lit(1))
+        .unionByName(
+            orders.filter(
+                (F.col("o_orderkey") % 5 != 0) & (F.col("o_orderkey") % 7 == 0)
+            ).withColumn("__mult", F.lit(-1))
+        )
+    )
+    delta_b = cust.filter(F.col("custkey") % 11 == 0).withColumn(
+        "__mult", F.lit(-1)
+    )
+    v_old = a_old.join(cust, "custkey")
+    dv = delta_join_view_signed(a_old, delta_a, cust, delta_b, on=["custkey"])
+    return apply_signed_delta(v_old, dv)
+
+
+register(
+    "q_ivm_deletes",
+    q_ivm_deletes,
+    """
+    WITH a_new AS (
+        SELECT o_orderkey, o_custkey AS custkey FROM orders
+        WHERE o_orderkey % 5 = 0
+           OR (o_orderkey % 5 != 0 AND o_orderkey % 7 != 0)
+    ),
+    b_new AS (
+        SELECT c_custkey AS custkey, c_mktsegment FROM customer
+        WHERE c_custkey % 11 != 0
+    )
+    SELECT a_new.custkey, a_new.o_orderkey, b_new.c_mktsegment
+    FROM a_new JOIN b_new USING (custkey)
+    """,
+)
