@@ -1337,3 +1337,63 @@ register(
     LIMIT 100
     """,
 )
+
+
+def q_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law fit of the degree distribution — the scale-free test
+    that tells you whether the interaction graph has hubs (and
+    therefore whether hub-aware plans like ordered wedges matter): the
+    continuous-MLE exponent α = 1 + n / Σ ln(d/d_min) over vertices
+    with d ≥ d_min, with the log-sum INTEGER-SCALED per vertex
+    (floor(10⁶·ln(d/d_min)) — a deterministic double→int snap, the
+    q_adamic_adar recipe) so the aggregate is an exact BIGINT and the
+    certificate is hash-stable. Emits n, the scaled log-sum, and α
+    (one closed-form double)."""
+    und = _und_edges(spark, sf_dir)
+    deg = _und_degrees(und)
+    dmin = 2
+    eligible = deg.filter(F.col("d") >= dmin)
+    lnterm = F.floor(
+        F.lit(1_000_000.0)
+        * F.log(F.col("d").cast("double") / F.lit(float(dmin)))
+    ).cast("bigint")
+    agg = eligible.agg(
+        F.count("*").alias("n_vertices"),
+        F.sum(lnterm).alias("ln_sum_e6"),
+    )
+    return agg.select(
+        "n_vertices",
+        "ln_sum_e6",
+        F.when(
+            F.col("ln_sum_e6") > 0,
+            F.round(
+                F.lit(1.0)
+                + F.col("n_vertices").cast("double")
+                / (F.col("ln_sum_e6").cast("double") / F.lit(1e6)),
+                4,
+            ),
+        ).alias("alpha"),
+    )
+
+
+register(
+    "q_powerlaw",
+    q_powerlaw,
+    f"""
+    WITH {_UND_SQL},
+    elig AS (SELECT d FROM deg WHERE d >= 2),
+    agg AS (
+        SELECT count(*) AS n_vertices,
+               CAST(sum(CAST(floor(1000000.0
+                          * ln(CAST(d AS DOUBLE) / 2.0)) AS BIGINT))
+                    AS BIGINT) AS ln_sum_e6
+        FROM elig
+    )
+    SELECT n_vertices, ln_sum_e6,
+           CASE WHEN ln_sum_e6 > 0
+                THEN round(1.0 + CAST(n_vertices AS DOUBLE)
+                           / (CAST(ln_sum_e6 AS DOUBLE) / 1e6), 4)
+           END AS alpha
+    FROM agg
+    """,
+)

@@ -1608,3 +1608,89 @@ register(
     FROM per JOIN tot USING (event_type)
     """,
 )
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint localization per event type — the classic
+    drift detector: over the (ts, event_id)-ordered value sequence in
+    exact integer cents, the running sum of deviations from the
+    series mean (scaled ×n to stay in EXACT BIGINT arithmetic:
+    S_k·n = n·Σ_{i≤k} c_i − k·Σc), and the argmax of |S_k·n| — the
+    most likely changepoint. One keyed window cumsum + one argmax
+    window; every certificate column is an exact integer."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = ev.select(
+        "event_type",
+        "event_id",
+        F.sum("c").over(w).alias("cum"),
+        F.count("*").over(w).alias("k"),
+        F.sum("c").over(wt).alias("s_all"),
+        F.count("*").over(wt).alias("n_all"),
+    )
+    s_scaled = F.col("n_all") * F.col("cum") - F.col("k") * F.col("s_all")
+    ranked = cum.select(
+        "event_type",
+        "event_id",
+        "k",
+        s_scaled.alias("s_n"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(s_scaled).desc(), F.col("event_id")
+            )
+        )
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("event_id").alias("changepoint_event"),
+        F.col("k").alias("changepoint_pos"),
+        F.col("s_n").alias("cusum_scaled"),
+    )
+
+
+register(
+    "q_cusum",
+    q_cusum,
+    """
+    WITH ev AS (
+        SELECT event_type, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    cum AS (
+        SELECT event_type, event_id,
+               sum(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS k,
+               sum(c) OVER (PARTITION BY event_type) AS s_all,
+               count(*) OVER (PARTITION BY event_type) AS n_all
+        FROM ev
+    ),
+    ranked AS (
+        SELECT event_type, event_id, k,
+               CAST(n_all * cum - k * s_all AS BIGINT) AS s_n,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(n_all * cum - k * s_all) DESC, event_id) AS rn
+        FROM cum
+    )
+    SELECT event_type,
+           CAST(event_id AS BIGINT) AS changepoint_event,
+           CAST(k AS BIGINT) AS changepoint_pos,
+           s_n AS cusum_scaled
+    FROM ranked WHERE rn = 1
+    """,
+)
