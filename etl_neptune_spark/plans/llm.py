@@ -1774,3 +1774,77 @@ register(
                   WHERE c.content_hash = b.content_hash)
     """,
 )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix — the corpus-governance scout
+    a data-mixing pipeline runs before blending sources: for every
+    SOURCE pair, the exact count of distinct shared 3-gram shingles
+    and the overlap coefficient |A∩B|/min(|A|,|B|). The frame is the
+    DISTINCT (source, shingle) set, so the self-join's per-shingle
+    blow-up is bounded by the SOURCE count squared (≤ 20² here — never
+    doc²); one shingle-keyed exchange + one pair rollup. High overlap
+    = shared boilerplate or actual duplication across sources — the
+    signal that triggers a cross-source dedup pass (q_cross_dedup)."""
+    from ..operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        doc_shingles(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("source").alias("src_a"), "shingle")
+    b = sh.select(F.col("source").alias("src_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("nb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("na", "nb").cast("double"),
+                4,
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+register(
+    "q_source_overlap",
+    q_source_overlap,
+    f"""
+    WITH sh AS (
+        SELECT DISTINCT source, shingle
+        FROM (SELECT source, unnest({_SH_SQL}) AS shingle FROM documents)
+    ),
+    sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, n_shared,
+           round(CAST(n_shared AS DOUBLE)
+                 / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 4) AS overlap_coef
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+)
