@@ -2978,3 +2978,136 @@ register(
     FROM per
     """,
 )
+
+
+def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles of per-user spend — the concentration
+    readout behind q_gini (which decile of users carries which share
+    of revenue): users ranked by exact integer spend, bucketed into
+    10 ntiles, per-decile exact sums and the cumulative share. The
+    rank/ntile window runs over the per-user rollup (one row per
+    user — dimension-sized), never the event table."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    w = Window.orderBy("cents", "user_id")
+    dec = per.select(
+        "user_id", "cents", F.ntile(10).over(w).alias("decile")
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("cents").alias("decile_cents")
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    return agg.select(
+        "decile",
+        "n_users",
+        "decile_cents",
+        F.sum("decile_cents").over(wc).alias("cum_cents"),
+        F.round(
+            F.sum("decile_cents").over(wc).cast("double")
+            / F.sum("decile_cents").over(wt).cast("double"),
+            4,
+        ).alias("cum_share"),
+    )
+
+
+register(
+    "q_lorenz",
+    q_lorenz,
+    """
+    WITH per AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY user_id
+    ),
+    dec AS (
+        SELECT user_id, cents,
+               ntile(10) OVER (ORDER BY cents, user_id) AS decile
+        FROM per
+    ),
+    agg AS (
+        SELECT decile, count(*) AS n_users,
+               CAST(sum(cents) AS BIGINT) AS decile_cents
+        FROM dec GROUP BY decile
+    )
+    SELECT CAST(decile AS INTEGER) AS decile, n_users, decile_cents,
+           CAST(sum(decile_cents) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+           round(CAST(sum(decile_cents) OVER (ORDER BY decile
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(sum(decile_cents) OVER () AS DOUBLE), 4) AS cum_share
+    FROM agg
+    """,
+)
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral burstiness per user (Goh & Barabási 2008-style
+    CV-based signature): over the inter-event gaps in exact integer
+    seconds, the (n, Σg, Σg²) sufficient statistics and the
+    burstiness proxy B = (n·Σg² − (Σg)²) / (n·Σg² + (Σg)²) ∈ [−1, 1)
+    — 0 for a Poisson-like stream, →1 for heavy bursts — computed
+    from EXACT BIGINTs with one closed-form double at the end. One
+    lag window + one keyed agg; users with < 2 events have no gap and
+    are absent."""
+    # whole seconds via FLOOR division of exact epoch-micros: direct
+    # second extraction rounds vs floors differently across engines on
+    # sub-second timestamps, and micros-squared overflows BIGINT
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("s"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    gaps = (
+        ev.select("user_id", (F.col("s") - F.lag("s").over(w)).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sgg"),
+    )
+    num = F.col("n") * F.col("sgg") - F.col("sg") * F.col("sg")
+    den = F.col("n") * F.col("sgg") + F.col("sg") * F.col("sg")
+    return agg.select(
+        "user_id",
+        "n",
+        "sg",
+        "sgg",
+        F.when(den != 0, F.round(num.cast("double") / den.cast("double"), 4))
+        .alias("burstiness"),
+    )
+
+
+register(
+    "q_burstiness",
+    q_burstiness,
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS s, event_id FROM events
+    ),
+    gaps AS (
+        SELECT user_id,
+               s - lag(s) OVER (PARTITION BY user_id
+                                ORDER BY s, event_id) AS g
+        FROM ev
+    ),
+    agg AS (
+        SELECT user_id, count(*) AS n,
+               CAST(sum(g) AS BIGINT) AS sg,
+               CAST(sum(g * g) AS BIGINT) AS sgg
+        FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n, sg, sgg,
+           CASE WHEN n * sgg + sg * sg != 0
+                THEN round(CAST(n * sgg - sg * sg AS DOUBLE)
+                           / CAST(n * sgg + sg * sg AS DOUBLE), 4)
+           END AS burstiness
+    FROM agg
+    """,
+)
