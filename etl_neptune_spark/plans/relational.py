@@ -3111,3 +3111,65 @@ register(
     FROM agg
     """,
 )
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and day-of-week — the
+    feature-relevance screen (is behavior day-dependent?): per cell,
+    exact joint/marginal counts and the pointwise MI contribution
+    p(t,d)·ln(p(t,d)·n / (n_t·n_d)), 6 dp. The cell universe is
+    |types|×7 — three hash aggs and broadcast joins of
+    dimension-sized frames; every input to the one float expression
+    is an exact BIGINT."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", ((F.dayofweek("ts") + 5) % 7 + 1).alias("dow")
+    )
+    joint = ev.groupBy("event_type", "dow").agg(F.count("*").alias("n_td"))
+    mt = ev.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    md = ev.groupBy("dow").agg(F.count("*").alias("n_d"))
+    n = ev.count()
+    ratio = (
+        F.col("n_td").cast("double")
+        * F.lit(float(n))
+        / (F.col("n_t").cast("double") * F.col("n_d").cast("double"))
+    )
+    return (
+        joint.join(F.broadcast(mt), "event_type")
+        .join(F.broadcast(md), "dow")
+        .select(
+            "event_type",
+            "dow",
+            "n_td",
+            "n_t",
+            "n_d",
+            F.round(
+                (F.col("n_td").cast("double") / F.lit(float(n))) * F.log(ratio),
+                6,
+            ).alias("mi_term"),
+        )
+    )
+
+
+register(
+    "q_mutual_info",
+    q_mutual_info,
+    """
+    WITH ev AS (
+        SELECT event_type, isodow(ts) AS dow FROM events
+    ),
+    joint AS (
+        SELECT event_type, dow, count(*) AS n_td
+        FROM ev GROUP BY event_type, dow
+    ),
+    mt AS (SELECT event_type, count(*) AS n_t FROM ev GROUP BY event_type),
+    md AS (SELECT dow, count(*) AS n_d FROM ev GROUP BY dow),
+    n AS (SELECT count(*) AS n FROM ev)
+    SELECT joint.event_type, CAST(joint.dow AS BIGINT) AS dow,
+           joint.n_td, mt.n_t, md.n_d,
+           round((CAST(n_td AS DOUBLE) / CAST(n.n AS DOUBLE))
+                 * ln(CAST(n_td AS DOUBLE) * CAST(n.n AS DOUBLE)
+                      / (CAST(n_t AS DOUBLE) * CAST(n_d AS DOUBLE))), 6)
+               AS mi_term
+    FROM joint JOIN mt USING (event_type) JOIN md USING (dow) CROSS JOIN n
+    """,
+)

@@ -1694,3 +1694,57 @@ register(
     FROM ranked WHERE rn = 1
     """,
 )
+
+
+def q_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention hazard table (the discrete Kaplan-Meier ingredient):
+    per lifetime day d, how many users were still at risk (observed
+    span ≥ d) and how many ended exactly there, plus the hazard ratio
+    — the churn curve a product team reads. Spans are exact integer
+    days from one per-user (min ts, max ts) rollup; the at-risk count
+    for every d is a cumulative window over the DESCENDING span
+    distribution (span-count frame is bounded by the horizon, never
+    the user count). Exact BIGINTs everywhere but the one ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("timestamp")).cast("date"),
+            F.min(F.col("ts").cast("timestamp")).cast("date"),
+        ).alias("span")
+    )
+    per = spans.groupBy("span").agg(F.count("*").alias("n_ended"))
+    w = Window.orderBy(F.desc("span")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        F.col("span").alias("day"),
+        "n_ended",
+        F.sum("n_ended").over(w).alias("n_at_risk"),
+        F.round(
+            F.col("n_ended").cast("double")
+            / F.sum("n_ended").over(w).cast("double"),
+            4,
+        ).alias("hazard"),
+    )
+
+
+register(
+    "q_hazard",
+    q_hazard,
+    """
+    WITH spans AS (
+        SELECT user_id,
+               date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+                   AS span
+        FROM events GROUP BY user_id
+    ),
+    per AS (SELECT span, count(*) AS n_ended FROM spans GROUP BY span)
+    SELECT CAST(span AS INTEGER) AS day, n_ended,
+           CAST(sum(n_ended) OVER (ORDER BY span DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk,
+           round(CAST(n_ended AS DOUBLE)
+                 / CAST(sum(n_ended) OVER (ORDER BY span DESC
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS hazard
+    FROM per
+    """,
+)
