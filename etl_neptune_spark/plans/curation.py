@@ -555,3 +555,165 @@ register(
     FROM seeded
     """,
 )
+
+
+def _scored_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared eval frame: the certified classifier score (q_classifier's
+    exact construction) beside the binary truth label (label % 2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in CLASSIFIER_W])
+    z = dot(F.col("embedding"), w)
+    return emb.select(
+        "vec_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("score"),
+        (F.col("label") % 2 == 1).alias("truth"),
+    )
+
+
+_SCORED_SQL = """
+    scored AS (
+        SELECT vec_id,
+               round(1.0 / (1.0 + exp(-list_sum(list_transform(
+                   range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE) * w.w[i])))), 4) AS score,
+               (label % 2 = 1) AS truth
+        FROM embeddings, w
+    )
+"""
+
+
+def q_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation — confusion matrix at the 0.5 operating
+    point plus precision/recall/F1, over the certified linear-model
+    scores and the parity truth label: one pass, four conditional
+    counts (exact BIGINTs), three guarded ratios. The eval readout
+    every model-gated curation pipeline reports."""
+    s = _scored_labeled(spark, sf_dir)
+    pred = F.col("score") >= 0.5
+    agg = s.agg(
+        F.count_if(pred & F.col("truth")).alias("tp"),
+        F.count_if(pred & ~F.col("truth")).alias("fp"),
+        F.count_if(~pred & F.col("truth")).alias("fn"),
+        F.count_if(~pred & ~F.col("truth")).alias("tn"),
+    )
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")
+    rec = F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double")
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(F.col("tp") + F.col("fp") > 0, F.round(prec, 4)).alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0, F.round(rec, 4)).alias("recall"),
+        F.when(
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.round(
+                F.lit(2.0)
+                * F.col("tp").cast("double")
+                / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast(
+                    "double"
+                ),
+                4,
+            ),
+        ).alias("f1"),
+    )
+
+
+register(
+    "q_confusion",
+    q_confusion,
+    f"""
+    WITH w AS (SELECT {list(CLASSIFIER_W)}::DOUBLE[] AS w),
+    {_SCORED_SQL},
+    agg AS (
+        SELECT CAST(count(*) FILTER (WHERE score >= 0.5 AND truth) AS BIGINT)
+                   AS tp,
+               CAST(count(*) FILTER (WHERE score >= 0.5 AND NOT truth) AS BIGINT)
+                   AS fp,
+               CAST(count(*) FILTER (WHERE score < 0.5 AND truth) AS BIGINT)
+                   AS fn,
+               CAST(count(*) FILTER (WHERE score < 0.5 AND NOT truth) AS BIGINT)
+                   AS tn
+        FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 4)
+           END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 4)
+           END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN round(2.0 * CAST(tp AS DOUBLE)
+                           / CAST(2 * tp + fp + fn AS DOUBLE), 4)
+           END AS f1
+    FROM agg
+    """,
+)
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC via the tie-corrected Mann-Whitney rank sum: with
+    r_min the min-rank of each distinct score and c its tie count,
+    every row's 2×average-rank is the INTEGER 2·r_min + c − 1, so
+    2·Σranks over positives is an exact BIGINT and
+    AUC = (2·Σranks_pos − 2·binom) / (2·n_pos·n_neg) needs ONE double
+    division — no sort-order or float-accumulation caveats, ties
+    (guaranteed by the 4 dp score grid) handled exactly. The ranking
+    window runs over the eval-set-sized score frame."""
+    from pyspark.sql import Window
+
+    s = _scored_labeled(spark, sf_dir)
+    w = Window.orderBy("score")
+    wg = Window.partitionBy("score")
+    ranked = s.select(
+        "truth",
+        (F.lit(2) * F.rank().over(w) + F.count("*").over(wg) - F.lit(1)).alias(
+            "r2"
+        ),
+    )
+    agg = ranked.agg(
+        F.count_if(F.col("truth")).alias("n_pos"),
+        F.count_if(~F.col("truth")).alias("n_neg"),
+        F.sum(F.when(F.col("truth"), F.col("r2")).otherwise(0)).alias(
+            "ranksum2_pos"
+        ),
+    )
+    num = F.col("ranksum2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.col("ranksum2_pos").cast("bigint").alias("ranksum2_pos"),
+        F.when(den != 0, F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("auc"),
+    )
+
+
+register(
+    "q_auc",
+    q_auc,
+    f"""
+    WITH w AS (SELECT {list(CLASSIFIER_W)}::DOUBLE[] AS w),
+    {_SCORED_SQL},
+    ranked AS (
+        SELECT truth,
+               2 * rank() OVER (ORDER BY score)
+                   + count(*) OVER (PARTITION BY score) - 1 AS r2
+        FROM scored
+    ),
+    agg AS (
+        SELECT CAST(count(*) FILTER (WHERE truth) AS BIGINT) AS n_pos,
+               CAST(count(*) FILTER (WHERE NOT truth) AS BIGINT) AS n_neg,
+               CAST(sum(CASE WHEN truth THEN r2 ELSE 0 END) AS BIGINT)
+                   AS ranksum2_pos
+        FROM ranked
+    )
+    SELECT n_pos, n_neg, ranksum2_pos,
+           CASE WHEN n_pos * n_neg != 0
+                THEN round(CAST(ranksum2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                           / CAST(2 * n_pos * n_neg AS DOUBLE), 6)
+           END AS auc
+    FROM agg
+    """,
+)
