@@ -3173,3 +3173,154 @@ register(
     FROM joint JOIN mt USING (event_type) JOIN md USING (dow) CROSS JOIN n
     """,
 )
+
+
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the md5 train/val splits —
+    the drift monitor ML-ops runs between a reference and a serving
+    window: exact integer counts per value-cents band per split, and
+    the per-band PSI term (p_t − p_v)·ln(p_t/p_v). Bands are fixed
+    1000-cent buckets (data-independent, so band boundaries never
+    drift with the sample); the certificate is exact counts + one
+    closed-form float per band."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8",
+            "train",
+        )
+        .otherwise("val")
+        .alias("split"),
+        (F.round(F.col("value") * 100).cast("bigint") / F.lit(1000))
+        .cast("bigint")
+        .alias("band"),
+    )
+    per = ev.groupBy("band").agg(
+        F.count_if(F.col("split") == "train").alias("n_t"),
+        F.count_if(F.col("split") == "val").alias("n_v"),
+    )
+    tot = per.agg(F.sum("n_t").alias("tt"), F.sum("n_v").alias("tv")).first()
+    tt, tv = int(tot["tt"]), int(tot["tv"])
+    p_t = F.col("n_t").cast("double") / F.lit(float(tt))
+    p_v = F.col("n_v").cast("double") / F.lit(float(tv))
+    return per.select(
+        "band",
+        "n_t",
+        "n_v",
+        F.when(
+            (F.col("n_t") > 0) & (F.col("n_v") > 0),
+            F.round((p_t - p_v) * F.log(p_t / p_v), 6),
+        ).alias("psi_term"),
+    )
+
+
+register(
+    "q_psi",
+    q_psi,
+    """
+    WITH ev AS (
+        SELECT CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 'train' ELSE 'val' END AS split,
+               CAST(round(value * 100) AS BIGINT) // 1000 AS band
+        FROM events
+    ),
+    per AS (
+        SELECT band,
+               CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_t,
+               CAST(count(*) FILTER (WHERE split = 'val') AS BIGINT) AS n_v
+        FROM ev GROUP BY band
+    ),
+    tot AS (SELECT sum(n_t) AS tt, sum(n_v) AS tv FROM per)
+    SELECT CAST(band AS BIGINT) AS band, n_t, n_v,
+           CASE WHEN n_t > 0 AND n_v > 0
+                THEN round((CAST(n_t AS DOUBLE) / CAST(tt AS DOUBLE)
+                            - CAST(n_v AS DOUBLE) / CAST(tv AS DOUBLE))
+                           * ln((CAST(n_t AS DOUBLE) / CAST(tt AS DOUBLE))
+                                / (CAST(n_v AS DOUBLE) / CAST(tv AS DOUBLE))),
+                           6)
+           END AS psi_term
+    FROM per CROSS JOIN tot
+    """,
+)
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the purchase and
+    view value distributions — EXACT: the ECDF difference is evaluated
+    at every distinct value as the INTEGER |cum_a·n_b − cum_b·n_a|
+    (cross-multiplied, no fractions), its max is an exact BIGINT, and
+    D = max / (n_a·n_b) is one final division. One ordered cumulative
+    window over the distinct-value frame; ties handled exactly
+    (cumulative counts are per distinct value, both samples advanced
+    together)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    per = (
+        ev.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("c")
+        .agg(
+            F.count_if(F.col("event_type") == "purchase").alias("a"),
+            F.count_if(F.col("event_type") == "view").alias("b"),
+        )
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy()
+    diffs = per.select(
+        (
+            F.abs(
+                F.sum("a").over(w) * F.sum("b").over(wt)
+                - F.sum("b").over(w) * F.sum("a").over(wt)
+            )
+        ).alias("d_num"),
+        F.sum("a").over(wt).alias("n_a"),
+        F.sum("b").over(wt).alias("n_b"),
+    )
+    return diffs.agg(
+        F.max("d_num").alias("d_num"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    ).select(
+        "n_a",
+        "n_b",
+        F.col("d_num").cast("bigint").alias("d_num"),
+        F.round(
+            F.col("d_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+            6,
+        ).alias("ks_d"),
+    )
+
+
+register(
+    "q_ks_test",
+    q_ks_test,
+    """
+    WITH ev AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    per AS (
+        SELECT c,
+               count(*) FILTER (WHERE event_type = 'purchase') AS a,
+               count(*) FILTER (WHERE event_type = 'view') AS b
+        FROM ev GROUP BY c
+    ),
+    diffs AS (
+        SELECT abs(sum(a) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                   * sum(b) OVER ()
+                   - sum(b) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                     * sum(a) OVER ()) AS d_num,
+               sum(a) OVER () AS n_a,
+               sum(b) OVER () AS n_b
+        FROM per
+    )
+    SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(max(d_num) AS BIGINT) AS d_num,
+           round(CAST(max(d_num) AS DOUBLE)
+                 / CAST(max(n_a) * max(n_b) AS DOUBLE), 6) AS ks_d
+    FROM diffs
+    """,
+)
