@@ -591,3 +591,77 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_bpe_tokens", q_bpe_tokens)  # rows-only: iterative training
+
+
+VOCAB_TOP = 1000
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit — the tokenizer-sizing readout: with
+    the corpus top-{VOCAB_TOP} word vocabulary (count desc, word asc —
+    deterministic), each SOURCE's covered vs out-of-vocabulary token
+    occurrences and the exact coverage ratio. A source with high OOV
+    under the shared vocab needs byte-fallback or its own merges. One
+    token explode feeds both the vocab ranking (corpus-keyed agg +
+    top-V) and the per-source rollup (broadcast semi-join against the
+    V-sized vocab) — never a corpus×vocab product."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(VOCAB_TOP)
+        .select("word")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(True))), "word", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_if(F.col("__in").isNotNull()).alias("n_covered"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_covered",
+            (F.col("n_tokens") - F.col("n_covered")).alias("n_oov"),
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("coverage"),
+        )
+    )
+
+
+register(
+    "q_vocab_coverage",
+    q_vocab_coverage,
+    f"""
+    WITH tok AS (
+        SELECT source, w AS word
+        FROM documents, unnest(string_split(lower(text), ' ')) AS t(w)
+        WHERE w != ''
+    ),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, count(*) AS n FROM tok GROUP BY word
+            ORDER BY n DESC, word LIMIT {VOCAB_TOP}
+        )
+    )
+    SELECT source,
+           count(*) AS n_tokens,
+           CAST(count(*) FILTER (WHERE word IN (SELECT word FROM vocab))
+                AS BIGINT) AS n_covered,
+           CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM vocab))
+                AS BIGINT) AS n_oov,
+           round(CAST(count(*) FILTER (WHERE word IN (SELECT word FROM vocab))
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS coverage
+    FROM tok
+    GROUP BY source
+    """,
+)
