@@ -1848,3 +1848,103 @@ register(
     JOIN sizes sb ON sb.source = src_b
     """,
 )
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality readout over the EXACT top-5 neighbor lists
+    (the q_ann_topk construction): per query, binary relevance = label
+    match, exact relevant-count, DCG@5, the ideal DCG for that many
+    relevant items, and NDCG — the metric that certifies an ANN/RAG
+    index is returning the right neighbors, computed on the same
+    engine that built the index. The ranked lists are 5 rows per
+    query, so the float DCG sum is a bounded fixed-term fold; every
+    count is exact."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = brute_force_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, dim=64)
+    lab_q = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("lq"))
+    lab_n = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("ln")
+    )
+    j = (
+        topk.join(F.broadcast(lab_q), "query_id")
+        .join(F.broadcast(lab_n), "neighbor_id")
+        .withColumn("rel", (F.col("lq") == F.col("ln")).cast("int"))
+    )
+    log2r = F.log2(F.col("rank").cast("double") + F.lit(1.0))
+    # windows can't nest inside aggregates: resolve the per-query
+    # relevant count first, then aggregate
+    j = j.withColumn("n_rel_w", F.sum("rel").over(W.partitionBy("query_id")))
+    per = j.groupBy("query_id").agg(
+        F.max("n_rel_w").alias("n_rel"),
+        F.round(F.sum(F.col("rel").cast("double") / log2r), 4).alias("dcg"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rank") <= F.col("n_rel_w"), F.lit(1.0) / log2r
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("idcg"),
+    )
+    return per.select(
+        "query_id",
+        "n_rel",
+        "dcg",
+        "idcg",
+        F.when(
+            F.col("n_rel") > 0, F.round(F.col("dcg") / F.col("idcg"), 4)
+        ).alias("ndcg"),
+    )
+
+
+register(
+    "q_ndcg",
+    q_ndcg,
+    """
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               q.label = c.label AS rel,
+               round(
+                   list_sum(list_transform(range(1, len(q.v) + 1),
+                                           i -> q.v[i] * c.v[i]))
+                   / (sqrt(list_sum(list_transform(range(1, len(q.v) + 1),
+                                                   i -> q.v[i] * q.v[i])))
+                      * sqrt(list_sum(list_transform(range(1, len(c.v) + 1),
+                                                     i -> c.v[i] * c.v[i])))),
+                   4) AS cos
+        FROM e q JOIN e c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 50 = 0
+    ),
+    ranked AS (
+        SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ),
+    top AS (
+        SELECT *, sum(CASE WHEN rel THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY query_id) AS n_rel_w
+        FROM ranked WHERE rank <= 5
+    ),
+    per AS (
+        SELECT query_id,
+               CAST(max(n_rel_w) AS BIGINT) AS n_rel,
+               round(sum(CASE WHEN rel THEN 1.0 ELSE 0.0 END
+                         / log2(CAST(rank AS DOUBLE) + 1.0)), 4) AS dcg,
+               round(sum(CASE WHEN rank <= n_rel_w
+                              THEN 1.0 / log2(CAST(rank AS DOUBLE) + 1.0)
+                              ELSE 0.0 END), 4) AS idcg
+        FROM top GROUP BY query_id
+    )
+    SELECT query_id, n_rel, dcg, idcg,
+           CASE WHEN n_rel > 0 THEN round(dcg / idcg, 4) END AS ndcg
+    FROM per
+    """,
+)
