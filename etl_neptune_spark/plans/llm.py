@@ -1948,3 +1948,75 @@ register(
     FROM per
     """,
 )
+
+
+def q_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality certification ACROSS paths: recall@5 of the
+    sign-LSH ANN index against the exact brute-force ground truth, per
+    query — |LSH top-5 ∩ exact top-5| / 5 from exact integer counts.
+    This is the measurement that decides whether an approximate index
+    is shippable, computed by the engine itself; the oracle composes
+    the two already-certified constructions (the LSH-bucketed ranking
+    and the exact ranking) in SQL, so the driver gate certifies the
+    COMPARISON, not just each path."""
+    from ..operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(
+        emb.filter(F.col("vec_id") % 50 == 0), emb, dim=64
+    ).select("query_id", "neighbor_id")
+    approx = (
+        lsh_topk(emb, k=5, bits=4, dim=64)
+        .filter(F.col("query_id") % 50 == 0)
+        .select("query_id", F.col("neighbor_id").alias("lsh_neighbor"))
+    )
+    hit = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["lsh_neighbor"]),
+        "left_semi",
+    )
+    n_hit = hit.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+def _recall_oracle() -> str:
+    from .registry import ORACLE
+
+    return f"""
+    WITH exact_top AS ({ORACLE["q_ann_topk"]}),
+    lsh_top AS ({ORACLE["q_ann_lsh"]}),
+    hits AS (
+        SELECT e.query_id, count(*) AS n_hit
+        FROM exact_top e
+        WHERE EXISTS (SELECT 1 FROM lsh_top l
+                      WHERE l.query_id = e.query_id
+                        AND l.neighbor_id = e.neighbor_id
+                        AND l.query_id % 50 = 0)
+        GROUP BY e.query_id
+    ),
+    totals AS (
+        SELECT query_id, count(*) AS n_exact FROM exact_top GROUP BY query_id
+    )
+    SELECT t.query_id, CAST(t.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                 / CAST(t.n_exact AS DOUBLE), 4) AS recall_at_5
+    FROM totals t LEFT JOIN hits h USING (query_id)
+    """
+
+
+register("q_recall_at_k", q_recall_at_k, _recall_oracle())
