@@ -717,3 +717,126 @@ register(
     FROM agg
     """,
 )
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram bins for the certified classifier: score
+    bucketed into fixed 0.1-wide bins (data-independent boundaries),
+    per bin the exact count, positive count, observed rate, and the
+    bin's mean score — the calibration readout (is a 0.7 really a
+    70%?). One hash agg; every certificate column but two ratios is an
+    exact BIGINT (mean score from the exact sum of 4 dp scores scaled
+    ×10⁴ to integers)."""
+    s = _scored_labeled(spark, sf_dir)
+    binned = s.select(
+        F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias("bin"),
+        # floor(x+0.5): double->int CAST truncates in Spark, rounds in
+        # DuckDB — snap portably
+        F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("bigint").alias("score_e4"),
+        "truth",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("truth")).alias("n_pos"),
+            F.sum("score_e4").alias("sum_score_e4"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "sum_score_e4",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n").cast("double"), 4
+            ).alias("observed_rate"),
+            F.round(
+                F.col("sum_score_e4").cast("double")
+                / (F.col("n").cast("double") * F.lit(10000.0)),
+                4,
+            ).alias("mean_score"),
+        )
+    )
+
+
+register(
+    "q_calibration",
+    q_calibration,
+    f"""
+    WITH w AS (SELECT {list(CLASSIFIER_W)}::DOUBLE[] AS w),
+    {_SCORED_SQL},
+    binned AS (
+        SELECT least(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
+               CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_e4,
+               truth
+        FROM scored
+    )
+    SELECT bin, count(*) AS n,
+           CAST(count(*) FILTER (WHERE truth) AS BIGINT) AS n_pos,
+           CAST(sum(score_e4) AS BIGINT) AS sum_score_e4,
+           round(CAST(count(*) FILTER (WHERE truth) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 4) AS observed_rate,
+           round(CAST(sum(score_e4) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 10000.0), 4) AS mean_score
+    FROM binned GROUP BY bin
+    """,
+)
+
+
+def q_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains deciles (the lift-curve table): rank by
+    classifier score descending, ntile into 10, per decile the exact
+    positive counts and the cumulative share of all positives captured
+    — 'the top 20% of scores catch X% of the positives', the
+    campaign-targeting readout. Ranking window over the eval-set-sized
+    score frame; exact integers everywhere but the share."""
+    from pyspark.sql import Window as W
+
+    s = _scored_labeled(spark, sf_dir)
+    w = W.orderBy(F.desc("score"), "vec_id")
+    dec = s.select(
+        F.ntile(10).over(w).alias("decile"),
+        F.col("truth").cast("int").alias("pos"),
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("n_pos")
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.partitionBy()
+    return agg.select(
+        "decile",
+        "n",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_pos").over(wc).cast("bigint").alias("cum_pos"),
+        F.round(
+            F.sum("n_pos").over(wc).cast("double")
+            / F.sum("n_pos").over(wt).cast("double"),
+            4,
+        ).alias("cum_capture"),
+    )
+
+
+register(
+    "q_gains",
+    q_gains,
+    f"""
+    WITH w AS (SELECT {list(CLASSIFIER_W)}::DOUBLE[] AS w),
+    {_SCORED_SQL},
+    dec AS (
+        SELECT ntile(10) OVER (ORDER BY score DESC, vec_id) AS decile,
+               CASE WHEN truth THEN 1 ELSE 0 END AS pos
+        FROM scored
+    ),
+    agg AS (
+        SELECT decile, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+        FROM dec GROUP BY decile
+    )
+    SELECT CAST(decile AS INTEGER) AS decile, n, n_pos,
+           CAST(sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_pos,
+           round(CAST(sum(n_pos) OVER (ORDER BY decile
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(sum(n_pos) OVER () AS DOUBLE), 4) AS cum_capture
+    FROM agg
+    """,
+)
