@@ -1748,3 +1748,48 @@ register(
     FROM per
     """,
 )
+
+
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-freshness audit — the engine-side form of the
+    reference's last_updated stamps (neptune_etl_aws.py:223: every
+    writer stamps its rows so staleness is queryable): per event type,
+    the last-seen instant, exact staleness in whole minutes behind the
+    corpus watermark (floor-divided epoch millis — portable), event
+    count, and a stale flag at 60 min. One hash agg + a broadcast
+    1-row watermark."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.max("ms").alias("last_ms")
+    )
+    wm = int(ev.agg(F.max("ms")).first()[0])
+    lag_min = F.expr(f"({wm} - last_ms) div 60000")
+    return per.select(
+        "event_type",
+        "n_events",
+        "last_ms",
+        lag_min.alias("staleness_min"),
+        (lag_min >= 60).alias("is_stale"),
+    )
+
+
+register(
+    "q_freshness",
+    q_freshness,
+    """
+    WITH ev AS (
+        SELECT event_type, epoch_ms(ts) AS ms FROM events
+    ),
+    wm AS (SELECT max(ms) AS w FROM ev)
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(max(ms) AS BIGINT) AS last_ms,
+           CAST((any_value(w) - max(ms)) // 60000 AS BIGINT) AS staleness_min,
+           (any_value(w) - max(ms)) // 60000 >= 60 AS is_stale
+    FROM ev CROSS JOIN wm
+    GROUP BY event_type
+    """,
+)
