@@ -659,25 +659,26 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·Σranks over positives is an exact BIGINT and
     AUC = (2·Σranks_pos − 2·binom) / (2·n_pos·n_neg) needs ONE double
     division — no sort-order or float-accumulation caveats, ties
-    (guaranteed by the 4 dp score grid) handled exactly. The ranking
-    window runs over the eval-set-sized score frame."""
-    from pyspark.sql import Window
+    (guaranteed by the 4 dp score grid) handled exactly. Scale shape:
+    reduce to one row per DISTINCT score first (keyed hash agg), then
+    the min-rank comes from the DISTRIBUTED two-phase prefix sum
+    (operators/rank.py) over the distinct-score frame — no
+    single-partition rank window over the eval set. With cum the
+    inclusive running row count at score s and c its tie count,
+    2·avg_rank = 2·(cum − c + 1) + c − 1 = 2·cum − c + 1 exactly."""
+    from etl_neptune_spark.operators.rank import prefix_sums
 
     s = _scored_labeled(spark, sf_dir)
-    w = Window.orderBy("score")
-    wg = Window.partitionBy("score")
-    ranked = s.select(
-        "truth",
-        (F.lit(2) * F.rank().over(w) + F.count("*").over(wg) - F.lit(1)).alias(
-            "r2"
-        ),
+    per = s.groupBy("score").agg(
+        F.count("*").alias("c"),
+        F.count_if(F.col("truth")).alias("pos_c"),
     )
-    agg = ranked.agg(
-        F.count_if(F.col("truth")).alias("n_pos"),
-        F.count_if(~F.col("truth")).alias("n_neg"),
-        F.sum(F.when(F.col("truth"), F.col("r2")).otherwise(0)).alias(
-            "ranksum2_pos"
-        ),
+    cs = prefix_sums(per, [F.asc("score")], sums={"cum": F.col("c")})
+    r2 = F.lit(2) * F.col("cum") - F.col("c") + F.lit(1)
+    agg = cs.agg(
+        F.sum("pos_c").alias("n_pos"),
+        F.sum(F.col("c") - F.col("pos_c")).alias("n_neg"),
+        F.sum(F.col("pos_c") * r2).alias("ranksum2_pos"),
     )
     num = F.col("ranksum2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
     den = F.lit(2) * F.col("n_pos") * F.col("n_neg")
@@ -788,14 +789,25 @@ def q_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier score descending, ntile into 10, per decile the exact
     positive counts and the cumulative share of all positives captured
     — 'the top 20% of scores catch X% of the positives', the
-    campaign-targeting readout. Ranking window over the eval-set-sized
-    score frame; exact integers everywhere but the share."""
+    campaign-targeting readout. Decile assignment via the DISTRIBUTED
+    two-phase rank (operators/rank.py) + closed-form NTILE from (i, n)
+    — no single-partition ntile window over the eval set; exact
+    integers everywhere but the share."""
     from pyspark.sql import Window as W
 
+    from etl_neptune_spark.operators.rank import ntile_from_rank, prefix_sums
+
     s = _scored_labeled(spark, sf_dir)
-    w = W.orderBy(F.desc("score"), "vec_id")
-    dec = s.select(
-        F.ntile(10).over(w).alias("decile"),
+    ranked = prefix_sums(
+        s,
+        [F.desc("score"), F.asc("vec_id")],
+        row_number="_i",
+        totals={"_n": "_i"},
+    )
+    dec = ranked.select(
+        ntile_from_rank(F.col("_i"), F.col("_n"), 10)
+        .cast("int")
+        .alias("decile"),
         F.col("truth").cast("int").alias("pos"),
     )
     agg = dec.groupBy("decile").agg(

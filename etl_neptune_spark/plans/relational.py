@@ -2570,19 +2570,21 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user spend — the concentration metric
     for usage/revenue skew (how unevenly load or value distributes
     over the population), computed EXACTLY in integers: per-user cents
-    (fact-table hash agg) ranks on a user-level frame that is
-    dimension-sized (one row per user — the documented single-partition
-    exception class, cf. q_mixture), and G = (2·Σ i·xᵢ)/(n·Σx) −
-    (n+1)/n uses exact BIGINT sums with ONE double division at the
-    end."""
-    from pyspark.sql import Window
+    (fact-table hash agg), then the global rank i via the DISTRIBUTED
+    two-phase prefix rank (operators/rank.py — range-partitioned local
+    row number + a per-partition offset table broadcast back), so the
+    user frame never serializes through one task at 10⁹ users; G =
+    (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n uses exact BIGINT sums with ONE double
+    division at the end."""
+    from etl_neptune_spark.operators.rank import prefix_sums
 
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
     )
-    w = Window.orderBy("cents", "user_id")
-    ranked = per.withColumn("i", F.row_number().over(w))
+    ranked = prefix_sums(
+        per, [F.asc("cents"), F.asc("user_id")], row_number="i"
+    )
     return ranked.agg(
         F.count("*").alias("n_users"),
         F.sum("cents").alias("total_cents"),
@@ -2985,15 +2987,28 @@ def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout behind q_gini (which decile of users carries which share
     of revenue): users ranked by exact integer spend, bucketed into
     10 ntiles, per-decile exact sums and the cumulative share. The
-    rank/ntile window runs over the per-user rollup (one row per
-    user — dimension-sized), never the event table."""
+    decile assignment is the distributed two-phase rank
+    (operators/rank.py) + the closed-form NTILE bucket from (i, n) —
+    no global ntile window, so the per-user frame scales out; only the
+    10-row decile aggregate takes an ordered window."""
+    from etl_neptune_spark.operators.rank import ntile_from_rank, prefix_sums
+
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
     )
-    w = Window.orderBy("cents", "user_id")
-    dec = per.select(
-        "user_id", "cents", F.ntile(10).over(w).alias("decile")
+    ranked = prefix_sums(
+        per,
+        [F.asc("cents"), F.asc("user_id")],
+        row_number="_i",
+        totals={"_n": "_i"},
+    )
+    dec = ranked.select(
+        "user_id",
+        "cents",
+        ntile_from_rank(F.col("_i"), F.col("_n"), 10)
+        .cast("int")
+        .alias("decile"),
     )
     agg = dec.groupBy("decile").agg(
         F.count("*").alias("n_users"), F.sum("cents").alias("decile_cents")
@@ -3248,11 +3263,13 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     view value distributions — EXACT: the ECDF difference is evaluated
     at every distinct value as the INTEGER |cum_a·n_b − cum_b·n_a|
     (cross-multiplied, no fractions), its max is an exact BIGINT, and
-    D = max / (n_a·n_b) is one final division. One ordered cumulative
-    window over the distinct-value frame; ties handled exactly
-    (cumulative counts are per distinct value, both samples advanced
-    together)."""
-    from pyspark.sql import Window
+    D = max / (n_a·n_b) is one final division. The ECDF cumulative
+    counts run through the DISTRIBUTED two-phase prefix sum
+    (operators/rank.py) over the distinct-value frame — exact BIGINTs,
+    no single-partition window even when the value grid grows with the
+    data; ties handled exactly (cumulative counts are per distinct
+    value, both samples advanced together)."""
+    from etl_neptune_spark.operators.rank import prefix_sums
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
@@ -3265,17 +3282,18 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("event_type") == "view").alias("b"),
         )
     )
-    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wt = Window.partitionBy()
-    diffs = per.select(
-        (
-            F.abs(
-                F.sum("a").over(w) * F.sum("b").over(wt)
-                - F.sum("b").over(w) * F.sum("a").over(wt)
-            )
+    cs = prefix_sums(
+        per,
+        [F.asc("c")],
+        sums={"cum_a": F.col("a"), "cum_b": F.col("b")},
+        totals={"n_a": "cum_a", "n_b": "cum_b"},
+    )
+    diffs = cs.select(
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
         ).alias("d_num"),
-        F.sum("a").over(wt).alias("n_a"),
-        F.sum("b").over(wt).alias("n_b"),
+        "n_a",
+        "n_b",
     )
     return diffs.agg(
         F.max("d_num").alias("d_num"),

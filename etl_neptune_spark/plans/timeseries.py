@@ -945,9 +945,13 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per user, recency (days since last purchase
     vs corpus max ts), frequency (purchase count), monetary (exact
     decimal spend), each ntile'd into quartiles — the classic
-    customer-scoring rollup. One keyed agg + three global ntile
-    windows over the USER table (not the event table: the window input
-    is one row per user, corpus-bounded)."""
+    customer-scoring rollup. One keyed agg + three DISTRIBUTED
+    two-phase ranks (operators/rank.py: range-partitioned local row
+    number + broadcast offset table) with the closed-form NTILE bucket
+    from (i, n) — no global ntile window, so the user frame scales out
+    to 10⁹ users instead of serializing through one task."""
+    from etl_neptune_spark.operators.rank import ntile_from_rank, prefix_sums
+
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase")
     per_user = purchases.groupBy("user_id").agg(
@@ -963,19 +967,39 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         F.col("monetary_dec").cast("double").alias("monetary"),
     )
-    return base.select(
+    b1 = prefix_sums(
+        base,
+        [F.asc("recency_days"), F.asc("user_id")],
+        row_number="_ri",
+        totals={"_n": "_ri"},
+    )
+    b1 = b1.withColumn(
+        "r_score",
+        ntile_from_rank(F.col("_ri"), F.col("_n"), RFM_BUCKETS).cast("int"),
+    )
+    b2 = prefix_sums(
+        b1.select(*base.columns, "_n", "r_score"),
+        [F.desc("frequency"), F.asc("user_id")],
+        row_number="_fi",
+    )
+    b2 = b2.withColumn(
+        "f_score",
+        ntile_from_rank(F.col("_fi"), F.col("_n"), RFM_BUCKETS).cast("int"),
+    )
+    b3 = prefix_sums(
+        b2.select(*base.columns, "_n", "r_score", "f_score"),
+        [F.desc("monetary"), F.asc("user_id")],
+        row_number="_mi",
+    )
+    return b3.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(RFM_BUCKETS)
-        .over(Window.orderBy(F.asc("recency_days"), F.asc("user_id")))
-        .alias("r_score"),
-        F.ntile(RFM_BUCKETS)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
-        .alias("f_score"),
-        F.ntile(RFM_BUCKETS)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        "r_score",
+        "f_score",
+        ntile_from_rank(F.col("_mi"), F.col("_n"), RFM_BUCKETS)
+        .cast("int")
         .alias("m_score"),
     )
 
