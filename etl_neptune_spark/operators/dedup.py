@@ -453,9 +453,11 @@ def _ngram_overlap_pairs(
         # The candidate-pair frame is bounded by true near-dup density —
         # tiny next to the postings. Materialize it so the big cached
         # intermediates can be dropped NOW instead of leaking blocks
-        # into a long-lived session (the jaccard_prefix_pairs posture).
-        full = full.persist(StorageLevel.MEMORY_AND_DISK)
-        full.count()
+        # into a long-lived session. localCheckpoint, not persist: a
+        # returned persisted frame pins CacheManager blocks forever,
+        # while checkpoint blocks are context-cleaned once the caller
+        # drops the DataFrame (repeat invocations don't accumulate).
+        full = full.localCheckpoint(eager=True)
         return full
     finally:
         sh.unpersist()
@@ -965,10 +967,10 @@ def jaccard_prefix_pairs(
         # The verified pair list is tiny (bounded by true near-dup
         # density); materialize it so the big intermediates can be
         # dropped NOW instead of leaking cached blocks into a
-        # long-lived session (repeat invocations would otherwise
-        # accumulate until eviction pressure).
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
-        out.count()
+        # long-lived session. localCheckpoint, not persist: checkpoint
+        # blocks are context-cleaned once the caller drops the frame,
+        # so repeat invocations don't accumulate cached blocks.
+        out = out.localCheckpoint(eager=True)
         return out
     finally:
         sh.unpersist()

@@ -640,9 +640,11 @@ def ivf_topk(
     )
 
     if cell_cap is not None and len(sample_pdf):
-        from pyspark import StorageLevel
-
-        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        # localCheckpoint (compute-once), not persist: a persisted
+        # frame owned by nobody leaks CacheManager blocks across
+        # repeated invocations in a long-lived session; checkpoint
+        # blocks are context-cleaned once the result is dropped.
+        assigned = assigned.localCheckpoint(eager=False)
         corpus, queries = cap_ivf_cells(
             corpus, queries, cell_cap, dim=len(sample_pdf[vec_col].iloc[0]),
             seed=seed,

@@ -1293,8 +1293,12 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    # shared neighbor w always has deg ≥ 2, so ln(d) > 0
-    wdeg = deg.select(
+    # A shared neighbor w always has deg ≥ 2 (it touches both pa and
+    # pb), so restrict BEFORE the weight: a degree-1 vertex would give
+    # ln(1)=0 → Infinity, which CAST(... AS BIGINT) rejects under ANSI
+    # mode / in the DuckDB oracle. Semantics unchanged — d=1 vertices
+    # can never appear as wedge centers.
+    wdeg = deg.filter(F.col("d") >= 2).select(
         F.col("x").alias("w"),
         F.floor(F.lit(1_000_000.0) / F.log(F.col("d").cast("double")))
         .cast("bigint")
@@ -1324,7 +1328,7 @@ register(
     wdeg AS (
         SELECT x AS w,
                CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS wt
-        FROM deg
+        FROM deg WHERE d >= 2
     )
     SELECT w1.a AS pa, w2.a AS pb,
            CAST(sum(wdeg.wt) AS BIGINT) AS aa_score_e6,

@@ -1723,8 +1723,16 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_join_theta posture). Double hashing h1 + i·h2 over the xxhash64
     # key; bit array broadcast to executors.
     m_bits, n_hash = 1 << 17, 7
+    # xxhash64 yields SIGNED 64-bit Python ints; mask to the unsigned
+    # range explicitly — negative-int → uint64 conversion is deprecated
+    # in numpy 1.26 and raises OverflowError on numpy >= 2.
     keys = np.array(
-        [r["k"] for r in batch.select(F.xxhash64("content_hash").alias("k")).collect()],
+        [
+            r["k"] & 0xFFFFFFFFFFFFFFFF
+            for r in batch.select(
+                F.xxhash64("content_hash").alias("k")
+            ).collect()
+        ],
         dtype=np.uint64,
     )
     bits = np.zeros(m_bits, dtype=bool)

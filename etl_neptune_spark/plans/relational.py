@@ -2795,7 +2795,11 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("lo"),
         F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("hi"),
     ).first()
-    mid_us = (int(b["lo"]) + int(b["hi"])) // 2
+    # empty events → NULL bounds; default the midpoint to 0 so the
+    # (empty) per-user rollup flows through instead of a TypeError
+    mid_us = (
+        (int(b["lo"]) + int(b["hi"])) // 2 if b["lo"] is not None else 0
+    )
     cents = F.round(F.col("value") * 100).cast("bigint")
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     per_user = (

@@ -1789,7 +1789,11 @@ def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"), F.max("ms").alias("last_ms")
     )
-    wm = int(ev.agg(F.max("ms")).first()[0])
+    # guard the driver action: max() over an empty events table is
+    # NULL — default the watermark to 0 so empty input degrades to
+    # empty output instead of a TypeError
+    wm_row = ev.agg(F.max("ms")).first()[0]
+    wm = int(wm_row) if wm_row is not None else 0
     lag_min = F.expr(f"({wm} - last_ms) div 60000")
     return per.select(
         "event_type",
