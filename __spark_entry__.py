@@ -30,6 +30,7 @@ _PLAN_MODULES = [
     "etl_neptune_spark.plans.tpch",
     "etl_neptune_spark.plans.linkage",
     "etl_neptune_spark.plans.curation",
+    "etl_neptune_spark.plans.formats_q",
 ]
 
 

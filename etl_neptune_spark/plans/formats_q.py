@@ -1,0 +1,201 @@
+"""Certified queries over the non-parquet wire formats (SURVEY §2.1
+SRC2–SRC5, §2.2 P2) — the parse → explode → project paths that were
+previously unit-test-only, now driver-gated against committed
+deterministic fixtures under ``fixtures/``.
+
+Reference shapes:
+- SRC2 TSV rows from ClickHouse HTTP (``ch_query``,
+  lambda/etl_deepflow/neptune_etl_deepflow.py:116-125).
+- SRC3/SRC4 JSON rows + nested K8s payloads with containers[] arrays
+  (``ch_query_json`` :127-136; pod walk :288-374).
+- SRC5 CloudFormation ``GetTemplate`` JSON keyed by logical id
+  (lambda/etl_cfn/neptune_etl_cfn.py:169-183).
+
+The fixture paths are repo-absolute (committed test data, not runtime
+inputs); the DuckDB oracles read the SAME files via read_csv /
+read_json, so the gate certifies the parse itself, not just the
+downstream relational work. Float-bearing columns are snapped to
+integer tenths before aggregation so both engines sum exact BIGINTs
+(the strict-hash posture — summation order must not matter).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_neptune_spark.plans.registry import register
+from etl_neptune_spark.sources.formats import explode_nested, read_json, read_tsv
+
+FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+)
+
+_FLOWS_SCHEMA = (
+    "src bigint, dst bigint, protocol string, calls bigint, "
+    "errors bigint, dur_ms double"
+)
+
+_PODS_SCHEMA = (
+    "metadata struct<name:string, namespace:string>, "
+    "status struct<phase:string, hostIP:string>, "
+    "spec struct<nodeName:string, "
+    "containers:array<struct<name:string, image:string, restartCount:bigint>>>"
+)
+
+_TEMPLATE_SCHEMA = (
+    "map<string, struct<Type:string, "
+    "Properties:struct<Tag:string, Index:bigint>>>"
+)
+
+
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC2: schema-full TSV scan (the ClickHouse-HTTP row shape) →
+    filter → keyed aggregate. Duration milliseconds are snapped to
+    exact integer tenths BEFORE summing so the aggregate is an exact
+    BIGINT on both engines; one final division renders the weighted
+    mean."""
+    flows = read_tsv(spark, os.path.join(FIXTURES, "flows.tsv"), _FLOWS_SCHEMA)
+    dur_e1 = F.round(F.col("dur_ms") * 10).cast("bigint")
+    return (
+        flows.filter(F.col("calls") >= 10)
+        .groupBy("protocol")
+        .agg(
+            F.count("*").alias("n_flows"),
+            F.sum("calls").alias("total_calls"),
+            F.sum("errors").alias("total_errors"),
+            F.sum(dur_e1).alias("dur_e1"),
+        )
+        .select(
+            "protocol",
+            "n_flows",
+            "total_calls",
+            "total_errors",
+            F.round(
+                F.col("dur_e1").cast("double")
+                / 10.0
+                / F.col("n_flows").cast("double"),
+                4,
+            ).alias("avg_dur_ms"),
+        )
+    )
+
+
+register(
+    "q_csv_scan",
+    q_csv_scan,
+    f"""
+    SELECT protocol,
+           count(*) AS n_flows,
+           CAST(sum(calls) AS BIGINT) AS total_calls,
+           CAST(sum(errors) AS BIGINT) AS total_errors,
+           round(CAST(sum(CAST(round(dur_ms * 10) AS BIGINT)) AS DOUBLE)
+                 / 10.0 / CAST(count(*) AS DOUBLE), 4) AS avg_dur_ms
+    FROM read_csv('{FIXTURES}/flows.tsv', delim='\t', header=false,
+      columns={{'src':'BIGINT','dst':'BIGINT','protocol':'VARCHAR',
+               'calls':'BIGINT','errors':'BIGINT','dur_ms':'DOUBLE'}})
+    WHERE calls >= 10
+    GROUP BY protocol
+    """,
+)
+
+
+def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC3/SRC4 + P2: JSON-lines scan with an explicit nested schema
+    (typed nulls, no inference pass) → containers[] explode → dotted-
+    path projection — the K8s pod walk as one declarative plan."""
+    pods = read_json(spark, os.path.join(FIXTURES, "pods.jsonl"), _PODS_SCHEMA)
+    base = pods.select(
+        F.col("metadata.name").alias("pod_name"),
+        F.col("metadata.namespace").alias("namespace"),
+        F.col("spec.nodeName").alias("node"),
+        F.col("status.phase").alias("phase"),
+        F.col("spec.containers").alias("containers"),
+    )
+    out = explode_nested(
+        base,
+        "containers",
+        ["name", "image", "restartCount"],
+        keep=["pod_name", "namespace", "node", "phase"],
+    )
+    return out.select(
+        "pod_name",
+        "namespace",
+        "node",
+        "phase",
+        F.col("name").alias("container"),
+        "image",
+        F.col("restartCount").alias("restarts"),
+    )
+
+
+register(
+    "q_json_scan",
+    q_json_scan,
+    f"""
+    SELECT pod_name, namespace, node, phase,
+           c.name AS container, c.image AS image,
+           CAST(c.restartCount AS BIGINT) AS restarts
+    FROM (
+      SELECT metadata.name AS pod_name, metadata.namespace AS namespace,
+             spec.nodeName AS node, status.phase AS phase,
+             unnest(spec.containers) AS c
+      FROM read_json('{FIXTURES}/pods.jsonl', format='newline_delimited',
+        columns={{'metadata':'STRUCT(name VARCHAR, namespace VARCHAR)',
+                 'status':'STRUCT(phase VARCHAR, hostIP VARCHAR)',
+                 'spec':'STRUCT(nodeName VARCHAR, containers
+                     STRUCT(name VARCHAR, image VARCHAR,
+                            restartCount BIGINT)[])'}})
+    )
+    """,
+)
+
+
+def q_template_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC5: CloudFormation-template parse — whole-document text scan
+    → ``from_json`` with a MAP<logical_id, resource> schema (the
+    Resources object is keyed by arbitrary logical ids, so a struct
+    schema can't hold it) → map explode → typed projection. This is
+    the scale path for N templates (one row per stack, JVM-side
+    parse); the single-document JSON-then-YAML fallback seam is
+    ``sources.formats.parse_template_text``
+    (neptune_etl_cfn.py:175-179), unit-covered."""
+    raw = spark.read.text(
+        os.path.join(FIXTURES, "template.json"), wholetext=True
+    )
+    parsed = raw.select(
+        F.from_json(
+            F.get_json_object("value", "$.Resources"), _TEMPLATE_SCHEMA
+        ).alias("resources")
+    )
+    return (
+        parsed.select(F.explode("resources").alias("logical_id", "res"))
+        .select(
+            "logical_id",
+            F.col("res.Type").alias("resource_type"),
+            F.col("res.Properties.Tag").alias("tag"),
+            F.col("res.Properties.Index").alias("idx"),
+        )
+    )
+
+
+register(
+    "q_template_scan",
+    q_template_scan,
+    f"""
+    SELECT e.key AS logical_id,
+           e.value."Type" AS resource_type,
+           e.value."Properties"."Tag" AS tag,
+           CAST(e.value."Properties"."Index" AS BIGINT) AS idx
+    FROM (
+      SELECT unnest(map_entries(Resources)) AS e
+      FROM read_json('{FIXTURES}/template.json', format='unstructured',
+        columns={{'AWSTemplateFormatVersion':'VARCHAR',
+                 'Resources':'MAP(VARCHAR, STRUCT("Type" VARCHAR,
+                     "Properties" STRUCT("Tag" VARCHAR, "Index" BIGINT)))'}})
+    )
+    """,
+)
