@@ -182,6 +182,60 @@ def q_template_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB read-path claim (SURVEY §4) certified rather than
+    asserted: write events to a date-partitioned parquet layout
+    (hive-style ``day=`` directories — the layout a 5-min-cadence
+    pipeline lands its batches in), then answer a 3-day lookback from
+    the PRUNED read — the scan carries ``PartitionFilters`` and
+    touches 3 of ~30 day directories (pinned by test_sinks +
+    PLAN_AUDIT). The oracle recomputes the same 3-day aggregate from
+    the unpartitioned snapshot, so the gate certifies that pruning
+    loses nothing. Reference: the 5-min EventBridge batch cadence
+    (lib/neptune-etl-stack.ts:148-153) is what makes time the primary
+    partition axis."""
+    from etl_neptune_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = os.path.join(
+        os.path.dirname(FIXTURES), "spark-warehouse", f"events_by_day_{sf_tag}"
+    )
+    (
+        ev.withColumn("day", F.to_date("ts"))
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    pruned = back.filter(
+        (F.col("day") >= F.lit("2024-01-05").cast("date"))
+        & (F.col("day") <= F.lit("2024-01-07").cast("date"))
+    )
+    return pruned.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+register(
+    "q_partition_prune",
+    q_partition_prune,
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN '2024-01-05' AND '2024-01-07'
+    GROUP BY 1
+    """,
+)
+
+
 register(
     "q_template_scan",
     q_template_scan,

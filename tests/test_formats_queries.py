@@ -48,6 +48,19 @@ def test_template_scan_resources(spark, sf_dir):
     assert sorted(r["idx"] for r in out) == list(range(25))
 
 
+def test_partition_prune_query_prunes(spark, sf_dir):
+    """q_partition_prune's read-back scan must carry non-empty
+    PartitionFilters on `day` — the 100 TB read-path certificate."""
+    out = formats_q.q_partition_prune(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in seg and seg.strip()
+    rows = {r["day"]: r for r in out.collect()}
+    assert set(rows) == {"2024-01-05", "2024-01-06", "2024-01-07"}
+    assert all(r["n_events"] > 0 for r in rows.values())
+
+
 def test_prefix_sums_matches_global_window(spark):
     """Distributed two-phase row number == single-partition row_number
     on a frame with duplicate order keys + unique tiebreaker."""

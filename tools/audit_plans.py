@@ -78,6 +78,12 @@ def main() -> int:
         ]
         if any(p.strip() for p in pushed):
             note_bits.append("pushdown")
+        part = [
+            seg.split("]", 1)[0]
+            for seg in plan.split("PartitionFilters: [")[1:]
+        ]
+        if any(p.strip() for p in part):
+            note_bits.append("partition-pruned")
         if "WholeStageCodegen" in plan or "*(" in plan:
             note_bits.append("codegen")
         rows.append((name, " ".join(note_bits) or "clean"))
