@@ -819,3 +819,63 @@ def test_paginated_stream_source_equals_batch(spark, tmp_path):
     a = sorted(tuple(r) for r in batch.collect())
     b = sorted(tuple(r) for r in got.collect())
     assert a == b
+
+
+def test_stream_e2e_runs_multiple_microbatches(spark, sf_dir):
+    """q_stream_e2e executes a REAL availableNow writeStream: several
+    micro-batches commit store versions, and the final state equals the
+    one-shot batch recomputation (batch-split invariance — every
+    (window, key) group lives in exactly one day-whole file)."""
+    import os
+
+    from etl_neptune_spark.plans.streaming import (
+        ERROR_THRESHOLD,
+        STREAM_E2E_WINDOW_MIN,
+        q_stream_e2e,
+    )
+    from etl_neptune_spark.sources import load_table
+    from etl_neptune_spark.streaming.pipeline import flow_projection
+
+    out = q_stream_e2e(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    edges_dir = os.path.join(
+        repo, "spark-warehouse", f"stream_e2e_{tag}", "store", "edges"
+    )
+    versions = [d for d in os.listdir(edges_dir) if d.startswith("v=")]
+    latest = int(open(os.path.join(edges_dir, "_LATEST")).read().strip())
+    # 8 staged files / maxFilesPerTrigger=3 -> 3 micro-batches (ids 0-2);
+    # the store prunes to keep_versions=2, so the LATEST pointer is the
+    # witness that multiple batches committed.
+    assert latest >= 1, f"expected multiple micro-batches, got v={latest}"
+    assert versions, "no committed store versions"
+
+    batch = (
+        flow_projection(load_table(spark, sf_dir, "events"))
+        .groupBy(
+            F.window("ts", f"{STREAM_E2E_WINDOW_MIN} minutes").alias("w"),
+            "src",
+            "dst",
+            "protocol",
+        )
+        .agg(
+            F.count("*").alias("calls"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+            F.count_if(F.col("value") >= ERROR_THRESHOLD).alias("errors"),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("win_start"),
+            "src",
+            "dst",
+            "protocol",
+            "calls",
+            "value_cents",
+            "errors",
+        )
+    )
+    got = out.select("win_start", "src", "dst", "protocol", "calls",
+                     "value_cents", "errors")
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
