@@ -35,6 +35,7 @@ except ImportError:  # this container: PNG-only via the stdlib codec
     _PILImage = None
     _HAVE_PIL = False
 
+from ..functions import jpegcodec as _jpeg
 from ..functions import pngcodec as _png
 
 IMAGE_META_SCHEMA = (
@@ -92,6 +93,20 @@ def _decode_payload(payload: bytes) -> dict:
                 "format": "png",
             }
         except _png.PngError:
+            pass
+    if _jpeg.is_jpeg(payload):
+        # real JPEG path (functions.jpegcodec): SOF header read — no
+        # full decode needed for metadata
+        try:
+            w, h, c = _jpeg.dims(payload)
+            return {
+                "n_bytes": len(payload),
+                "width": w,
+                "height": h,
+                "channels": c,
+                "format": "jpeg",
+            }
+        except _jpeg.JpegError:
             pass
     return _fake_decode(payload)
 
@@ -242,6 +257,83 @@ def fabricate_png(
 
     return df.select(id_col, size_col).mapInPandas(
         batches, "doc_id bigint, payload binary"
+    )
+
+
+def fabricate_jpeg(
+    df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """(id, payload) with payload a REAL baseline JFIF byte stream —
+    the JPEG analogue of ``fabricate_png``. The image is a grid of
+    CONSTANT 8×8 grayscale tiles, ``(size % 3 + 2) × (size % 2 + 2)``
+    tiles, tile t's value ``2·((id·7 + t·13) % 128)`` — even values, so
+    every block is DC-only with a quantizer-divisible DC and the lossy
+    codec round-trips it EXACTLY (functions.jpegcodec module note).
+    That makes the decoded pixels SQL-predictable (q_jpeg_pipeline)
+    while the wire bytes are genuine Huffman-coded DCT data."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            pays = []
+            for i, n in zip(pdf[id_col].values, pdf[size_col].values):
+                tw, th = int(n) % 3 + 2, int(n) % 2 + 2
+                t = np.arange(tw * th, dtype=np.int64).reshape(th, tw)
+                tiles = ((int(i) * 7 + t * 13) % 128 * 2).astype(np.uint8)
+                img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+                pays.append(_jpeg.encode(img, quality=50))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": pays})
+
+    return df.select(id_col, size_col).mapInPandas(
+        batches, "doc_id bigint, payload binary"
+    )
+
+
+def decode_jpeg_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """REAL-decode certificate for JPEG: payload → dims, channels,
+    format, and the exact pixel checksum (Σ decoded bytes mod 10007).
+    Non-JPEG payloads raise by design — this certifies the codec."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col].values, pdf[bin_col].values):
+                img = _jpeg.decode(bytes(b))
+                h, w = img.shape[:2]
+                c = int(img.shape[2]) if img.ndim == 3 else 1
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "format": "jpeg",
+                        "pixel_checksum": int(
+                            np.sum(img, dtype=np.int64) % 10007
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "format",
+                    "pixel_checksum",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches,
+        "doc_id bigint, width int, height int, channels int, "
+        "format string, pixel_checksum bigint",
     )
 
 
@@ -425,6 +517,13 @@ def perceptual_hash(
                         out.append(_png.ahash64(_png.decode(raw)))
                         continue
                     except _png.PngError:
+                        pass
+                if _jpeg.is_jpeg(raw):
+                    # REAL JPEG pixel path via the stdlib baseline codec
+                    try:
+                        out.append(_png.ahash64(_jpeg.decode(raw)))
+                        continue
+                    except _jpeg.JpegError:
                         pass
                 step = max(1, len(raw) // 64)
                 sel = raw[::step][:64]

@@ -1,0 +1,107 @@
+"""Pure-stdlib baseline JPEG codec tests (functions.jpegcodec): exact
+round-trip on the DC-only tile profile, deterministic lossy behavior on
+arbitrary images, header metadata, error paths, and the multimodal
+operators riding real JPEG bytes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_neptune_spark.functions import jpegcodec as J
+
+
+def test_constant_tiles_roundtrip_exactly():
+    rng = np.random.default_rng(3)
+    tiles = (rng.integers(0, 128, size=(4, 5)) * 2).astype(np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    dec = J.decode(J.encode(img, quality=50))
+    assert np.array_equal(dec, img)
+
+
+def test_lossy_grayscale_close_and_deterministic():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(48, 40)).astype(np.uint8)
+    e1 = J.encode(img, quality=90)
+    e2 = J.encode(img, quality=90)
+    assert e1 == e2
+    dec = J.decode(e1)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 40 and err.mean() < 8
+
+
+def test_rgb_roundtrip_shape_and_quality():
+    rng = np.random.default_rng(5)
+    # smooth gradient image: JPEG should reproduce closely
+    x = np.linspace(0, 255, 32)
+    img = np.stack(
+        [
+            np.tile(x, (24, 1)),
+            np.tile(x[::-1], (24, 1)),
+            np.full((24, 32), 100.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    dec = J.decode(J.encode(img, quality=90))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 6
+
+
+def test_non_multiple_of_8_dims():
+    rng = np.random.default_rng(9)
+    img = (rng.integers(0, 128, size=(19, 30)) * 2).astype(np.uint8)
+    dec = J.decode(J.encode(img))
+    assert dec.shape == img.shape
+
+
+def test_dims_header_only():
+    img = np.zeros((24, 40), dtype=np.uint8)
+    enc = J.encode(img)
+    assert J.dims(enc) == (40, 24, 1)
+    rgb = np.zeros((8, 16, 3), dtype=np.uint8)
+    assert J.dims(J.encode(rgb)) == (16, 8, 3)
+
+
+def test_error_paths():
+    assert not J.is_jpeg(b"plain text")
+    with pytest.raises(J.JpegError):
+        J.decode(b"plain text bytes")
+    with pytest.raises(J.JpegError):
+        J.dims(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF
+    with pytest.raises(J.JpegError):
+        J.encode(np.zeros((8, 8), dtype=np.int64))  # wrong dtype
+
+
+def test_decode_payload_routes_jpeg(spark):
+    from etl_neptune_spark.operators.multimodal import _decode_payload
+
+    img = np.zeros((16, 24), dtype=np.uint8)
+    meta = _decode_payload(J.encode(img))
+    assert (meta["width"], meta["height"], meta["channels"]) == (24, 16, 1)
+    assert meta["format"] == "jpeg"
+
+
+def test_phash_over_real_jpeg_bytes(spark):
+    """perceptual_hash takes the REAL decoded-pixel path on JPEG
+    payloads: two encodes of the same image hash identically, a
+    different image hashes differently."""
+    from etl_neptune_spark.operators.multimodal import perceptual_hash
+
+    rng = np.random.default_rng(21)
+    img_a = np.kron(
+        (rng.integers(0, 128, size=(4, 4)) * 2).astype(np.uint8),
+        np.ones((8, 8), dtype=np.uint8),
+    )
+    img_b = 255 - img_a
+    rows = [
+        (1, bytearray(J.encode(img_a))),
+        (2, bytearray(J.encode(img_a, quality=75))),
+        (3, bytearray(J.encode(img_b))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r["doc_id"]: r["phash"] for r in perceptual_hash(df).collect()}
+    assert got[1] == got[2]  # same pixels -> same perceptual key
+    assert got[1] != got[3]
+    assert set(got[1]) <= {"0", "1"} and len(got[1]) == 64
