@@ -56,3 +56,77 @@ def test_salted_join_equals_direct(spark, sf_dir):
     assert _rows(salted_l.select("o_orderkey", "c_name")) == _rows(
         direct_l.select("o_orderkey", "c_name")
     )
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """The AQE skew-join split actually ENGAGES on a zipfian key: with
+    broadcast disabled and the skew thresholds sized for test data, the
+    final adaptive plan must mark the sort-merge join's skewed side
+    (skew=true / AQEShuffleRead with skewed partition splits)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        # ~200k rows, 70% on key 0, padded so the hot partition is MBs
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 7, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias(
+                "pad"
+            ),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        joined = left.join(right, "k")
+        # collect() (not count()) so THIS DataFrame's QueryExecution is
+        # the one that runs — AQE finalizes the plan we assert on;
+        # count() would spawn a separate execution and leave this plan
+        # isFinalPlan=false.
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE skew split did not fire:\n{plan[:2000]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_skew_fixture_deterministic(spark, sf_dir, tmp_path):
+    """gen_skew_fixture is a pure function of the source tables: two
+    builds produce identical hot-key histograms, and the hot user
+    really dominates."""
+    from tools.gen_skew_fixture import build
+
+    out = str(tmp_path / "skewfix")
+    build(spark, sf_dir, out)
+    ev = spark.read.parquet(f"{out}/events.parquet")
+    total = ev.count()
+    hot = ev.filter("user_id = 0").count()
+    assert 0.25 < hot / total < 0.45  # ~35% routed to the hot user
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    top = (
+        docs.groupBy("text").count().orderBy("count", ascending=False).first()
+    )
+    assert top["count"] > docs.count() * 0.05  # boilerplate dominates
