@@ -304,3 +304,29 @@ def test_round4_plan_shapes(plans):
     # broadcast join — never a shuffled cross.
     pc = plans("q_cuped")
     assert "CartesianProduct" not in pc
+
+
+def test_round5_no_unbounded_rank_windows(plans):
+    """VERDICT r4 task 1 pin: the six formerly single-partition
+    rank/ntile queries now rank via the distributed two-phase prefix
+    sum — no ntile/row_number/rank window function appears anywhere in
+    their plans (the only remaining global windows are over the
+    one-row-per-partition offset table, which are sum() windows)."""
+    for name in ("q_gini", "q_lorenz", "q_rfm", "q_gains", "q_auc",
+                 "q_ks_test"):
+        p = plans(name)
+        assert "ntile(" not in p, name
+        assert "row_number(" not in p, name
+        assert " rank(" not in p, name
+        # the two-phase shape is present: a range exchange feeds the
+        # partition-local window
+        assert "rangepartitioning" in p.lower(), name
+
+
+def test_round5_format_and_prune_plan_shapes(plans):
+    # fixture scans stay tiny and JVM-side: no Python eval in the
+    # relational part of the format queries
+    for name in ("q_csv_scan", "q_json_scan", "q_template_scan"):
+        p = plans(name)
+        assert "BatchEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
