@@ -2417,7 +2417,15 @@ def q_sql_surface2(spark: SparkSession, sf_dir: str) -> DataFrame:
     running total computed over the grouped result — in ONE shared
     ANSI text executed verbatim by both engines (the dialect
     intersection covers mixed aggregation + windowing, the shape BI
-    tools emit)."""
+    tools emit).
+
+    Scale note: the verbatim text necessarily carries a global rank
+    window (PLAN_AUDIT marks it SinglePartition(RANK)) — that is the
+    point of the query: it demonstrates the DIALECT surface, executed
+    as written. The engine's scale-safe form of this exact readout is
+    the two-phase distributed rank (operators/rank.py, proven on
+    q_gini/q_lorenz/q_rfm/q_gains/q_auc/q_ks_test); a user with a
+    10⁹-user frame writes that, not raw OVER (ORDER BY)."""
     from ..sources import register_views
 
     register_views(spark, sf_dir, "events")

@@ -38,6 +38,14 @@ ALLOW = {
     # driver-cap union-find path materializes a local result: no
     # distributed plan survives to audit, so these markers never appear;
     # entry kept for documentation.
+    #
+    # SinglePartition(RANK) soft-marker note: the ONE query carrying it,
+    # q_sql_surface2, is the verbatim shared-ANSI-text dialect parity
+    # demo — the global rank window IS its subject matter. The engine's
+    # scale-safe form of the same readout is operators/rank.py's
+    # two-phase prefix rank (q_gini and the five other r5 rewrites,
+    # all SinglePartition(agg-only): their only global windows are
+    # sum() over the one-row-per-partition offset table).
 }
 
 
@@ -66,6 +74,35 @@ def main() -> int:
             failures.append(name)
             continue
         flags = [m for m in hard + soft if m in plan]
+        # classify each global window: a rank-class function over an
+        # unbounded frame is the scale smell; sum/count-only global
+        # windows are the sanctioned metadata-scale offset tables
+        # (operators/rank.py, packing.py) or k-row rollups
+        rank_fns = ("ntile(", "row_number(", "dense_rank(", "rank(",
+                    "percent_rank(", "cume_dist(")
+        if "SinglePartition" in plan:
+            lines = plan.splitlines()
+            kinds = set()
+            for i, ln in enumerate(lines):
+                if "Exchange SinglePartition" not in ln:
+                    continue
+                for j in range(max(0, i - 4), i):
+                    if "Window" in lines[j]:
+                        kinds.add(
+                            "rank"
+                            if any(f in lines[j] for f in rank_fns)
+                            else "agg-only"
+                        )
+            if kinds == {"agg-only"}:
+                flags = [
+                    "SinglePartition(agg-only)" if f == "SinglePartition" else f
+                    for f in flags
+                ]
+            elif "rank" in kinds:
+                flags = [
+                    "SinglePartition(RANK)" if f == "SinglePartition" else f
+                    for f in flags
+                ]
         bad = [m for m in flags if m in hard and m not in ALLOW.get(name, set())]
         if bad:
             failures.append(name)
