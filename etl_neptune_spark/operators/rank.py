@@ -77,6 +77,12 @@ def prefix_sums(
     if npartitions is None:
         npartitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    # NOTE on a rejected fast path: deriving the local rank from
+    # monotonically_increasing_id after the range sort (skipping the
+    # pid window) measured SLOWER — the nondeterministic id blocks
+    # exchange-subtree canonicalization, so the offset branch re-runs
+    # the range shuffle instead of reusing it. The window form keeps
+    # ONE range exchange shared by both branches.
     rp = df.repartitionByRange(npartitions, *order_by)
     tmp_of = {name: f"_ps{i}" for i, name in enumerate(sums)}
     for name, expr in sums.items():
