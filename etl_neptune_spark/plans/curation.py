@@ -860,8 +860,9 @@ DECON_N = 8  # benchmark-decontamination n-gram length (GPT-3 used 13;
 DECON_EVAL_MOD = 50  # doc_id % MOD == 0 plays the held-out benchmark
 
 
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (the GPT-3 appendix-C / PaLM posture):
+def q_decontaminate_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONG-n-gram benchmark decontamination (the GPT-3 appendix-C /
+    PaLM posture; complements corpus.py's 3-gram q_decontaminate):
     flag training documents sharing any long n-gram with the held-out
     eval set, BEFORE training — the leakage class q_leakage_split
     cannot see (eval sets are curated, not near-dup clusters).
@@ -912,8 +913,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register(
-    "q_decontaminate",
-    q_decontaminate,
+    "q_decontaminate_long",
+    q_decontaminate_long,
     f"""
     WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
     sh AS (

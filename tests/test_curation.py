@@ -98,9 +98,9 @@ def test_semantic_dedup_matches_pairwise_definition(spark, sf_dir):
 
 
 def test_decontaminate_flags_planted_overlap(spark, sf_dir):
-    from etl_neptune_spark.plans.curation import q_decontaminate
+    from etl_neptune_spark.plans.curation import q_decontaminate_long
 
-    out = q_decontaminate(spark, sf_dir)
+    out = q_decontaminate_long(spark, sf_dir)
     rows = out.collect()
     # eval docs (doc_id % 50 == 0) are never in the output
     assert all(r["doc_id"] % 50 != 0 for r in rows)
