@@ -22,7 +22,18 @@ ORACLE: dict[str, str] = {}
 
 
 def register(name: str, fn: QueryFn, sql: str | None = None) -> None:
-    """Register a certified query and (optionally) its DuckDB oracle."""
+    """Register a certified query and (optionally) its DuckDB oracle.
+
+    Duplicate names are an error: plan modules import in a fixed order,
+    so a name collision would silently SHADOW the earlier query (later
+    module wins) and the registry count would drift from the number of
+    register() calls — exactly how round 5's q_decontaminate briefly
+    vanished. Module re-imports are safe (importlib caches the module,
+    so register runs once per name)."""
+    if name in QUERIES:
+        raise ValueError(
+            f"duplicate query registration: {name!r} — pick a distinct q-id"
+        )
     QUERIES[name] = fn
     if sql is not None:
         ORACLE[name] = sql
