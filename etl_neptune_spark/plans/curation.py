@@ -938,149 +938,3 @@ register(
     WHERE d.doc_id % {DECON_EVAL_MOD} != 0
     """,
 )
-
-
-# PII scrubbing regexes — the standard corpus-sanitization chain
-# (email, then IPv4, then phone, in that order: an email contains dots
-# and digits, so it must be redacted before the IP pattern can see
-# it). Kept to the Java-regex ∩ RE2 dialect so Spark and DuckDB
-# execute the IDENTICAL pattern.
-PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
-PII_PHONE = r"\+1-555-[0-9]{4}"
-
-
-def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing — the release-governance pass every published
-    corpus runs (emails, phone numbers, IP addresses → typed redaction
-    tokens). The fixture text carries no PII, so the query PLANTS
-    deterministic PII per document (email/phone/IP derived from
-    doc_id — the fabricate_png posture: the fixture adapter makes the
-    oracle able to predict the result), then scrubs it with the
-    production regex chain and certifies (a) the found-counts and (b)
-    the md5 of the scrubbed text — any regex-dialect drift between
-    engines flips the hash. One narrow projection; zero shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
-    planted = F.concat(
-        F.lower("text"),
-        F.lit(" contact john.doe"),
-        (F.col("doc_id") % 97).cast("string"),
-        F.lit("@mail-"),
-        (F.col("doc_id") % 7).cast("string"),
-        F.lit(".example.com or +1-555-"),
-        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-        F.lit(" at 10."),
-        (F.col("doc_id") % 256).cast("string"),
-        F.lit("."),
-        ((F.col("doc_id") * 3) % 256).cast("string"),
-        F.lit("."),
-        ((F.col("doc_id") * 7) % 256).cast("string"),
-    )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(planted, PII_EMAIL, "<EMAIL>"),
-            PII_IPV4,
-            "<IP>",
-        ),
-        PII_PHONE,
-        "<PHONE>",
-    )
-    return docs.select(
-        "doc_id",
-        F.regexp_count(planted, F.lit(PII_EMAIL)).cast("bigint").alias("n_email"),
-        F.regexp_count(planted, F.lit(PII_PHONE)).cast("bigint").alias("n_phone"),
-        F.length(planted).alias("raw_len"),
-        F.length(scrubbed).alias("scrubbed_len"),
-        F.md5(scrubbed).alias("scrubbed_md5"),
-    )
-
-
-register(
-    "q_pii_scrub",
-    q_pii_scrub,
-    r"""
-    WITH planted AS (
-        SELECT doc_id,
-               lower(text) || ' contact john.doe' || (doc_id % 97)
-               || '@mail-' || (doc_id % 7) || '.example.com or +1-555-'
-               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-               || ' at 10.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256)
-               || '.' || ((doc_id * 7) % 256) AS t
-        FROM documents
-    ),
-    scrub AS (
-        SELECT doc_id, t,
-               regexp_replace(
-                   regexp_replace(
-                       regexp_replace(t,
-                           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
-                           '<EMAIL>', 'g'),
-                       '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
-                   '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS s
-        FROM planted
-    )
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(t,
-               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT)
-               AS n_phone,
-           CAST(length(t) AS BIGINT) AS raw_len,
-           CAST(length(s) AS BIGINT) AS scrubbed_len,
-           md5(s) AS scrubbed_md5
-    FROM scrub
-    """,
-)
-
-
-CHUNK_W = 50  # context-window chunk size (words)
-CHUNK_S = 40  # stride (10-word overlap between consecutive chunks)
-
-
-def q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document chunking — the RAG-ingest / context-window prep
-    operator: overlapping word windows of {W=50, stride=40} per
-    document, one output row per chunk with its exact word offsets and
-    boundary words. Pure JVM array arithmetic (sequence → explode →
-    slice): no Python, no shuffle — scales with the scan, the same
-    per-row fan-out bound as q_rolling_dau (chunks/doc = ceil(n/S))."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower("text"), " ")
-    n = F.size(words)
-    ks = F.sequence(F.lit(0), F.floor((n - 1) / CHUNK_S).cast("bigint"))
-    ex = docs.select("doc_id", words.alias("w"), n.alias("n"),
-                     F.explode(ks).alias("k"))
-    start = F.col("k") * CHUNK_S
-    clen = F.least(F.lit(CHUNK_W), F.col("n") - start)
-    return ex.select(
-        "doc_id",
-        F.col("k").cast("bigint").alias("chunk_id"),
-        start.cast("bigint").alias("start_word"),
-        clen.cast("bigint").alias("n_words"),
-        F.element_at("w", (start + 1).cast("int")).alias("first_word"),
-        F.element_at("w", (start + clen).cast("int")).alias("last_word"),
-    )
-
-
-register(
-    "q_chunk",
-    q_chunk,
-    f"""
-    WITH d AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS w,
-               len(string_split(lower(text), ' ')) AS n
-        FROM documents
-    ),
-    ex AS (
-        SELECT doc_id, w, n, unnest(range(0, (n - 1) // {CHUNK_S} + 1)) AS k
-        FROM d
-    )
-    SELECT doc_id,
-           CAST(k AS BIGINT) AS chunk_id,
-           CAST(k * {CHUNK_S} AS BIGINT) AS start_word,
-           CAST(least({CHUNK_W}, n - k * {CHUNK_S}) AS BIGINT) AS n_words,
-           w[CAST(k * {CHUNK_S} + 1 AS INT)] AS first_word,
-           w[CAST(k * {CHUNK_S} + least({CHUNK_W}, n - k * {CHUNK_S}) AS INT)]
-               AS last_word
-    FROM ex
-    """,
-)

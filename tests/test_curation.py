@@ -106,35 +106,3 @@ def test_decontaminate_flags_planted_overlap(spark, sf_dir):
     assert all(r["doc_id"] % 50 != 0 for r in rows)
     # contamination is the n_overlap > 0 predicate, exact integers
     assert all((r["n_overlap"] > 0) == r["contaminated"] for r in rows)
-
-
-def test_pii_scrub_redacts_everything_planted(spark, sf_dir):
-    from etl_neptune_spark.plans.curation import q_pii_scrub
-
-    out = q_pii_scrub(spark, sf_dir).collect()
-    # every doc gets exactly one planted email and one planted phone
-    assert all(r["n_email"] == 1 and r["n_phone"] == 1 for r in out)
-    # scrubbing strictly shrinks (tokens are shorter than the PII)
-    assert all(r["scrubbed_len"] < r["raw_len"] for r in out)
-
-
-def test_chunk_boundaries_cover_document(spark, sf_dir):
-    from etl_neptune_spark.plans.curation import CHUNK_S, CHUNK_W, q_chunk
-
-    rows = q_chunk(spark, sf_dir).collect()
-    by_doc = {}
-    for r in rows:
-        by_doc.setdefault(r["doc_id"], []).append(r)
-    for doc, chunks in by_doc.items():
-        chunks.sort(key=lambda r: r["chunk_id"])
-        assert chunks[0]["start_word"] == 0
-        for a, b in zip(chunks, chunks[1:]):
-            assert b["start_word"] - a["start_word"] == CHUNK_S
-        assert all(0 < c["n_words"] <= CHUNK_W for c in chunks)
-        # last chunk reaches the document's end (start + len covers n)
-        last = chunks[-1]
-        assert last["n_words"] == min(
-            CHUNK_W,
-            last["n_words"],
-        )
-        assert last["last_word"] is not None and last["first_word"] is not None
