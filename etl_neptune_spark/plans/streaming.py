@@ -273,3 +273,77 @@ register(
     FROM agg
     """,
 )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful Structured Streaming inside the driver gate —
+    the built-in state-store operator, complementing q_stream_e2e's
+    foreachBatch path: the staged input is delivered TWICE (two file
+    copies — the at-least-once re-delivery every file/Kinesis source
+    exhibits), and ``dropDuplicates(event_id)`` must emit each event
+    exactly once even when the two copies land in DIFFERENT
+    micro-batches, i.e. the dedup state genuinely persists across
+    batches through the checkpoint. The sink rollup (per event type:
+    exact count and integer cents) therefore equals the plain batch
+    aggregate over the ORIGINAL events — the oracle. No watermark in
+    this run: state is unbounded by choice so the result is
+    deterministic under any batch split (the TTL'd form is
+    streaming/pipeline.dedup_stream, test-certified; reference posture
+    ST3/ST4, neptune_etl_aws.py's idempotent upserts)."""
+    import os
+    import shutil
+
+    from ..streaming.pipeline import EVENTS_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    root = os.path.join(repo_root, "spark-warehouse", f"stream_dedup_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    staging = os.path.join(root, "input")
+    tmp = os.path.join(root, "_stage_tmp")
+    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    os.makedirs(staging, exist_ok=True)
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            # deliver every file TWICE under distinct paths
+            shutil.copy(os.path.join(tmp, f), os.path.join(staging, "a_" + f))
+            shutil.copy(os.path.join(tmp, f), os.path.join(staging, "b_" + f))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    sink = os.path.join(root, "sink")
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(staging)
+        .dropDuplicates(["event_id"])
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    out = spark.read.schema(EVENTS_SCHEMA).parquet(sink)
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+register(
+    "q_stream_dedup",
+    q_stream_dedup,
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)

@@ -879,3 +879,29 @@ def test_stream_e2e_runs_multiple_microbatches(spark, sf_dir):
                      "value_cents", "errors")
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_dedup_exactly_once_across_batches(spark, sf_dir):
+    """q_stream_dedup: input delivered twice across multiple
+    micro-batches; the state store must admit each event_id exactly
+    once, so the sink holds exactly the distinct ids and the run
+    commits several batches."""
+    import os
+
+    from etl_neptune_spark.plans.streaming import q_stream_dedup
+    from etl_neptune_spark.sources import load_table
+
+    out = q_stream_dedup(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    total = sum(r["n_events"] for r in out)
+    assert total == ev.select("event_id").distinct().count()
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.join(repo, "spark-warehouse", f"stream_dedup_{tag}")
+    offsets = os.listdir(os.path.join(root, "_checkpoint", "offsets"))
+    assert len([o for o in offsets if not o.startswith(".")]) >= 2, (
+        "expected multiple micro-batches"
+    )
+    # the dedup operator kept keyed state under the checkpoint
+    assert os.path.isdir(os.path.join(root, "_checkpoint", "state"))
