@@ -347,3 +347,123 @@ register(
     GROUP BY event_type
     """,
 )
+
+
+def q_stream_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL watermarked streaming WINDOW AGGREGATION inside the driver
+    gate — the third executed-streaming certificate (q_stream_e2e:
+    foreachBatch MERGE; q_stream_dedup: dropDuplicates state;
+    here: the built-in stateful window agg with a watermark in APPEND
+    mode, ST2 executed rather than batch-shaped).
+
+    Append mode only emits a window after the watermark passes its
+    end, and Spark advances the watermark at END of batch — so a
+    drained ``availableNow`` run leaves the tail windows un-emitted,
+    and the emitted set depends on the batch split (measured: 80 of
+    140 windows at sf0.001). Determinism is restored with the
+    SENTINEL-ADVANCE pattern: after draining the real data, two
+    follow-up availableNow runs each deliver one far-future sentinel
+    event (+90d, +180d); run 2's batch emits everything up to
+    watermark(run 1) and advances the watermark past every real
+    window, run 3's batch flushes the remainder. The watermark DELAY
+    (45 days) is sized past the fixture's ~30-day span because the
+    day-hashed staging files arrive out of event-time order — with a
+    short delay the watermark racing ahead DROPPED late days (measured
+    115/150 windows, wrong counts); a span-sized delay makes no real
+    row late while the sentinels still force full emission. The final
+    sink then holds EXACTLY the batch window aggregate over the real
+    events — the oracle — independent of file order and batch
+    boundaries (sentinel rows are excluded by event_type).
+    Exactly-once across the three runs rides the shared checkpoint."""
+    import os
+    import shutil
+
+    from ..streaming.pipeline import EVENTS_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    root = os.path.join(repo_root, "spark-warehouse", f"stream_win_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    staging = os.path.join(root, "input")
+    tmp = os.path.join(root, "_stage_tmp")
+    (
+        ev.withColumn("_day", F.to_date("ts"))
+        .repartition(8, "_day")
+        .drop("_day")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.makedirs(staging, exist_ok=True)
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(tmp, f), os.path.join(staging, f))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "_checkpoint")
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "3")
+            .parquet(staging)
+            .withWatermark("ts", "45 days")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                    "cents"
+                ),
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    run_once()  # drains the real data
+    mx = ev.agg(F.max("ts")).first()[0]
+    for i, days in enumerate((90, 180)):
+        sent = ev.sparkSession.createDataFrame(
+            [(-(i + 1), -1, "zz_sentinel", 0.0, None, None)],
+            "event_id bigint, user_id bigint, event_type string, "
+            "value double, ts timestamp, props string",
+        ).withColumn("ts", F.lit(mx) + F.expr(f"INTERVAL {days} DAYS"))
+        sent.select(*[f.name for f in EVENTS_SCHEMA.fields]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(root, f"_sent{i}"))
+        for f in os.listdir(os.path.join(root, f"_sent{i}")):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(root, f"_sent{i}", f),
+                    os.path.join(staging, f"zz_sentinel_{i}.parquet"),
+                )
+        run_once()  # emits up to the previous watermark, advances it
+
+    out = spark.read.parquet(sink)
+    return out.filter(F.col("event_type") != "zz_sentinel").select(
+        F.unix_seconds(F.col("w.start")).alias("win_start"),
+        "event_type",
+        "n_events",
+        "cents",
+    )
+
+
+register(
+    "q_stream_window_e2e",
+    q_stream_window_e2e,
+    """
+    SELECT (epoch_ms(ts) // 86400000) * 86400 AS win_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)

@@ -905,3 +905,40 @@ def test_stream_dedup_exactly_once_across_batches(spark, sf_dir):
     )
     # the dedup operator kept keyed state under the checkpoint
     assert os.path.isdir(os.path.join(root, "_checkpoint", "state"))
+
+
+def test_stream_window_e2e_emits_all_windows(spark, sf_dir):
+    """q_stream_window_e2e: the sentinel-advance pattern must flush
+    EVERY real window through append-mode emission — the final sink
+    equals the batch window aggregate, and the run took multiple
+    checkpointed batches across three availableNow executions."""
+    import os
+
+    from etl_neptune_spark.plans.streaming import q_stream_window_e2e
+    from etl_neptune_spark.sources import load_table
+
+    out = q_stream_window_e2e(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    ).select(
+        F.unix_seconds(F.col("w.start")).alias("win_start"),
+        "event_type",
+        "n_events",
+        "cents",
+    )
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.join(repo, "spark-warehouse", f"stream_win_{tag}")
+    offsets = [
+        o
+        for o in os.listdir(os.path.join(root, "_checkpoint", "offsets"))
+        if not o.startswith(".")
+    ]
+    assert len(offsets) >= 4  # real batches + two sentinel rounds
