@@ -253,3 +253,65 @@ register(
     )
     """,
 )
+
+
+def q_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB co-located MERGE, gated: both sides written as
+    bucketed+sorted tables on the merge key, then merge_keyed's
+    full-outer LWW join runs with NO Exchange — the bucketed scans
+    satisfy the join's required hash distribution (plain-equality
+    keys; operators/merge.py ``null_safe`` note), so at scale the
+    nightly keyed merge never reshuffles the store. The no-shuffle
+    plan is pinned by tests/test_bucketing.py and
+    test_formats_queries.py; THIS query certifies the merge RESULT
+    through the driver gate (the oracle recomputes the LWW outcome
+    from the base table). Reference: the mergeV/property(single)
+    upsert is the reference's core write
+    (neptune_etl_aws.py:209-253)."""
+    from etl_neptune_spark.operators.merge import merge_keyed
+    from etl_neptune_spark.sources import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    existing = cust.select(
+        F.lit("EC2Instance").alias("label"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    incoming = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.lit("EC2Instance").alias("label"),
+        F.col("c_name").alias("name"),
+        (F.col("c_acctbal") * 2).alias("balance"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_") or "sf"
+    names = []
+    for suffix, df in (("existing", existing), ("incoming", incoming)):
+        tbl = f"qbm_{tag}_{suffix}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.write.bucketBy(8, "label", "name")
+            .sortBy("label", "name")
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        names.append(tbl)
+    ex, inc = (spark.table(n) for n in names)
+    return merge_keyed(
+        ex,
+        inc,
+        keys=["label", "name"],
+        update_cols=["balance"],
+        null_safe=False,
+    )
+
+
+register(
+    "q_bucketed_merge",
+    q_bucketed_merge,
+    """
+    SELECT 'EC2Instance' AS label,
+           c_name AS name,
+           CASE WHEN c_custkey % 2 = 0 THEN c_acctbal * 2
+                ELSE c_acctbal END AS balance
+    FROM customer
+    """,
+)

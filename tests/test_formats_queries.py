@@ -117,3 +117,15 @@ def test_ntile_from_rank_matches_ntile(spark):
         )
         diff = got.exceptAll(want).count()
         assert diff == 0, f"ntile mismatch for n={n}, k={k}"
+
+
+def test_bucketed_merge_query_is_shuffle_free(spark, sf_dir):
+    """q_bucketed_merge's full-outer merge must run with NO Exchange —
+    the bucketed scans satisfy the join's hash requirement."""
+    from etl_neptune_spark.plans.formats_q import q_bucketed_merge
+
+    out = q_bucketed_merge(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "Exchange" not in plan, plan[:1500]
+    assert out.count() > 0
