@@ -467,3 +467,93 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL custom stateful streaming operator inside the driver gate —
+    the fourth executed-streaming certificate: ``applyInPandasWithState``
+    (streaming/stateful.py) maintaining per-edge lifetime counters in
+    the checkpointed state store across micro-batches. Each batch
+    emits every touched key's RUNNING totals; all four state fields
+    are monotone (calls/errors only grow, first/last seen only
+    tighten), so the per-key reduction over the appended emissions —
+    max(calls), max(errors), min(first), max(last) — equals the grand
+    total per edge regardless of how files split into batches. The
+    oracle recomputes the lifetime totals from the events table
+    directly. Reference: the lifetime edge counters no per-batch
+    recompute can produce (the deepflow topology's accumulated state,
+    neptune_etl_deepflow.py:536-617's readout side)."""
+    import os
+    import shutil
+
+    from ..streaming.pipeline import EVENTS_SCHEMA, flow_projection
+    from ..streaming.stateful import running_edge_totals
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    root = os.path.join(repo_root, "spark-warehouse", f"stream_state_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    staging = os.path.join(root, "input")
+    tmp = os.path.join(root, "_stage_tmp")
+    ev.repartition(6).write.mode("overwrite").parquet(tmp)
+    os.makedirs(staging, exist_ok=True)
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(tmp, f), os.path.join(staging, f))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    sink_dir = os.path.join(root, "sink")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(sink_dir)
+
+    totals = running_edge_totals(
+        flow_projection(
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(staging)
+        )
+    )
+    q = (
+        totals.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    out = spark.read.parquet(sink_dir)
+    return out.groupBy("src", "dst", "protocol").agg(
+        F.max("calls").alias("calls"),
+        F.max("errors").alias("errors"),
+        F.min("first_seen_us").alias("first_seen_us"),
+        F.max("last_seen_us").alias("last_seen_us"),
+    )
+
+
+register(
+    "q_stream_stateful",
+    q_stream_stateful,
+    f"""
+    WITH flows AS (
+        SELECT CAST(user_id % {SRC_MOD} AS BIGINT) AS src,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                   % {DST_MOD} AS dst,
+               event_type AS protocol,
+               value, ts
+        FROM events
+        WHERE value > 0
+    ),
+    valid AS (SELECT * FROM flows WHERE src != dst)
+    SELECT src, dst, protocol,
+           count(*) AS calls,
+           count(*) FILTER (WHERE value >= {ERROR_THRESHOLD}) AS errors,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_seen_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_seen_us
+    FROM valid
+    GROUP BY src, dst, protocol
+    """,
+)

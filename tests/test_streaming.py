@@ -942,3 +942,34 @@ def test_stream_window_e2e_emits_all_windows(spark, sf_dir):
         if not o.startswith(".")
     ]
     assert len(offsets) >= 4  # real batches + two sentinel rounds
+
+
+def test_stream_stateful_state_spans_batches(spark, sf_dir):
+    """q_stream_stateful: the keyed state genuinely accumulates across
+    micro-batches — some key must have been emitted in more than one
+    batch with growing totals (a per-batch recompute could never show
+    a key twice with different counts in the raw emission log)."""
+    import os
+
+    from etl_neptune_spark.plans.streaming import q_stream_stateful
+
+    q_stream_stateful(spark, sf_dir).count()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.join(repo, "spark-warehouse", f"stream_state_{tag}")
+    log = spark.read.parquet(os.path.join(root, "sink"))
+    multi = (
+        log.groupBy("src", "dst", "protocol")
+        .agg(
+            F.count("*").alias("n_emissions"),
+            (F.max("calls") > F.min("calls")).alias("grew"),
+        )
+        .filter("n_emissions > 1 AND grew")
+    )
+    assert multi.count() > 0, "no key accumulated across batches"
+    offsets = [
+        o
+        for o in os.listdir(os.path.join(root, "_checkpoint", "offsets"))
+        if not o.startswith(".")
+    ]
+    assert len(offsets) >= 2
