@@ -429,6 +429,12 @@ def q_stream_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_once()  # drains the real data
     mx = ev.agg(F.max("ts")).first()[0]
+    if mx is None:  # empty input: nothing staged, nothing to flush
+        return spark.createDataFrame(
+            [],
+            "win_start bigint, event_type string, n_events bigint, "
+            "cents bigint",
+        )
     for i, days in enumerate((90, 180)):
         sent = ev.sparkSession.createDataFrame(
             [(-(i + 1), -1, "zz_sentinel", 0.0, None, None)],
