@@ -283,10 +283,19 @@ def q_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") * 2).alias("balance"),
     )
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_") or "sf"
+    # the managed-table LOCATION outlives the in-memory catalog (a new
+    # session forgets the table but the warehouse dir keeps the files),
+    # so DROP TABLE alone leaves a stale location that saveAsTable
+    # refuses — remove both
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
     names = []
     for suffix, df in (("existing", existing), ("incoming", incoming)):
         tbl = f"qbm_{tag}_{suffix}"
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
         (
             df.write.bucketBy(8, "label", "name")
             .sortBy("label", "name")
