@@ -405,10 +405,10 @@ def q_stream_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = os.path.join(root, "sink")
     ckpt = os.path.join(root, "_checkpoint")
 
-    def run_once() -> None:
+    def run_once(max_files: str = "3") -> None:
         q = (
             spark.readStream.schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", "3")
+            .option("maxFilesPerTrigger", max_files)
             .parquet(staging)
             .withWatermark("ts", "45 days")
             .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -435,6 +435,12 @@ def q_stream_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "win_start bigint, event_type string, n_events bigint, "
             "cents bigint",
         )
+    # BOTH sentinels staged at once; the follow-up run forces one file
+    # per batch, so the second sentinel's batch runs with the first
+    # sentinel's advanced watermark and flushes every real window —
+    # one extra streaming run instead of two (order-insensitive: either
+    # sentinel first, the later batch's watermark clears all real
+    # windows).
     for i, days in enumerate((90, 180)):
         sent = ev.sparkSession.createDataFrame(
             [(-(i + 1), -1, "zz_sentinel", 0.0, None, None)],
@@ -450,7 +456,7 @@ def q_stream_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                     os.path.join(root, f"_sent{i}", f),
                     os.path.join(staging, f"zz_sentinel_{i}.parquet"),
                 )
-        run_once()  # emits up to the previous watermark, advances it
+    run_once(max_files="1")  # two single-file batches: advance + flush
 
     out = spark.read.parquet(sink)
     return out.filter(F.col("event_type") != "zz_sentinel").select(
