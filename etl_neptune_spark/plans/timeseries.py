@@ -960,6 +960,10 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(28,2)")).alias("monetary_dec"),
     )
     anchor = purchases.agg(F.max("ts")).first()[0]
+    if anchor is None:  # no purchases: empty rollup flows through
+        import datetime as _dt
+
+        anchor = _dt.datetime(1970, 1, 1)
     recency_days = F.datediff(F.lit(anchor), F.col("last_ts"))
     base = per_user.select(
         "user_id",

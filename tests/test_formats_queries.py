@@ -129,3 +129,24 @@ def test_bucketed_merge_query_is_shuffle_free(spark, sf_dir):
     assert "SortMergeJoin" in plan and "FullOuter" in plan
     assert "Exchange" not in plan, plan[:1500]
     assert out.count() > 0
+
+
+def test_prefix_sums_empty_and_descending(spark):
+    from pyspark.sql import Window
+
+    empty = spark.createDataFrame([], "k bigint, uid bigint")
+    got = prefix_sums(
+        empty, [F.asc("k"), F.asc("uid")], row_number="i", npartitions=4
+    )
+    assert got.count() == 0 and "i" in got.columns
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 9).alias("k"), F.col("id").alias("uid")
+    )
+    got = prefix_sums(
+        df, [F.desc("k"), F.asc("uid")], row_number="i", npartitions=6
+    )
+    want = df.withColumn(
+        "i", F.row_number().over(Window.orderBy(F.desc("k"), F.asc("uid")))
+    )
+    assert got.exceptAll(want).count() == 0
