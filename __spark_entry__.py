@@ -31,6 +31,8 @@ _PLAN_MODULES = [
     "etl_neptune_spark.plans.linkage",
     "etl_neptune_spark.plans.curation",
     "etl_neptune_spark.plans.formats_q",
+    "etl_neptune_spark.plans.web",
+    "etl_neptune_spark.plans.geo",
 ]
 
 

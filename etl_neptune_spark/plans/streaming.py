@@ -8,6 +8,8 @@ checkpoints and file-arrival batches (tests/test_streaming.py).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -17,6 +19,30 @@ from .flow import DST_MOD, ERROR_THRESHOLD, SRC_MOD
 from .registry import register
 
 WINDOW_DAYS = 7
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = 8):
+    """Size the streaming state shuffle to the stream's actual volume.
+
+    Stateful operators keep ONE state-store instance per shuffle
+    partition, and every micro-batch commits a delta file per instance
+    — so an oversized `spark.sql.shuffle.partitions` multiplies
+    per-batch fixed cost (files, task scheduling) without adding
+    parallelism the data can use. These certificates stream ≤1M rows
+    through ≤5 micro-batches; 8 partitions is plenty. On a real
+    cluster this is the `spark.sql.streaming.*` sizing decision made
+    per stream volume, not inherited from the batch-wide default. The
+    conf is restored afterwards so batch queries keep the session
+    default; the streaming checkpoint pins the value for the query's
+    lifetime, and every certificate starts from a fresh checkpoint."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,17 +244,18 @@ def q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         store.write(merged, "edges", batch_id)
 
-    q = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "3")
-        .parquet(staging)
-        .writeStream.foreachBatch(apply)
-        .option("checkpointLocation", os.path.join(root, "_checkpoint"))
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    with _stream_shuffle(spark):
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "3")
+            .parquet(staging)
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
     out = store.read(spark, "edges")
     if out is None:
         return spark.createDataFrame(
@@ -314,19 +341,20 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(tmp, ignore_errors=True)
 
     sink = os.path.join(root, "sink")
-    q = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "3")
-        .parquet(staging)
-        .dropDuplicates(["event_id"])
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", os.path.join(root, "_checkpoint"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    with _stream_shuffle(spark):
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "3")
+            .parquet(staging)
+            .dropDuplicates(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
     out = spark.read.schema(EVENTS_SCHEMA).parquet(sink)
     return out.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -406,6 +434,10 @@ def q_stream_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "_checkpoint")
 
     def run_once(max_files: str = "3") -> None:
+        with _stream_shuffle(spark):
+            _run_once_inner(max_files)
+
+    def _run_once_inner(max_files: str) -> None:
         q = (
             spark.readStream.schema(EVENTS_SCHEMA)
             .option("maxFilesPerTrigger", max_files)
@@ -529,14 +561,15 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(staging)
         )
     )
-    q = (
-        totals.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", os.path.join(root, "_checkpoint"))
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    with _stream_shuffle(spark):
+        q = (
+            totals.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
     out = spark.read.parquet(sink_dir)
     return out.groupBy("src", "dst", "protocol").agg(
         F.max("calls").alias("calls"),
@@ -567,5 +600,132 @@ register(
            CAST(max(epoch_us(ts)) AS BIGINT) AS last_seen_us
     FROM valid
     GROUP BY src, dst, protocol
+    """,
+)
+
+
+def q_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL STREAM-STREAM INTERVAL JOIN inside the driver gate — the
+    fifth executed-streaming certificate: purchase→view attribution as
+    a watermarked symmetric hash join between two independent file
+    streams, run with ``availableNow`` through a checkpoint and real
+    micro-batches on BOTH sides.
+
+    Semantics: every purchase joins the same user's views in the 1-day
+    window before it (the deepflow "which view led to this purchase"
+    attribution, executed as a stream instead of the batch as-of
+    family). Why the result is batch-split-invariant: an inner
+    stream-stream join emits a pair exactly once — when the later of
+    its two rows arrives and probes the other side's state — and the
+    45-day watermark delay exceeds the fixture's ~30-day span, so no
+    state is evicted before its match arrives, no matter how
+    ``maxFilesPerTrigger`` interleaves the two sources. The sink then
+    holds EXACTLY the batch interval join, which is the oracle.
+
+    Scale posture: state per side is O(arrival rate × join horizon)
+    once the watermark delay is sized to the real lateness bound (the
+    45 days here is the fixture's span; production sizes it to the
+    attribution horizon + lateness SLO), NOT O(stream length) — the
+    state-retention contract SCALE.md asserts for ST2, executed here.
+    """
+    import os
+    import shutil
+
+    from ..streaming.pipeline import EVENTS_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    root = os.path.join(repo_root, "spark-warehouse", f"stream_join_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    empty = spark.createDataFrame(
+        [], "user_id bigint, n_pairs bigint, lag_s_sum bigint"
+    )
+    if ev.isEmpty():
+        return empty
+
+    def stage(name: str, flt) -> str:
+        tmp = os.path.join(root, f"_tmp_{name}")
+        out = os.path.join(root, name)
+        ev.filter(flt).repartition(4).write.mode("overwrite").parquet(tmp)
+        os.makedirs(out, exist_ok=True)
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(tmp, f), os.path.join(out, f))
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
+    v_dir = stage("views", F.col("event_type") == "view")
+    p_dir = stage("purchases", F.col("event_type") == "purchase")
+
+    def source(path: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(path)
+        )
+
+    views = (
+        source(v_dir)
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "45 days")
+    )
+    purchases = (
+        source(p_dir)
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "45 days")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        (
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+            / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("lag_s"),
+    )
+
+    sink = os.path.join(root, "sink")
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    if not os.path.isdir(sink):
+        return empty
+    out = spark.read.schema("user_id long, lag_s long").parquet(sink)
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("lag_s").alias("lag_s_sum"),
+    )
+
+
+register(
+    "q_stream_join_e2e",
+    q_stream_join_e2e,
+    """
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+    SELECT p.user_id,
+           count(*) AS n_pairs,
+           CAST(sum((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000)
+                AS BIGINT) AS lag_s_sum
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 DAY
+     AND v.ts <= p.ts
+    GROUP BY p.user_id
     """,
 )

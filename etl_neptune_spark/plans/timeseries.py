@@ -1278,6 +1278,136 @@ register(
 )
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC consumer side (operators.cdc.apply_changelog), certified as a
+    ROUND TRIP through the gate: the q_snapshot_diff changelog (same
+    deterministic v_old→v_new mutation of orders) is applied back onto
+    v_old, and the oracle recomputes v_new directly — so the driver's
+    exact-hash compare certifies ``apply(v_old, diff(v_old, v_new)) ==
+    v_new`` on real data, not just in unit tests (tests/test_cdc.py
+    property-tests the same identity on generated frames).
+
+    Scale shape: diff is one full-outer sort-merge join on the key;
+    apply is one anti-join + union, both keyed by o_orderkey — on a
+    bucketed snapshot layout the apply is shuffle-free and costs
+    O(|changelog|), never a snapshot rewrite (reference analogue: the
+    incremental upsert feed of neptune_etl_aws.py's mergeV pipeline,
+    which never re-reads unchanged vertices)."""
+    from ..operators.cdc import apply_changelog, snapshot_diff
+
+    v_old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    deleted = F.col("o_orderkey") % 13 == 0
+    repriced = F.col("o_orderkey") % 7 == 0
+    cloned = F.col("o_orderkey") % 11 == 0
+    survivors = v_old.filter(~deleted).withColumn(
+        "o_totalprice",
+        F.when(repriced, F.round(F.col("o_totalprice") + 1.5, 2)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    inserts = v_old.filter(cloned).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 1000000
+    )
+    v_new = survivors.unionByName(inserts)
+    changelog = snapshot_diff(v_old, v_new, keys=["o_orderkey"])
+    applied = apply_changelog(v_old, changelog, keys=["o_orderkey"])
+    return applied.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+
+
+register(
+    "q_cdc_apply",
+    q_cdc_apply,
+    """
+    WITH v_new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN round(o_totalprice + 1.5, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 13 != 0
+        UNION ALL
+        SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM v_new
+    """,
+)
+
+
+ACF_LAGS = (1, 2, 3, 7)
+
+
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation ingredients of the daily-revenue series at lags
+    1/2/3/7 — the seasonality/stationarity diagnostic a forecasting
+    pass (q_holt, q_seasonality) reads first. Emits EXACT integer
+    moments per lag (n, Σx, Σy, Σxy, Σx², Σy²) so the correlation is
+    one float division at the reader, not a float fold inside either
+    engine — the q_corr_stats posture applied to a lagged self-join.
+
+    Scale shape: the events scan collapses to ONE row per day before
+    any lag work (the two-phase rule: windows/self-joins only ever run
+    on metadata-scale frames); the lag join is an equi-join on the
+    shifted day key over ≤|days| rows. Daily totals are floor-divided
+    to whole currency units so Σxy stays far inside BIGINT at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    ).select("day", F.expr("cents DIV 100").alias("x"))
+    lagged = daily.withColumn(
+        "lag", F.explode(F.array(*[F.lit(k) for k in ACF_LAGS]))
+    ).select("lag", F.col("day").alias("a_day"), F.col("x").alias("xa"))
+    prior = daily.select(F.col("day").alias("b_day"), F.col("x").alias("xb"))
+    pairs = lagged.join(
+        prior, F.col("b_day") == F.col("a_day") - F.col("lag")
+    )
+    return pairs.groupBy("lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("xa").alias("sum_x"),
+        F.sum("xb").alias("sum_y"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sum_xy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sum_x2"),
+        F.sum(F.col("xb") * F.col("xb")).alias("sum_y2"),
+    )
+
+
+register(
+    "q_acf",
+    q_acf,
+    f"""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) // 100
+                    AS BIGINT) AS x
+        FROM events
+        GROUP BY 1
+    ),
+    lags AS (SELECT * FROM (VALUES {", ".join(f"({k})" for k in ACF_LAGS)})
+             t(lag))
+    SELECT lag,
+           count(*) AS n_pairs,
+           CAST(sum(a.x) AS BIGINT) AS sum_x,
+           CAST(sum(b.x) AS BIGINT) AS sum_y,
+           CAST(sum(a.x * b.x) AS BIGINT) AS sum_xy,
+           CAST(sum(a.x * a.x) AS BIGINT) AS sum_x2,
+           CAST(sum(b.x * b.x) AS BIGINT) AS sum_y2
+    FROM lags
+    CROSS JOIN daily a
+    JOIN daily b ON b.day = a.day - lags.lag
+    GROUP BY lag
+    """,
+)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction plan (operators.cdc.compaction_bins): the
     documents listing plays a file manifest (path = source/doc_id,

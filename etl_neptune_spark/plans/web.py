@@ -1,0 +1,183 @@
+"""Certified queries for the web-crawl text-extraction operators: URL
+parsing / registrable-domain rollups and HTML tag stripping.
+
+No reference counterpart (the reference ingests flow telemetry and AWS
+inventories, not crawl pages) — these are the standard front half of an
+LLM training-data pipeline: every crawl-derived corpus is keyed by URL
+(dedup by registrable domain, per-site quality quotas, ref-tag
+attribution) and starts from markup that must be stripped before any
+text statistic is meaningful. Both queries synthesize their raw inputs
+DETERMINISTICALLY from the ``documents`` fixture (pure string
+concatenation, so the DuckDB oracle rebuilds byte-identical inputs) and
+then certify the parse itself:
+
+- ``q_url_parse`` — the ENGINE side goes through Spark's native
+  ``parse_url`` (HOST / PATH / QUERY-key extraction, JVM codegen, no
+  Python) plus ``split_part`` / ``substring_index`` for the
+  registrable-domain cut; the oracle re-derives the same fields with
+  portable string ops. A hash-mismatch would catch any divergence
+  between Spark's URL parser and the documented field semantics.
+- ``q_html_strip`` — three-stage regexp strip (script blocks, then
+  comments, then tags) with per-source char/tag accounting. The
+  patterns are chosen inside the RE2 ∩ Java-regex common subset
+  (non-greedy ``.*?``, no backrefs) so both engines execute the same
+  automaton.
+
+Scale shape: both are pure per-row projections feeding one hash
+aggregate — no shuffle beyond the final groupBy, whole-stage codegen
+end to end (no Python in either path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+URL_EXPR = (
+    "concat('https://', source, '.example.', lang, '/docs/', "
+    "CAST(doc_id % 37 AS STRING), '/', CAST(doc_id AS STRING), "
+    "'?ref=', CASE WHEN doc_id % 3 = 0 THEN 'crawl' ELSE 'feed' END)"
+)
+
+
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse synthesized crawl URLs with Spark's native ``parse_url``
+    and roll up per (registrable domain, ref tag): doc count, distinct
+    full hosts, total chars, max path depth. The registrable domain is
+    the last two host labels (``substring_index(host, '.', -2)``) — the
+    per-site key a crawl pipeline quotas and dedups on."""
+    docs = load_table(spark, sf_dir, "documents")
+    parsed = docs.withColumn("url", F.expr(URL_EXPR)).select(
+        "doc_id",
+        "n_chars",
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY', 'ref')").alias("ref"),
+    )
+    return (
+        parsed.select(
+            "doc_id",
+            "n_chars",
+            "ref",
+            F.substring_index("host", ".", -2).alias("site"),
+            "host",
+            (
+                F.length("path")
+                - F.length(F.regexp_replace("path", "/", ""))
+            ).alias("depth"),
+        )
+        .groupBy("site", "ref")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum("n_chars").alias("chars"),
+            F.max("depth").alias("max_depth"),
+        )
+    )
+
+
+register(
+    "q_url_parse",
+    q_url_parse,
+    f"""
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               {URL_EXPR.replace("AS STRING", "AS VARCHAR")} AS url
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, n_chars,
+               regexp_extract(url, '://([^/]+)/', 1) AS host,
+               regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, '\?ref=(.*)$', 1) AS ref
+        FROM u
+    )
+    SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS site,
+           ref,
+           count(*) AS n_docs,
+           count(DISTINCT host) AS n_hosts,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(max(length(path) - length(replace(path, '/', '')))
+                AS INTEGER) AS max_depth
+    FROM p
+    GROUP BY 1, 2
+    """,
+)
+
+HTML_EXPR = (
+    "concat('<html><head><title>', source, "
+    "'</title><script>var x=1;</script></head><body><h1 class=\"t\">Doc ', "
+    "CAST(doc_id AS STRING), '</h1><p>', "
+    "replace(text, 'data', '<b>data</b>'), "
+    "'</p><!-- crawl --></body></html>')"
+)
+
+
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip markup from synthesized HTML pages in three regexp passes
+    (script blocks → comments → tags) and account per source: pages,
+    raw vs cleaned chars, tags removed. The cleaned text is exactly the
+    visible text a crawl extractor feeds the quality/dedup stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.withColumn("html", F.expr(HTML_EXPR))
+    cleaned = pages.withColumn(
+        "clean",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("html", "<script[^>]*>.*?</script>", ""),
+                "<!--.*?-->",
+                "",
+            ),
+            "<[^>]*>",
+            "",
+        ),
+    )
+    return (
+        cleaned.select(
+            "source",
+            F.length("html").alias("raw_len"),
+            F.length("clean").alias("clean_len"),
+            F.regexp_count("html", F.lit("<[^>]*>")).alias("n_tags"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("raw_len").alias("raw_chars"),
+            F.sum("clean_len").alias("clean_chars"),
+            F.sum("n_tags").alias("tags"),
+        )
+    )
+
+
+register(
+    "q_html_strip",
+    q_html_strip,
+    f"""
+    WITH pages AS (
+        SELECT source,
+               {HTML_EXPR.replace("AS STRING", "AS VARCHAR")} AS html
+        FROM documents
+    ),
+    cleaned AS (
+        SELECT source, html,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(html, '<script[^>]*>.*?</script>',
+                                      '', 'g'),
+                       '<!--.*?-->', '', 'g'),
+                   '<[^>]*>', '', 'g') AS clean
+        FROM pages
+    )
+    SELECT source,
+           count(*) AS n_pages,
+           CAST(sum(length(html)) AS BIGINT) AS raw_chars,
+           CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+           CAST(sum(length(regexp_extract_all(html, '<[^>]*>')))
+                AS BIGINT) AS tags
+    FROM cleaned
+    GROUP BY source
+    """,
+)
