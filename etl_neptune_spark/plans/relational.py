@@ -3354,3 +3354,79 @@ register(
     FROM diffs
     """,
 )
+
+
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median by distributed rank selection — the
+    exact-quantile answer that still works at 100 TB. Instead of
+    sorting each group's rows (approx_percentile's exact sibling would
+    single-task large groups), the rows collapse to one row per
+    DISTINCT value first (hash agg, linear), then a per-group
+    cumulative count over the distinct-value frame locates the
+    bracketing ranks floor((n+1)/2) and floor((n+2)/2): odd n gives
+    lo = hi = the median element, even n gives the two middle
+    elements. The window is PARTITIONED by group and runs over value
+    cardinality, not row count — the same collapse-then-window rule as
+    q_acf / the rank rewrites (operators/rank.py).
+
+    Complements q_approx_quantile (which certifies the approx sketch
+    against an exact bracket); here the result itself is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    counts = cents.groupBy("event_type", "cents").agg(
+        F.count("*").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("cents"))
+        ).alias("lo_cents"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 2) DIV 2"), F.col("cents"))
+        ).alias("hi_cents"),
+    )
+
+
+register(
+    "q_exact_median",
+    q_exact_median,
+    """
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type, cents, count(*) AS cnt
+        FROM c GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, cents,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM agg
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+                AS BIGINT) AS lo_cents,
+           CAST(min(CASE WHEN cum >= (n + 2) // 2 THEN cents END)
+                AS BIGINT) AS hi_cents
+    FROM cum GROUP BY event_type
+    """,
+)

@@ -729,3 +729,151 @@ register(
     GROUP BY p.user_id
     """,
 )
+
+
+def q_stream_session_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming SESSION WINDOWS inside the driver gate — the
+    sixth executed-streaming certificate: Spark's stateful
+    ``session_window`` aggregation (30-min gap, the q_session_window
+    semantics) run as an actual ``availableNow`` writeStream with a
+    checkpoint, certified against the batch gap-sessionization oracle.
+
+    Sessions are the hard case for streaming state: windows MERGE as
+    late events bridge gaps, so unlike tumbling windows a session's
+    extent is only known once the watermark passes its end. The same
+    sentinel-advance pattern as q_stream_window_e2e restores
+    determinism: a 45-day watermark delay (≥ the fixture's span) makes
+    no real row late while files arrive out of event-time order, and
+    two far-future sentinel users (+90d/+180d) delivered as single-file
+    follow-up batches force the watermark past every real session —
+    the sink then holds EXACTLY the batch sessionization, independent
+    of file order and batch boundaries. Sentinel sessions are excluded
+    by their negative user ids.
+
+    Scale posture: state is one open session per active (user) key —
+    O(active keys), evicted at watermark + gap; the 45-day delay here
+    is fixture-span sizing, production sizes it to the lateness SLO."""
+    import os
+    import shutil
+
+    from ..streaming.pipeline import EVENTS_SCHEMA
+
+    gap_min = 30
+    ev = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    root = os.path.join(repo_root, "spark-warehouse", f"stream_sess_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    empty = spark.createDataFrame(
+        [],
+        "user_id bigint, session_start_us bigint, n_events bigint, "
+        "cents bigint",
+    )
+    mx = ev.agg(F.max("ts")).first()[0]
+    if mx is None:
+        return empty
+    staging = os.path.join(root, "input")
+    tmp = os.path.join(root, "_stage_tmp")
+    ev.repartition(6).write.mode("overwrite").parquet(tmp)
+    os.makedirs(staging, exist_ok=True)
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(tmp, f), os.path.join(staging, f))
+    shutil.rmtree(tmp, ignore_errors=True)
+    # Far-future sentinel users: each single-file follow-up batch
+    # advances the watermark past the previous sentinel; the second
+    # batch flushes every real session (same reasoning as
+    # q_stream_window_e2e — one follow-up run, order-insensitive).
+    for i, days in enumerate((90, 180)):
+        sent = spark.createDataFrame(
+            [(-(i + 1), -(i + 1), "zz_sentinel", 0.0, None, None)],
+            "event_id bigint, user_id bigint, event_type string, "
+            "value double, ts timestamp, props string",
+        ).withColumn("ts", F.lit(mx) + F.expr(f"INTERVAL {days} DAYS"))
+        sdir = os.path.join(root, f"_sent{i}")
+        sent.select(*[f.name for f in EVENTS_SCHEMA.fields]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(sdir)
+
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "_checkpoint")
+
+    def run_once(max_files: str) -> None:
+        with _stream_shuffle(spark):
+            q = (
+                spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", max_files)
+                .parquet(staging)
+                .withWatermark("ts", "45 days")
+                .groupBy(
+                    "user_id",
+                    F.session_window("ts", f"{gap_min} minutes").alias("sw"),
+                )
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum(
+                        F.round(F.col("value") * 100).cast("bigint")
+                    ).alias("cents"),
+                )
+                .select(
+                    "user_id",
+                    F.unix_micros(F.col("sw.start")).alias(
+                        "session_start_us"
+                    ),
+                    "n_events",
+                    "cents",
+                )
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+
+    run_once("2")  # drains the real data; tail sessions still in state
+    for i in range(2):
+        for f in os.listdir(os.path.join(root, f"_sent{i}")):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(root, f"_sent{i}", f),
+                    os.path.join(staging, f"zz_sentinel_{i}.parquet"),
+                )
+    run_once("1")  # two single-file batches: advance + flush
+    out = spark.read.schema(
+        "user_id long, session_start_us long, n_events long, cents long"
+    ).parquet(sink)
+    return out.filter(F.col("user_id") >= 0)
+
+
+register(
+    "q_stream_session_e2e",
+    q_stream_session_e2e,
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                            > 1800000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               CAST(sum(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM sess GROUP BY user_id, session_id
+    """,
+)

@@ -1,0 +1,126 @@
+"""Tests for the second round-5 widening wave: q_cdc_apply (diff→apply
+round trip), q_acf (lagged moments), q_exact_median (rank selection),
+q_stream_join_e2e / q_stream_session_e2e (executed streaming
+certificates 5 and 6)."""
+
+from __future__ import annotations
+
+import statistics
+
+from pyspark.sql import functions as F
+
+from etl_neptune_spark.plans import relational, streaming, timeseries
+from etl_neptune_spark.sources import load_table
+
+
+def test_cdc_apply_reconstructs_v_new(spark, sf_dir):
+    """apply(v_old, diff(v_old, v_new)) must equal v_new exactly."""
+    applied = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["price_cents"])
+        for r in timeseries.q_cdc_apply(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    expect = {}
+    for r in orders.collect():
+        k, st, p = r["o_orderkey"], r["o_orderstatus"], r["o_totalprice"]
+        if k % 13 != 0:
+            pp = round(p + 1.5, 2) if k % 7 == 0 else p
+            expect[k] = (st, round(pp * 100))
+        if k % 11 == 0:
+            expect[k + 1000000] = (st, round(p * 100))
+    assert applied == expect
+
+
+def test_acf_moments_match_python(spark, sf_dir):
+    out = {r["lag"]: r for r in timeseries.q_acf(spark, sf_dir).collect()}
+    assert set(out) == set(timeseries.ACF_LAGS)
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").collect()
+    daily: dict[int, int] = {}
+    for r in ev:
+        day = int(r["ts"].timestamp() * 1_000_000) // 86_400_000_000
+        daily[day] = daily.get(day, 0) + round(r["value"] * 100)
+    series = {d: c // 100 for d, c in daily.items()}
+    for k in timeseries.ACF_LAGS:
+        pairs = [
+            (series[d], series[d - k]) for d in series if d - k in series
+        ]
+        assert out[k]["n_pairs"] == len(pairs)
+        assert out[k]["sum_xy"] == sum(a * b for a, b in pairs)
+
+
+def test_exact_median_matches_statistics(spark, sf_dir):
+    out = {
+        r["event_type"]: r
+        for r in relational.q_exact_median(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
+    ).collect()
+    groups: dict[str, list[int]] = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append(r["c"])
+    for et, vals in groups.items():
+        med = statistics.median(sorted(vals))
+        lo, hi = out[et]["lo_cents"], out[et]["hi_cents"]
+        assert out[et]["n"] == len(vals)
+        assert (lo + hi) / 2 == med
+        assert lo <= hi
+
+
+def test_stream_join_runs_multiple_batches(spark, sf_dir, tmp_path):
+    """The stream-stream join certificate must execute real micro-
+    batches on both sources (4 staged files / maxFilesPerTrigger=2),
+    and its result must equal the batch interval join."""
+    out = streaming.q_stream_join_e2e(spark, sf_dir)
+    got = {r["user_id"]: (r["n_pairs"], r["lag_s_sum"]) for r in out.collect()}
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("v_ts")
+    )
+    batch = (
+        p.join(v, "u")
+        .filter(
+            (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+        )
+        .groupBy("u")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                ((F.unix_micros("p_ts") - F.unix_micros("v_ts")) / 1000000)
+                .cast("bigint")
+            ).alias("s"),
+        )
+    )
+    expect = {r["u"]: (r["n"], r["s"]) for r in batch.collect()}
+    assert got == expect
+
+
+def test_stream_session_equals_batch_session_window(spark, sf_dir):
+    """The executed streaming session agg must equal the batch
+    session_window aggregation (same 30-min gap, same cents)."""
+    got = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["cents"])
+        for r in streaming.q_stream_session_e2e(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("st"),
+            "n",
+            "c",
+        )
+    )
+    expect = {(r["user_id"], r["st"]): (r["n"], r["c"]) for r in batch.collect()}
+    assert got == expect
