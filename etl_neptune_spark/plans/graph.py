@@ -1401,3 +1401,137 @@ register(
     FROM agg
     """,
 )
+
+
+def q_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSIONED-STORE TIME TRAVEL certified through the gate: two LWW
+    merge batches land in a fresh GraphStore as snapshots v=0 and v=1,
+    then BOTH retained versions are read back (`read_version` — the
+    `VERSION AS OF` surface) and diffed. The output classifies every
+    key's transition (inserted / updated / carried) with exact value
+    checksums per class, so the driver's hash compare certifies the
+    snapshot isolation claim itself: v=0 is still byte-readable after
+    v=1 was published, and the delta between them is exactly the
+    second batch's effect.
+
+    Batches are split by EVENT-DAY PARITY (even days → batch 0, odd →
+    batch 1) — data-independent, so the oracle reconstructs both
+    states from the raw events without knowing any fixture bounds.
+    LWW merge semantics (merge_keyed update_cols): a user active in
+    both halves carries batch 1's profile; only-batch-0 users survive
+    untouched (merge never deletes); only-batch-1 users are inserts.
+
+    Reference: the store pointer-flip + prune cycle is this repo's
+    stand-in for Delta/Iceberg commits (streaming/store.py docstring);
+    the reference's Neptune graph has no time travel — this is the
+    lakehouse capability added on top of its idempotent-upsert model."""
+    import os
+    import shutil
+
+    from ..streaming.store import GraphStore
+
+    ev = load_table(spark, sf_dir, "events")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = os.path.join(repo_root, "spark-warehouse", f"ttravel_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = GraphStore(root, keep_versions=2)
+
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+
+    def profile(batch) -> DataFrame:
+        return batch.groupBy("user_id", "event_type").agg(
+            F.max(day).alias("last_day"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "cents"
+            ),
+        )
+
+    # Keys are (user, event_type) profiles. Batch 0 (even days) never
+    # saw signups; batch 1 (odd days) only covers 2/3 of users — so
+    # v0→v1 exhibits all three transitions: signup keys are INSERTED,
+    # mod-3-0 users' keys are CARRIED, the rest are UPDATED.
+    b0 = profile(ev.filter((day % 2 == 0) & (F.col("event_type") != "signup")))
+    b1 = profile(ev.filter((day % 2 == 1) & (F.col("user_id") % 3 != 0)))
+    store.write(b0, "users", 0)
+    v0 = store.read_version(spark, "users", 0)
+    merged = merge_keyed(
+        v0,
+        b1,
+        keys=["user_id", "event_type"],
+        update_cols=["last_day", "cents"],
+    )
+    store.write(merged, "users", 1)
+
+    # Time travel: read BOTH retained snapshots back from disk.
+    s0 = store.read_version(spark, "users", 0).select(
+        "user_id",
+        "event_type",
+        F.col("last_day").alias("d0"),
+        F.col("cents").alias("c0"),
+    )
+    s1 = store.read_version(spark, "users", 1)
+    diff = s1.join(s0, ["user_id", "event_type"], "left").withColumn(
+        "status",
+        F.when(F.col("d0").isNull(), "inserted")
+        .when(
+            (F.col("last_day") != F.col("d0"))
+            | (F.col("cents") != F.col("c0")),
+            "updated",
+        )
+        .otherwise("carried"),
+    )
+    return diff.groupBy("status").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cents").alias("cents_v1"),
+        F.sum(F.coalesce("c0", F.lit(0))).alias("cents_v0"),
+    )
+
+
+register(
+    "q_store_time_travel",
+    q_store_time_travel,
+    """
+    WITH e AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    b0 AS (
+        SELECT user_id, event_type, max(day) AS last_day,
+               sum(cents) AS cents
+        FROM e WHERE day % 2 = 0 AND event_type != 'signup'
+        GROUP BY user_id, event_type
+    ),
+    b1 AS (
+        SELECT user_id, event_type, max(day) AS last_day,
+               sum(cents) AS cents
+        FROM e WHERE day % 2 = 1 AND user_id % 3 != 0
+        GROUP BY user_id, event_type
+    ),
+    v1 AS (
+        SELECT coalesce(b1.user_id, b0.user_id) AS user_id,
+               coalesce(b1.last_day, b0.last_day) AS last_day,
+               coalesce(b1.cents, b0.cents) AS cents,
+               b0.last_day AS d0, b0.cents AS c0
+        FROM b0 FULL OUTER JOIN b1
+          ON b0.user_id = b1.user_id AND b0.event_type = b1.event_type
+    ),
+    classified AS (
+        SELECT *,
+               CASE WHEN d0 IS NULL THEN 'inserted'
+                    WHEN last_day != d0 OR cents != c0 THEN 'updated'
+                    ELSE 'carried' END AS status
+        FROM v1
+    )
+    SELECT status,
+           count(*) AS n_keys,
+           CAST(sum(cents) AS BIGINT) AS cents_v1,
+           CAST(sum(coalesce(c0, 0)) AS BIGINT) AS cents_v0
+    FROM classified
+    GROUP BY status
+    """,
+)

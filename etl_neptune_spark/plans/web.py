@@ -181,3 +181,94 @@ register(
     GROUP BY source
     """,
 )
+
+MESSY_URL_EXPR = (
+    "concat("
+    "CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://' ELSE 'https://' END, "
+    "CASE WHEN doc_id % 4 = 1 THEN upper(source) ELSE source END, "
+    "'.Example.', lang, "
+    "CASE WHEN doc_id % 4 = 2 THEN ':443' ELSE '' END, "
+    "'/page/', CAST(doc_id % 100 AS STRING), "
+    "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=7' "
+    "     WHEN doc_id % 3 = 1 THEN '?id=7&utm_campaign=x' "
+    "     ELSE '?id=7' END, "
+    "CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def _canonical(col):
+    """URL canonicalization as pure native expressions: lowercase
+    scheme+host, strip the default :443 port, drop the #fragment,
+    drop utm_* tracking params (keeping the rest of the query), strip
+    a trailing slash off the path."""
+    c = F.regexp_replace(col, "#.*$", "")  # fragment
+    c = F.concat(
+        F.lower(F.regexp_extract(c, "^([^?]*)", 1)),
+        F.regexp_extract(c, "(\\?.*)?$", 1),
+    )  # scheme+host+path lowercased (paths here are already lower)
+    c = F.regexp_replace(c, ":443/", "/")
+    # utm param strip, separator-correct: mid-query utm takes the '&'
+    # AFTER it; trailing utm takes the '?'/'&' BEFORE it.
+    c = F.regexp_replace(c, "utm_[a-z]+=[^&]*&", "")
+    c = F.regexp_replace(c, "[?&]utm_[a-z]+=[^&]*$", "")
+    c = F.regexp_replace(c, "/(\\?|$)", "$1")  # trailing slash
+    return c
+
+
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-pipeline stage BEFORE
+    content dedup: case-folded hosts, default ports, utm_* tracking
+    params, fragments and trailing slashes all collapse to one
+    canonical URL; per canonical the variant count, distinct raw
+    spellings, and the min-doc_id survivor. One projection + one hash
+    aggregate — linear, the exact-dedup shape on a derived key."""
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id", F.expr(MESSY_URL_EXPR).alias("raw_url")
+    ).select("doc_id", "raw_url", _canonical(F.col("raw_url")).alias("canonical"))
+    return (
+        urls.groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.countDistinct("raw_url").alias("n_spellings"),
+            F.min("doc_id").alias("survivor"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+register(
+    "q_dedup_url",
+    q_dedup_url,
+    f"""
+    WITH u AS (
+        SELECT doc_id,
+               {MESSY_URL_EXPR.replace("AS STRING", "AS VARCHAR")} AS raw_url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, raw_url,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       lower(regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+                                            '^([^?]*)', 1))
+                       || regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+                                         '(\\?.*)?$', 1),
+                       ':443/', '/'),
+                     'utm_[a-z]+=[^&]*&', '', 'g'),
+                   '[?&]utm_[a-z]+=[^&]*$', ''),
+                 '/(\\?|$)', '\\1') AS canonical
+        FROM u
+    )
+    SELECT canonical,
+           count(*) AS n_dups,
+           CAST(count(DISTINCT raw_url) AS BIGINT) AS n_spellings,
+           CAST(min(doc_id) AS BIGINT) AS survivor
+    FROM canon
+    GROUP BY canonical
+    HAVING count(*) >= 2
+    """,
+)
