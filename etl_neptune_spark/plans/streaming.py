@@ -20,9 +20,13 @@ from .registry import register
 
 WINDOW_DAYS = 7
 
+# State-shuffle width for the executed-streaming certificates (see
+# _stream_shuffle). Module-level so perf probes can A/B it.
+STREAM_SHUFFLE_N = 8
+
 
 @contextmanager
-def _stream_shuffle(spark: SparkSession, n: int = 8):
+def _stream_shuffle(spark: SparkSession, n: int | None = None):
     """Size the streaming state shuffle to the stream's actual volume.
 
     Stateful operators keep ONE state-store instance per shuffle
@@ -38,7 +42,7 @@ def _stream_shuffle(spark: SparkSession, n: int = 8):
     lifetime, and every certificate starts from a fresh checkpoint."""
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
-    spark.conf.set(key, str(n))
+    spark.conf.set(key, str(n if n is not None else STREAM_SHUFFLE_N))
     try:
         yield
     finally:
