@@ -324,3 +324,67 @@ register(
     FROM customer
     """,
 )
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on the storage layer, certified through the
+    gate: two parquet generations of the same table — an old one
+    without ``price_cents`` and a new one with it — are read as ONE
+    relation via ``mergeSchema``, old rows surfacing NULL for the
+    added column. The aggregate separates row counts from priced-row
+    counts, so the hash compare certifies the union-with-nulls
+    semantics (a silent column drop or zero-fill would shift both).
+
+    This is the 100 TB reality of any long-lived table: columns are
+    added mid-history and readers must span generations without a
+    rewrite. Complements load_table's timestamp-encoding
+    normalization (sources/tables.py) — that certifies type drift,
+    this certifies column-set drift."""
+    import os
+    import shutil
+
+    from etl_neptune_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = os.path.join(repo_root, "spark-warehouse", f"schema_evo_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    gen_old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    gen_new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "price_cents"
+        ),
+    )
+    gen_old.write.mode("overwrite").parquet(os.path.join(root, "g0"))
+    gen_new.write.mode("overwrite").parquet(os.path.join(root, "g1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "g0"), os.path.join(root, "g1")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count("price_cents").alias("n_priced"),
+        F.sum(F.coalesce("price_cents", F.lit(0))).alias("cents"),
+    )
+
+
+register(
+    "q_schema_evolution",
+    q_schema_evolution,
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE o_orderkey % 2 = 1) AS n_priced,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)

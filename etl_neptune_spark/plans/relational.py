@@ -3430,3 +3430,53 @@ register(
     FROM cum GROUP BY event_type
     """,
 )
+
+
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value) with a deterministic
+    tie-break (smallest value wins): the categorical summary statistic
+    profilers emit next to median/quantiles. Same scale shape as
+    q_exact_median — collapse to one row per distinct value (linear
+    hash agg), then a per-group window over value CARDINALITY picks
+    the top row; no group is ever sorted at row scale."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).groupBy("event_type", "cents").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("cents").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("cents").alias("mode_cents"),
+            F.col("cnt").alias("n_occurrences"),
+        )
+    )
+
+
+register(
+    "q_mode",
+    q_mode,
+    """
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type, cents, count(*) AS cnt
+        FROM c GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, cents, cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, cents ASC) AS rn
+        FROM agg
+    )
+    SELECT event_type, cents AS mode_cents, cnt AS n_occurrences
+    FROM ranked WHERE rn = 1
+    """,
+)

@@ -1955,3 +1955,99 @@ register(
     GROUP BY event_type
     """,
 )
+
+
+FUNNEL_WINDOW_H = 24
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (the ClickHouse ``windowFunnel`` shape): per
+    user, the deepest view → click → purchase chain whose EVERY step
+    falls within 24h of the chain's FIRST step; output is users per
+    max level. Differs from q_funnel (unwindowed first-touch chain):
+    here the window constraint anchors on each candidate first step.
+
+    Greedy-earliest is exact for this semantics: if any chain
+    (v, c', p) fits the window then so does (v, min-click, p), since
+    p ≥ c' ≥ min-click — so two chained forward AS-OF joins (the
+    operators/timeseries.py union+window plan: one shuffle per step,
+    no row multiplication) decide every level. Per-user windows only;
+    nothing global. The oracle mirrors the greedy chain with
+    correlated min() subqueries."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("t1")
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    s1 = asof_join(
+        v, c, on="user_id", left_ts="t1", right_ts="c_ts",
+        payload=["c_ts"], direction="forward",
+    ).withColumnRenamed("r_c_ts", "t2")
+    have2 = s1.filter(F.col("t2").isNotNull())
+    s2 = asof_join(
+        have2, p, on="user_id", left_ts="t2", right_ts="p_ts",
+        payload=["p_ts"], direction="forward",
+    ).withColumnRenamed("r_p_ts", "t3")
+    none2 = s1.filter(F.col("t2").isNull()).withColumn(
+        "t3", F.lit(None).cast("timestamp")
+    )
+    w_end = F.col("t1") + F.expr(f"INTERVAL {FUNNEL_WINDOW_H} HOURS")
+    lv = (
+        s2.unionByName(none2)
+        .select(
+            "user_id",
+            F.when(
+                F.col("t3").isNotNull() & (F.col("t3") <= w_end), 3
+            )
+            .when(F.col("t2").isNotNull() & (F.col("t2") <= w_end), 2)
+            .otherwise(1)
+            .alias("level"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("level").alias("level"))
+    )
+    return lv.groupBy("level").agg(F.count("*").alias("n_users"))
+
+
+register(
+    "q_window_funnel",
+    q_window_funnel,
+    f"""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    s1 AS (
+        SELECT v.user_id, v.ts AS t1,
+               (SELECT min(c.ts) FROM c
+                WHERE c.user_id = v.user_id AND c.ts >= v.ts) AS t2
+        FROM v
+    ),
+    s2 AS (
+        SELECT user_id, t1, t2,
+               CASE WHEN t2 IS NULL THEN NULL ELSE
+                   (SELECT min(p.ts) FROM p
+                    WHERE p.user_id = s1.user_id AND p.ts >= s1.t2)
+               END AS t3
+        FROM s1
+    ),
+    lv AS (
+        SELECT user_id,
+               max(CASE WHEN t3 IS NOT NULL
+                             AND t3 <= t1 + INTERVAL {FUNNEL_WINDOW_H} HOURS
+                        THEN 3
+                        WHEN t2 IS NOT NULL
+                             AND t2 <= t1 + INTERVAL {FUNNEL_WINDOW_H} HOURS
+                        THEN 2
+                        ELSE 1 END) AS level
+        FROM s2 GROUP BY user_id
+    )
+    SELECT level, count(*) AS n_users FROM lv GROUP BY level
+    """,
+)
