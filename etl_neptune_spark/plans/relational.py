@@ -3480,3 +3480,72 @@ register(
     FROM ranked WHERE rn = 1
     """,
 )
+
+
+QUANTILE_PCTS = (25, 50, 75, 95)
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quantile band (p25/p50/p75/p95 lower-bracket
+    values) by the same distributed rank selection as q_exact_median:
+    one collapse to distinct values, one per-group cumulative count,
+    then each percentile is the smallest value whose cumulative count
+    reaches ceil(n·q/100) — pure integer arithmetic end to end, no
+    row-scale sort, no approximation."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).groupBy("event_type", "cents").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in QUANTILE_PCTS:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n * {q} + 99) DIV 100"),
+                    F.col("cents"),
+                )
+            ).alias(f"p{q}")
+        )
+    return cum.groupBy("event_type").agg(*aggs)
+
+
+register(
+    "q_exact_quantiles",
+    q_exact_quantiles,
+    f"""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type, cents, count(*) AS cnt FROM c GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, cents,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM agg
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           {", ".join(
+               f"CAST(min(CASE WHEN cum >= (n * {q} + 99) // 100 "
+               f"THEN cents END) AS BIGINT) AS p{q}"
+               for q in QUANTILE_PCTS
+           )}
+    FROM cum GROUP BY event_type
+    """,
+)

@@ -2051,3 +2051,57 @@ register(
     SELECT level, count(*) AS n_users FROM lv GROUP BY level
     """,
 )
+
+
+def q_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED-VIEW REWRITE certified through the gate: a daily
+    (day, event_type) pre-aggregate is genuinely materialized to
+    parquet, and the monthly readout is answered FROM THE MV — sums of
+    sums, counts of counts — while the oracle computes the same month
+    directly from raw events. The hash compare therefore certifies the
+    aggregate-navigator claim: daily partials compose losslessly to
+    any coarser calendar grain (days nest in months), so a 100 TB
+    event history answers month queries from a ~1/10⁵-size rollup
+    without touching raw data. The decomposability rule is the same
+    one the partial+final hash aggregates rely on inside one query,
+    lifted to the storage layer."""
+    import os
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = os.path.join(repo_root, "spark-warehouse", f"mv_daily_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+    daily.write.mode("overwrite").parquet(root)  # the MV materializes
+    mv = spark.read.parquet(root)
+    return mv.groupBy(
+        F.date_trunc("month", F.col("day")).cast("date").alias("month"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("cents").alias("cents"),
+    )
+
+
+register(
+    "q_mv_rewrite",
+    q_mv_rewrite,
+    """
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
