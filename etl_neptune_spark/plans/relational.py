@@ -3549,3 +3549,44 @@ register(
     FROM cum GROUP BY event_type
     """,
 )
+
+
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE SYNTAX surface (`FROM … |> WHERE … |>
+    AGGREGATE`): the linear query-flow dialect executed for real
+    through ``spark.sql``, certified against the identical semantics
+    in classic ANSI form on DuckDB. Pipe stages compile to the same
+    logical plan as the classic text — this q-id pins that the engine
+    accepts the new surface and that its result is bit-identical to
+    the ANSI formulation."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        FROM events
+        |> WHERE value >= 0
+        |> EXTEND CAST(round(value * 100) AS BIGINT) AS cents
+        |> AGGREGATE count(*) AS n,
+                     sum(cents) AS cents,
+                     count(DISTINCT user_id) AS n_users
+           GROUP BY event_type
+        |> WHERE n >= 10
+        """
+    )
+
+
+register(
+    "q_sql_pipe",
+    q_sql_pipe,
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE value >= 0
+    GROUP BY event_type
+    HAVING count(*) >= 10
+    """,
+)

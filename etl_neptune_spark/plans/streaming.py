@@ -881,3 +881,4 @@ register(
     FROM sess GROUP BY user_id, session_id
     """,
 )
+
