@@ -49,8 +49,15 @@ def main() -> None:
     for name in names:
         # Best-of-N (default 2): single-shot timings on a shared host
         # swing 2x with neighbor load; the min is the query's cost.
+        # Executed-streaming certificates run ONCE: their wall time is
+        # fixed micro-batch machinery (state commits, checkpoints, file
+        # staging), stable across runs and ~15 s each — repeating them
+        # doubles bench wall time without sharpening the measurement.
+        n_runs = 1 if name.startswith("q_stream_") and name.endswith(
+            ("_e2e", "_dedup", "_stateful", "_dedup_wm")
+        ) else max(1, repeats)
         best = float("inf")
-        for _ in range(max(1, repeats)):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             try:
                 # count() forces the full plan without driver-side transfer.
