@@ -882,3 +882,78 @@ register(
     """,
 )
 
+
+
+def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` executed inside the driver
+    gate — the BOUNDED-STATE sibling of q_stream_dedup: dedup keys are
+    evicted once the watermark passes their event time + delay, so
+    state is O(arrival rate × dedup horizon) instead of O(stream).
+    This is the only dedup you can actually run forever.
+
+    Determinism under at-least-once redelivery: every event is staged
+    TWICE (a_/b_ copies, like q_stream_dedup) and the 45-day delay
+    exceeds the fixture span, so no key is evicted before its
+    duplicate arrives — the emitted set is then exactly one row per
+    event_id and the oracle is the plain batch aggregate. (With a
+    short delay the API contract only bounds duplicates WITHIN the
+    horizon; span-sizing turns the contract into exact dedup, which is
+    what makes it oracle-certifiable.)"""
+    import os
+    import shutil
+
+    from ..streaming.pipeline import EVENTS_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    root = os.path.join(repo_root, "spark-warehouse", f"stream_dwm_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    staging = os.path.join(root, "input")
+    tmp = os.path.join(root, "_stage_tmp")
+    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    os.makedirs(staging, exist_ok=True)
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(tmp, f), os.path.join(staging, "a_" + f))
+            shutil.copy(os.path.join(tmp, f), os.path.join(staging, "b_" + f))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    sink = os.path.join(root, "sink")
+    with _stream_shuffle(spark):
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "3")
+            .parquet(staging)
+            .withWatermark("ts", "45 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    out = spark.read.schema(EVENTS_SCHEMA).parquet(sink)
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+register(
+    "q_stream_dedup_wm",
+    q_stream_dedup_wm,
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)

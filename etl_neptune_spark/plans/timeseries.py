@@ -1362,7 +1362,13 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day")
     ).agg(
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
-    ).select("day", F.expr("cents DIV 100").alias("x"))
+    ).select(
+        "day",
+        # floor division (not DIV, which truncates toward zero): DuckDB's
+        # // floors, so a negative daily total would silently diverge
+        # under DIV. Exact below 2^53.
+        F.floor(F.col("cents") / 100).cast("bigint").alias("x"),
+    )
     lagged = daily.withColumn(
         "lag", F.explode(F.array(*[F.lit(k) for k in ACF_LAGS]))
     ).select("lag", F.col("day").alias("a_day"), F.col("x").alias("xa"))
@@ -2103,5 +2109,70 @@ register(
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM events
     GROUP BY 1, 2
+    """,
+)
+
+
+def q_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME DISORDER audit — the metric that SIZES watermark
+    delays: per event type, how many events arrive (in event_id
+    arrival order, per user) with an event time EARLIER than something
+    already seen, and by how much (exact max / total disorder ms).
+    The streaming certificates' 45-day delays are fixture-span sized;
+    production reads THIS table and sets delay = p-max disorder +
+    SLO margin. Per-user windows only (arrival order is tracked within
+    the key a stream partitions by) — nothing global, nothing sorted
+    at row scale across keys."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seen = ev.select(
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        F.max(F.unix_millis("ts")).over(w).alias("max_prev_ms"),
+    )
+    disorder = seen.select(
+        "event_type",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.coalesce(F.col("max_prev_ms") - F.col("ms"), F.lit(0)),
+        ).alias("late_ms"),
+    )
+    return disorder.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_if(F.col("late_ms") > 0).alias("n_late"),
+        F.max("late_ms").alias("max_late_ms"),
+        F.sum("late_ms").alias("sum_late_ms"),
+    )
+
+
+register(
+    "q_disorder",
+    q_disorder,
+    """
+    WITH seen AS (
+        SELECT event_type,
+               epoch_ms(ts) AS ms,
+               max(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS max_prev_ms
+        FROM events
+    ),
+    d AS (
+        SELECT event_type,
+               greatest(0, coalesce(max_prev_ms - ms, 0)) AS late_ms
+        FROM seen
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE late_ms > 0) AS n_late,
+           CAST(max(late_ms) AS BIGINT) AS max_late_ms,
+           CAST(sum(late_ms) AS BIGINT) AS sum_late_ms
+    FROM d
+    GROUP BY event_type
     """,
 )

@@ -124,3 +124,52 @@ def test_stream_session_equals_batch_session_window(spark, sf_dir):
     )
     expect = {(r["user_id"], r["st"]): (r["n"], r["c"]) for r in batch.collect()}
     assert got == expect
+
+
+def test_disorder_matches_python(spark, sf_dir):
+    from etl_neptune_spark.plans.timeseries import q_disorder
+
+    out = {r["event_type"]: r for r in q_disorder(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_millis("ts").alias("ms")
+    ).collect()
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(r)
+    agg: dict[str, list[int]] = {}
+    for rows in per_user.values():
+        rows.sort(key=lambda r: r["event_id"])
+        run = None
+        for r in rows:
+            late = max(0, (run - r["ms"])) if run is not None else 0
+            agg.setdefault(r["event_type"], []).append(late)
+            run = r["ms"] if run is None else max(run, r["ms"])
+    for et, lates in agg.items():
+        assert out[et]["n_events"] == len(lates)
+        assert out[et]["n_late"] == sum(1 for x in lates if x > 0)
+        assert out[et]["max_late_ms"] == max(lates)
+        assert out[et]["sum_late_ms"] == sum(lates)
+
+
+def test_stream_dedup_wm_drops_redelivery(spark, sf_dir):
+    """Every event staged twice; the watermark-bounded dedup must emit
+    each event_id exactly once (delay spans the fixture, so no key is
+    evicted before its duplicate arrives)."""
+    from etl_neptune_spark.plans.streaming import q_stream_dedup_wm
+
+    out = {r["event_type"]: r for r in q_stream_dedup_wm(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    expect = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .collect()
+    }
+    assert set(out) == set(expect)
+    for et in expect:
+        for c in ("n_events", "cents", "n_users"):
+            assert out[et][c] == expect[et][c], (et, c)
