@@ -914,3 +914,78 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), id_col)
         .limit(k)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus_codes: DataFrame,
+    k: int = 4,
+    lam_num: int = 7,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking over per-query candidate
+    lists (Carbonell & Goldstein 1998) — the diversity pass every
+    retrieval stack runs between ANN candidates and the final context:
+    greedily pick argmax λ·rel(q,d) − (1−λ)·max_{s∈picked} sim(d,s).
+
+    Exactness: relevance and pairwise similarity are INTEGER dot
+    products over int8 codes, λ = lam_num/10 folds into the integer
+    objective score10 = lam_num·rel − (10−lam_num)·max_sim (pick 1 has
+    no penalty term by the MMR convention), ties break on the smaller
+    id — the greedy trace is fully deterministic, so a DuckDB oracle
+    can replay it step by step.
+
+    Scale shape: candidates arrive pre-bounded (the certified ANN
+    top-C path); the greedy runs per query in ONE applyInPandas group
+    whose cost is C²·dim — request-sized work, never corpus-sized.
+    The only shuffles are the candidate join to its code vectors and
+    the per-query grouping.
+
+    ``candidates``: (query_id, neighbor_id, rel). ``corpus_codes``:
+    (id_col, codes_col) int8 code arrays. Returns (query_id,
+    pick_rank, vec_id, score10)."""
+    lam_rem = 10 - lam_num
+    cand = candidates.join(
+        corpus_codes.select(
+            F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("c")
+        ),
+        "neighbor_id",
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["rel"].to_numpy().astype(np.int64)
+        mat = _matrix(pdf["c"]).astype(np.int64)
+        sims = mat @ mat.T  # C×C integer similarity
+        picked: list[int] = []
+        scores: list[int] = []
+        remaining = np.ones(len(ids), dtype=bool)
+        for _ in range(min(k, len(ids))):
+            if picked:
+                max_sim = sims[:, picked].max(axis=1)
+                obj = lam_num * rel - lam_rem * max_sim
+            else:
+                obj = lam_num * rel
+            # Select among the REMAINING indices only (negating a
+            # sentinel int64 min overflows, so masking via sentinels
+            # would re-pick masked rows).
+            rem_idx = np.flatnonzero(remaining)
+            local = np.lexsort((ids[rem_idx], -obj[rem_idx]))[0]
+            j = int(rem_idx[local])
+            picked.append(j)
+            scores.append(int(obj[j]))
+            remaining[j] = False
+        qid = int(pdf["query_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "query_id": np.int64(qid),
+                "pick_rank": np.arange(1, len(picked) + 1, dtype=np.int64),
+                "vec_id": ids[picked].astype(np.int64),
+                "score10": np.array(scores, dtype=np.int64),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        greedy, schema="query_id long, pick_rank long, vec_id long, score10 long"
+    )

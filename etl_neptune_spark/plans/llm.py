@@ -2074,3 +2074,189 @@ def _recall_oracle() -> str:
 
 
 register("q_recall_at_k", q_recall_at_k, _recall_oracle())
+
+
+MMR_C = 16  # candidate-list size per query
+MMR_K = 4  # picks
+MMR_LAM = 7  # λ·10
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (operators/similarity.mmr_rerank):
+    greedy argmax 0.7·rel − 0.3·max-sim-to-picked over per-query
+    candidate lists, the pass between ANN retrieval and the final RAG
+    context. Relevance/similarity are INTEGER dots over the certified
+    int8 codes (q_int8_quant's portable quantization), λ folds into an
+    all-integer objective, ties break on the smaller id — so the
+    oracle replays the exact greedy trace with four unrolled argmax
+    steps. Candidates here are a deterministic id-window standing in
+    for the certified ANN top-C path (q_ann_topk / q_ann_lsh produce
+    them in production; MMR is agnostic to the candidate source), so
+    the certificate isolates the RE-RANKING semantics."""
+    from ..operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("xd"),
+    ).withColumn(
+        "scale", F.array_max(F.transform("xd", F.abs)) / F.lit(127.0)
+    )
+    codes = quant.select(
+        "vec_id",
+        F.when(
+            F.col("scale") == 0.0, F.transform("xd", lambda x: F.lit(0))
+        )
+        .otherwise(
+            F.transform(
+                "xd",
+                lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast(
+                    "int"
+                ),
+            )
+        )
+        .alias("codes"),
+    )
+    queries = codes.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qc")
+    )
+    cand_ids = queries.withColumn(
+        "neighbor_id",
+        F.explode(
+            F.sequence(
+                F.col("query_id") + 1, F.col("query_id") + F.lit(MMR_C)
+            )
+        ),
+    )
+    cand = cand_ids.join(
+        codes.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("codes").alias("c")
+        ),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(
+                "qc", "c", lambda a, b: a.cast("long") * b.cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("rel"),
+    )
+    return mmr_rerank(
+        cand, codes, k=MMR_K, lam_num=MMR_LAM
+    )
+
+
+_MMR_CODES_SQL = """
+    q8 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    codes AS (
+        SELECT vec_id,
+               CASE WHEN scale = 0.0
+                    THEN list_transform(xd, x -> CAST(0 AS DOUBLE))
+                    ELSE list_transform(xd, x -> floor(x / scale + 0.5))
+               END AS cd
+        FROM q8
+    )
+"""
+
+register(
+    "q_mmr_rerank",
+    q_mmr_rerank,
+    f"""
+    WITH {_MMR_CODES_SQL},
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_dot_product(q.cd, c.cd) AS BIGINT) AS rel
+        FROM codes q JOIN codes c
+          ON c.vec_id BETWEEN q.vec_id + 1 AND q.vec_id + {MMR_C}
+        WHERE q.vec_id % 50 = 0
+    ),
+    sims AS (
+        SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+               CAST(list_dot_product(ca.cd, cb.cd) AS BIGINT) AS sim
+        FROM cand a
+        JOIN cand b USING (query_id)
+        JOIN codes ca ON ca.vec_id = a.neighbor_id
+        JOIN codes cb ON cb.vec_id = b.neighbor_id
+    ),
+    p1 AS (
+        SELECT query_id, neighbor_id AS v1, {MMR_LAM} * rel AS s1
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rel DESC, neighbor_id) AS rn FROM cand)
+        WHERE rn = 1
+    ),
+    r2 AS (
+        SELECT c.query_id, c.neighbor_id,
+               {MMR_LAM} * c.rel - {10 - MMR_LAM} * s.sim AS score10
+        FROM cand c
+        JOIN p1 ON p1.query_id = c.query_id
+        JOIN sims s ON s.query_id = c.query_id
+               AND s.i = c.neighbor_id AND s.j = p1.v1
+        WHERE c.neighbor_id != p1.v1
+    ),
+    p2 AS (
+        SELECT query_id, neighbor_id AS v2, score10 AS s2
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score10 DESC, neighbor_id) AS rn FROM r2)
+        WHERE rn = 1
+    ),
+    r3 AS (
+        SELECT c.query_id, c.neighbor_id,
+               {MMR_LAM} * c.rel
+               - {10 - MMR_LAM} * greatest(sa.sim, sb.sim) AS score10
+        FROM cand c
+        JOIN p1 ON p1.query_id = c.query_id
+        JOIN p2 ON p2.query_id = c.query_id
+        JOIN sims sa ON sa.query_id = c.query_id
+               AND sa.i = c.neighbor_id AND sa.j = p1.v1
+        JOIN sims sb ON sb.query_id = c.query_id
+               AND sb.i = c.neighbor_id AND sb.j = p2.v2
+        WHERE c.neighbor_id NOT IN (p1.v1, p2.v2)
+    ),
+    p3 AS (
+        SELECT query_id, neighbor_id AS v3, score10 AS s3
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score10 DESC, neighbor_id) AS rn FROM r3)
+        WHERE rn = 1
+    ),
+    r4 AS (
+        SELECT c.query_id, c.neighbor_id,
+               {MMR_LAM} * c.rel
+               - {10 - MMR_LAM} * greatest(sa.sim, sb.sim, sc.sim)
+                   AS score10
+        FROM cand c
+        JOIN p1 ON p1.query_id = c.query_id
+        JOIN p2 ON p2.query_id = c.query_id
+        JOIN p3 ON p3.query_id = c.query_id
+        JOIN sims sa ON sa.query_id = c.query_id
+               AND sa.i = c.neighbor_id AND sa.j = p1.v1
+        JOIN sims sb ON sb.query_id = c.query_id
+               AND sb.i = c.neighbor_id AND sb.j = p2.v2
+        JOIN sims sc ON sc.query_id = c.query_id
+               AND sc.i = c.neighbor_id AND sc.j = p3.v3
+        WHERE c.neighbor_id NOT IN (p1.v1, p2.v2, p3.v3)
+    ),
+    p4 AS (
+        SELECT query_id, neighbor_id AS v4, score10 AS s4
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score10 DESC, neighbor_id) AS rn FROM r4)
+        WHERE rn = 1
+    )
+    SELECT query_id, 1 AS pick_rank, v1 AS vec_id, CAST(s1 AS BIGINT)
+               AS score10 FROM p1
+    UNION ALL
+    SELECT query_id, 2, v2, CAST(s2 AS BIGINT) FROM p2
+    UNION ALL
+    SELECT query_id, 3, v3, CAST(s3 AS BIGINT) FROM p3
+    UNION ALL
+    SELECT query_id, 4, v4, CAST(s4 AS BIGINT) FROM p4
+    """,
+)

