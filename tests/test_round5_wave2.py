@@ -192,8 +192,11 @@ def test_mmr_diversity_engages(spark, sf_dir):
         ids = [r["vec_id"] for r in picks]
         assert len(ids) == len(set(ids)), f"repeat pick for query {q}"
         assert len(ids) <= MMR_K
-        # the greedy objective is provably non-increasing across picks:
-        # a candidate's penalty only grows as the picked set grows, and
-        # each step takes the argmax — so score10 must be sorted.
-        s = [r["score10"] for r in picks]
+        # From pick 2 onward the greedy objective is provably
+        # non-increasing: a candidate's max-sim penalty only grows as
+        # the picked set grows, and each step takes the argmax. Pick 1
+        # is excluded — its objective has NO penalty term, and a
+        # NEGATIVE similarity (int8 dots are signed) can push pick 2's
+        # objective above it.
+        s = [r["score10"] for r in picks[1:]]
         assert s == sorted(s, reverse=True), f"objective rose for query {q}"
