@@ -272,3 +272,155 @@ register(
     HAVING count(*) >= 2
     """,
 )
+
+
+DENY_SITES = ("example.de", "example.zh")
+DENY_PATH_RE = "/page/(1?[0-9])($|[/?])"  # low-numbered pages
+
+
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl admission by domain DENYLIST + path pattern — the policy
+    gate between URL canonicalization and content processing: drop
+    documents whose registrable domain is denylisted or whose path
+    matches a blocked pattern, and account the decision per source.
+    The denylist is a broadcast-sized literal dimension (production:
+    a small table joined broadcast); the path rule is one rlike — the
+    whole gate is a codegen projection, no shuffle before the audit
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "source",
+        "n_chars",
+        F.expr(URL_EXPR).alias("url"),
+    ).select(
+        "source",
+        "n_chars",
+        F.substring_index(
+            F.expr("parse_url(url, 'HOST')"), ".", -2
+        ).alias("site"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+    )
+    flagged = urls.withColumn(
+        "denied",
+        F.col("site").isin(*DENY_SITES)
+        | F.col("path").rlike(DENY_PATH_RE),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("denied")).alias("n_denied"),
+        F.sum(F.when(~F.col("denied"), F.col("n_chars")).otherwise(0)).alias(
+            "kept_chars"
+        ),
+    )
+
+
+register(
+    "q_domain_filter",
+    q_domain_filter,
+    f"""
+    WITH u AS (
+        SELECT source, n_chars,
+               {URL_EXPR.replace("AS STRING", "AS VARCHAR")} AS url
+        FROM documents
+    ),
+    p AS (
+        SELECT source, n_chars,
+               regexp_extract(regexp_extract(url, '://([^/]+)/', 1),
+                              '([^.]+\\.[^.]+)$', 1) AS site,
+               regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path
+        FROM u
+    ),
+    f AS (
+        SELECT source, n_chars,
+               site IN {DENY_SITES} OR
+               regexp_matches(path, '{DENY_PATH_RE}') AS denied
+        FROM p
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE denied) AS n_denied,
+           CAST(sum(CASE WHEN NOT denied THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM f
+    GROUP BY source
+    """,
+)
+
+
+def q_markup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-density page-quality gate — the ratio heuristic crawl
+    extractors apply before any content model: pages whose visible
+    text is a small fraction of the raw HTML are boilerplate/chrome
+    and get dropped. Exact integer accounting: per page, raw length,
+    stripped-text length, and the keep decision text·5 ≥ raw (text is
+    at least 20% of bytes), aggregated per language. Complements
+    q_boilerplate (shingle-frequency boilerplate) with the byte-ratio
+    gate; all codegen, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.withColumn("html", F.expr(HTML_EXPR))
+    cleaned = pages.withColumn(
+        "clean",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("html", "<script[^>]*>.*?</script>", ""),
+                "<!--.*?-->",
+                "",
+            ),
+            "<[^>]*>",
+            "",
+        ),
+    )
+    rated = cleaned.select(
+        "lang",
+        F.length("html").alias("raw_len"),
+        F.length("clean").alias("text_len"),
+    ).withColumn("keep", F.col("text_len") * 5 >= F.col("raw_len"))
+    return rated.groupBy("lang").agg(
+        F.count("*").alias("n_pages"),
+        F.count_if(F.col("keep")).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("text_len")).otherwise(0)).alias(
+            "kept_text_chars"
+        ),
+        F.max(
+            F.when(~F.col("keep"), F.col("text_len")).otherwise(
+                F.lit(None).cast("int")
+            )
+        ).alias("max_dropped_text"),
+    )
+
+
+register(
+    "q_markup_ratio",
+    q_markup_ratio,
+    f"""
+    WITH pages AS (
+        SELECT lang,
+               {HTML_EXPR.replace("AS STRING", "AS VARCHAR")} AS html
+        FROM documents
+    ),
+    cleaned AS (
+        SELECT lang, html,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(html, '<script[^>]*>.*?</script>',
+                                      '', 'g'),
+                       '<!--.*?-->', '', 'g'),
+                   '<[^>]*>', '', 'g') AS clean
+        FROM pages
+    ),
+    rated AS (
+        SELECT lang, length(html) AS raw_len, length(clean) AS text_len,
+               length(clean) * 5 >= length(html) AS keep
+        FROM cleaned
+    )
+    SELECT lang,
+           count(*) AS n_pages,
+           count(*) FILTER (WHERE keep) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN text_len ELSE 0 END) AS BIGINT)
+               AS kept_text_chars,
+           CAST(max(CASE WHEN NOT keep THEN text_len END) AS INTEGER)
+               AS max_dropped_text
+    FROM rated
+    GROUP BY lang
+    """,
+)
