@@ -2260,3 +2260,98 @@ register(
     SELECT query_id, 4, v4, CAST(s4 AS BIGINT) FROM p4
     """,
 )
+
+
+KNN_K = 5
+
+
+def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN CLASSIFICATION EVAL composed from the certified exact-ANN
+    path: every 7th vector is held out as a query, its top-5 cosine
+    neighbors (brute_force_topk — the q_ann_topk kernel, self
+    excluded) vote by majority with deterministic ties (higher count,
+    then smaller label), and the output is the exact confusion matrix
+    (true_label × predicted_label × count). The standard
+    embedding-quality probe: if labels aren't recoverable from
+    neighborhoods, the embedding isn't ready for semantic dedup or
+    retrieval. Scale: the vote is one count agg + one per-(query)
+    window over ≤k rows on top of the ANN candidates; eval cost tracks
+    the query sample, not the corpus."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 7 == 0)
+    topk = brute_force_topk(queries, emb, k=KNN_K, dim=64)
+    votes = (
+        topk.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"))
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        truth.join(pred, "query_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+register(
+    "q_knn_classifier",
+    q_knn_classifier,
+    f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label,
+               round(
+                   list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+                   / (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i])))
+                      * sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))),
+                   4) AS cos
+        FROM e q JOIN e c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 7 = 0
+    ),
+    topk AS (
+        SELECT query_id, n_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {KNN_K}
+    ),
+    votes AS (
+        SELECT query_id, n_label, count(*) AS votes
+        FROM topk GROUP BY query_id, n_label
+    ),
+    pred AS (
+        SELECT query_id, n_label AS pred_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY votes DESC, n_label ASC) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT t.label AS true_label, p.pred_label, count(*) AS n
+    FROM e t JOIN pred p ON p.query_id = t.vec_id
+    GROUP BY 1, 2
+    """,
+)

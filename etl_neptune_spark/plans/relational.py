@@ -3590,3 +3590,64 @@ register(
     HAVING count(*) >= 10
     """,
 )
+
+
+TYPE_BITS = (
+    ("view", 1),
+    ("click", 2),
+    ("purchase", 4),
+    ("signup", 8),
+    ("error", 16),
+)
+
+
+def q_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-segment BITMASKS via bitwise aggregation: each event
+    type owns one bit, ``bit_or`` folds a user's history into a single
+    integer mask PER (user, week), and the segment readout counts
+    user-weeks per exact type-combination (``bit_count`` decodes the
+    combo size).
+    The roaring-bitmap-style audience idiom in its integer-column form:
+    two hash aggregates, masks stay 1 byte wide no matter how long the
+    history — the segment table is users-deep, never events-deep."""
+    ev = load_table(spark, sf_dir, "events")
+    bit = F.lit(0)
+    for name, b in TYPE_BITS:
+        bit = F.when(F.col("event_type") == name, b).otherwise(bit)
+    week = F.floor(F.unix_micros("ts") / F.lit(7 * 86_400_000_000))
+    masks = (
+        ev.select("user_id", week.alias("week"), bit.alias("bit"))
+        .groupBy("user_id", "week")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+    return masks.groupBy("mask").agg(
+        F.bit_count(F.col("mask").cast("bigint")).alias("n_types"),
+        F.count("*").alias("n_user_weeks"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+register(
+    "q_bitmask",
+    q_bitmask,
+    f"""
+    WITH b AS (
+        SELECT user_id,
+               epoch_us(ts) // 604800000000 AS week,
+               CASE event_type
+                    {" ".join(f"WHEN '{n}' THEN {v}" for n, v in TYPE_BITS)}
+                    ELSE 0 END AS bit
+        FROM events
+    ),
+    masks AS (
+        SELECT user_id, week, CAST(bit_or(bit) AS INTEGER) AS mask
+        FROM b GROUP BY user_id, week
+    )
+    SELECT mask,
+           CAST(bit_count(CAST(mask AS BIGINT)) AS INTEGER) AS n_types,
+           count(*) AS n_user_weeks,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM masks
+    GROUP BY mask
+    """,
+)
