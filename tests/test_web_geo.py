@@ -115,3 +115,60 @@ def test_wave_plans_stay_jvm_side(spark, sf_dir):
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grid_join_exact_under_hot_cell(spark, sf_dir):
+    """Clustered points are the grid join's skew case: one cell holds
+    a third of one side. The plan must stay EXACT under the hot cell
+    (AQE may split the straggler partition, but the pair set cannot
+    change) — verified against brute force on a synthetic frame."""
+    import random
+
+    rnd = random.Random(7)
+    cust = []
+    for i in range(300):
+        if i % 3 == 0:  # hot cluster: all inside one R-cell
+            cust.append((i, 1000 + rnd.randrange(2000), 1000 + rnd.randrange(2000)))
+        else:
+            cust.append((i, rnd.randrange(geo.GEO_WORLD), rnd.randrange(geo.GEO_WORLD)))
+    supp = [
+        (j, rnd.randrange(geo.GEO_WORLD), rnd.randrange(geo.GEO_WORLD))
+        for j in range(40)
+    ] + [(100 + j, 1500 + j, 1500 + j) for j in range(10)]  # suppliers in the cluster
+    cdf = spark.createDataFrame(cust, "c_custkey long, cx long, cy long")
+    sdf = spark.createDataFrame(supp, "s_suppkey long, sx long, sy long")
+
+    from pyspark.sql import functions as FF
+
+    c = cdf.withColumn("gx", FF.floor(FF.col("cx") / geo.CELL)).withColumn(
+        "gy", FF.floor(FF.col("cy") / geo.CELL)
+    )
+    rep = (
+        sdf.withColumn("dx", FF.explode(FF.array(*[FF.lit(i) for i in (-1, 0, 1)])))
+        .withColumn("dy", FF.explode(FF.array(*[FF.lit(i) for i in (-1, 0, 1)])))
+        .select(
+            "s_suppkey", "sx", "sy",
+            (FF.floor(FF.col("sx") / geo.CELL) + FF.col("dx")).alias("gx"),
+            (FF.floor(FF.col("sy") / geo.CELL) + FF.col("dy")).alias("gy"),
+        )
+    )
+    d2 = (FF.col("cx") - FF.col("sx")) * (FF.col("cx") - FF.col("sx")) + (
+        FF.col("cy") - FF.col("sy")
+    ) * (FF.col("cy") - FF.col("sy"))
+    got = {
+        (r["c_custkey"], r["s_suppkey"])
+        for r in c.join(rep, ["gx", "gy"]).withColumn("d2", d2)
+        .filter(FF.col("d2") <= geo.R2)
+        .select("c_custkey", "s_suppkey")
+        .collect()
+    }
+    brute = {
+        (i, j)
+        for i, cx, cy in cust
+        for j, sx, sy in supp
+        if (cx - sx) ** 2 + (cy - sy) ** 2 <= geo.R2
+    }
+    assert got == brute
+    # the hot cluster genuinely concentrates pairs (skew is real)
+    hot = sum(1 for i, j in brute if i % 3 == 0)
+    assert hot > len(brute) // 2
