@@ -3651,3 +3651,85 @@ register(
     GROUP BY mask
     """,
 )
+
+
+PCONT_PCTS = (50, 90)
+
+
+def q_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SQL-standard PERCENTILE_CONT (linear interpolation) by
+    distributed rank selection — completing the order-statistics
+    family (q_exact_median / q_exact_quantiles are the disc forms).
+    The continuous rank r = (n−1)·q/100 splits into an integer part
+    (two bracketing value lookups on the cumulative-count frame, ranks
+    k and k+1) and a fractional part f/100 with f = (n−1)·q mod 100;
+    the interpolated percentile ×100 is then the exact integer
+    lo·(100−f) + hi·f — no float arithmetic anywhere, so the oracle
+    matches to the digit rather than to a tolerance. Same scale shape
+    as the siblings: windows over DISTINCT values only."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).groupBy("event_type", "cents").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in PCONT_PCTS:
+        k1 = f"((n - 1) * {q} DIV 100) + 1"
+        lo = F.min(
+            F.when(F.col("cum") >= F.expr(k1), F.col("cents"))
+        )
+        hi = F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"LEAST(({k1}) + 1, n)"),
+                F.col("cents"),
+            )
+        )
+        f100 = F.expr(f"(max(n) - 1) * {q} % 100")
+        aggs.append(
+            (lo * (F.lit(100) - f100) + hi * f100).alias(f"p{q}_x100")
+        )
+    return cum.groupBy("event_type").agg(*aggs)
+
+
+register(
+    "q_percentile_cont",
+    q_percentile_cont,
+    f"""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type, cents, count(*) AS cnt FROM c GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, cents,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM agg
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           {", ".join(
+               f"CAST(min(CASE WHEN cum >= ((n - 1) * {q} // 100) + 1 "
+               f"THEN cents END) * (100 - (max(n) - 1) * {q} % 100) "
+               f"+ min(CASE WHEN cum >= least(((n - 1) * {q} // 100) + 2, n) "
+               f"THEN cents END) * ((max(n) - 1) * {q} % 100) AS BIGINT) "
+               f"AS p{q}_x100"
+               for q in PCONT_PCTS
+           )}
+    FROM cum GROUP BY event_type
+    """,
+)
