@@ -1239,8 +1239,9 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice")
         ),
     )
+    # negated clone keys: collision-free at any SF (see q_cdc_apply)
     inserts = orders.filter(cloned).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 1000000
+        "o_orderkey", -F.col("o_orderkey") - 1
     )
     v_new = survivors.unionByName(inserts)
     return snapshot_diff(orders, v_new, keys=["o_orderkey"])
@@ -1257,7 +1258,7 @@ register(
                     ELSE o_totalprice END AS o_totalprice
         FROM orders WHERE o_orderkey % 13 != 0
         UNION ALL
-        SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+        SELECT -o_orderkey - 1, o_orderstatus, o_totalprice
         FROM orders WHERE o_orderkey % 11 = 0
     ),
     o AS (SELECT o_orderkey, o_orderstatus AS old_o_orderstatus,
@@ -1307,8 +1308,13 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice")
         ),
     )
+    # Cloned keys are NEGATED (−k−1): provably collision-free against
+    # the positive key domain at ANY scale factor. (+1000000 collided
+    # with real orderkeys at sf1 — caught by the sf1 strict sweep: the
+    # collision violated the merge's unique-key precondition and
+    # fanned out duplicates.)
     inserts = v_old.filter(cloned).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 1000000
+        "o_orderkey", -F.col("o_orderkey") - 1
     )
     v_new = survivors.unionByName(inserts)
     changelog = snapshot_diff(v_old, v_new, keys=["o_orderkey"])
@@ -1331,7 +1337,7 @@ register(
                     ELSE o_totalprice END AS o_totalprice
         FROM orders WHERE o_orderkey % 13 != 0
         UNION ALL
-        SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+        SELECT -o_orderkey - 1, o_orderstatus, o_totalprice
         FROM orders WHERE o_orderkey % 11 = 0
     )
     SELECT o_orderkey, o_orderstatus,

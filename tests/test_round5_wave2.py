@@ -29,7 +29,7 @@ def test_cdc_apply_reconstructs_v_new(spark, sf_dir):
             pp = round(p + 1.5, 2) if k % 7 == 0 else p
             expect[k] = (st, round(pp * 100))
         if k % 11 == 0:
-            expect[k + 1000000] = (st, round(p * 100))
+            expect[-k - 1] = (st, round(p * 100))
     assert applied == expect
 
 
