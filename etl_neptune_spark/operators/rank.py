@@ -88,6 +88,16 @@ def prefix_sums(
     for name, expr in sums.items():
         rp = rp.withColumn(tmp_of[name], expr)
     rp = rp.withColumn("_pid", F.spark_partition_id())
+    # MATERIALIZE the pid-stamped frame before it fans out to the two
+    # consumers (local-rank window + per-partition offset table).
+    # spark_partition_id() is nondeterministic: when exchange reuse
+    # fails (AQE re-planning — first observed at the sf1 fixture, where
+    # it silently shifted 97% of ranks), each branch re-executes the
+    # range shuffle and assigns DIFFERENT pids, misaligning offsets
+    # against local ranks. The checkpoint pins one assignment for both
+    # branches; the frame is the collapsed rank input (per-key scale),
+    # not the corpus, so the materialization is bounded.
+    rp = rp.localCheckpoint(eager=False)
 
     w_local = (
         Window.partitionBy("_pid")

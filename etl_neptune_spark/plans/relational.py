@@ -408,9 +408,15 @@ def q_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
     )
+    # Round the DECIMAL sums (exact half-up, engine-portable) BEFORE the
+    # double cast: round(double, 2) diverges on half-ulp boundaries
+    # (Spark rounds the shortest decimal rendering, DuckDB the binary
+    # value — the dec_avg class; hit by the sf1 strict sweep).
     return li.groupBy("l_suppkey").agg(
-        F.round(dec_sum("l_quantity"), 2).alias("total_qty"),
-        F.round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(28,2)")), 2)
+        .cast("double")
+        .alias("total_qty"),
+        F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
     )
 
 
@@ -419,10 +425,10 @@ register(
     q_sum,
     """
     SELECT l_suppkey,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), 2) AS total_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                 AS DOUBLE), 2) AS revenue
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(28,2))), 2) AS DOUBLE) AS total_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                 AS DOUBLE) AS revenue
     FROM lineitem GROUP BY l_suppkey
     """,
 )
@@ -2538,12 +2544,15 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.round(mean, 4).alias("mean_cents"),
-        F.round(
-            F.when(
-                (n > 1) & ((n * ss - s * s) > 0),
-                (F.col("cents") - mean) / F.sqrt(var),
-            ).otherwise(F.lit(0.0)),
-            4,
+        (
+            F.round(
+                F.when(
+                    (n > 1) & ((n * ss - s * s) > 0),
+                    (F.col("cents") - mean) / F.sqrt(var),
+                ).otherwise(F.lit(0.0)),
+                4,
+            )
+            + F.lit(0.0)  # normalize -0.0 (signed-zero class, corpus.py:215)
         ).alias("z"),
     )
 
@@ -2568,7 +2577,7 @@ register(
                       THEN (ev.cents - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
                            / sqrt(CAST(n * ss - s * s AS DOUBLE)
                                   / CAST(n * (n - 1) AS DOUBLE))
-                      ELSE 0.0 END, 4) AS z
+                      ELSE 0.0 END, 4) + 0.0 AS z
     FROM ev JOIN stats USING (event_type)
     """,
 )

@@ -69,8 +69,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_qty"),
             F.sum(_ext()).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # round the DECIMAL sums to 2 dp BEFORE the double cast:
+            # at scale 6 the scaled integer exceeds 2^53 around sf1 and
+            # the two engines' decimal->double conversions differ by one
+            # ulp (sf1 strict sweep catch); a 2 dp decimal converts
+            # identically everywhere at any SF below 2^53 cents.
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             dec_avg("l_quantity").alias("avg_qty"),
             dec_avg("l_extendedprice").alias("avg_price"),
             dec_avg("l_discount").alias("avg_disc"),
@@ -87,9 +92,9 @@ register(
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                AS sum_base_price,
-           CAST(sum({_SQL_REV}) AS DOUBLE) AS sum_disc_price,
-           CAST(sum({_SQL_REV}
-                    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+           CAST(round(sum({_SQL_REV}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum({_SQL_REV}
+                    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2)
                 AS DOUBLE) AS sum_charge,
            CAST((CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) * 20000 AS BIGINT)
                  + count(l_quantity)) // (2 * count(l_quantity)) AS DOUBLE)
