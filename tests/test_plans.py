@@ -318,9 +318,14 @@ def test_round5_no_unbounded_rank_windows(plans):
         assert "ntile(" not in p, name
         assert "row_number(" not in p, name
         assert " rank(" not in p, name
-        # the two-phase shape is present: a range exchange feeds the
-        # partition-local window
-        assert "rangepartitioning" in p.lower(), name
+        # the two-phase shape is present: either the range exchange is
+        # visible, or the plan reads the checkpointed pid-stamped frame
+        # (prefix_sums localCheckpoints it so both consumers share ONE
+        # materialized partition assignment — the sf1 pid-divergence
+        # fix truncates the visible plan at the checkpoint scan)
+        assert (
+            "rangepartitioning" in p.lower() or "ExistingRDD" in p
+        ), name
 
 
 def test_round5_format_and_prune_plan_shapes(plans):
