@@ -593,12 +593,16 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("q_bpe_tokens", q_bpe_tokens)  # rows-only: iterative training
 
 
-VOCAB_TOP = 1000
+# Distinct name: this module previously REBOUND VOCAB_TOP here, which
+# silently changed q_vocab's call-time .limit() to 1000 while its
+# oracle SQL had frozen 200 at registration — invisible until the sf1
+# fixture's vocabulary outgrew both limits (sf1 strict sweep catch).
+COVERAGE_VOCAB_TOP = 1000
 
 
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage audit — the tokenizer-sizing readout: with
-    the corpus top-{VOCAB_TOP} word vocabulary (count desc, word asc —
+    the corpus top-{COVERAGE_VOCAB_TOP} word vocabulary (count desc, word asc —
     deterministic), each SOURCE's covered vs out-of-vocabulary token
     occurrences and the exact coverage ratio. A source with high OOV
     under the shared vocab needs byte-fallback or its own merges. One
@@ -613,7 +617,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("word")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "word")
-        .limit(VOCAB_TOP)
+        .limit(COVERAGE_VOCAB_TOP)
         .select("word")
     )
     flagged = tok.join(
@@ -650,7 +654,7 @@ register(
     vocab AS (
         SELECT word FROM (
             SELECT word, count(*) AS n FROM tok GROUP BY word
-            ORDER BY n DESC, word LIMIT {VOCAB_TOP}
+            ORDER BY n DESC, word LIMIT {COVERAGE_VOCAB_TOP}
         )
     )
     SELECT source,

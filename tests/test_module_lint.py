@@ -1,0 +1,36 @@
+"""Static lint over the plan modules: no module-level CONSTANT may be
+assigned twice. A rebinding silently changes every call-time reader
+ABOVE it while registered oracle SQL keeps the value frozen at
+definition time — exactly how q_vocab's .limit() drifted to a later
+module's VOCAB_TOP=1000 against its oracle's frozen 200 (caught by the
+sf1 strict sweep; fixed by renaming to COVERAGE_VOCAB_TOP)."""
+
+from __future__ import annotations
+
+import ast
+import glob
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_no_module_level_constant_rebinding():
+    offenders = []
+    for path in glob.glob(os.path.join(REPO, "etl_neptune_spark", "**", "*.py"),
+                          recursive=True):
+        tree = ast.parse(open(path).read())
+        seen: set[str] = set()
+        for node in tree.body:  # module level only
+            targets = []
+            if isinstance(node, ast.Assign):
+                targets = [t for t in node.targets if isinstance(t, ast.Name)]
+            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+                targets = [node.target]
+            for t in targets:
+                name = t.id
+                if not name.isupper() or name.startswith("_"):
+                    continue
+                if name in seen:
+                    offenders.append(f"{os.path.relpath(path, REPO)}: {name}")
+                seen.add(name)
+    assert not offenders, f"module-level constants rebound: {offenders}"
