@@ -1535,3 +1535,103 @@ register(
     GROUP BY status
     """,
 )
+
+
+def q_store_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-LOG INGEST certified through the gate — the O(batch)
+    write path of the versioned store (streaming/store.py
+    append_delta/compact): a base snapshot plus two appended delta
+    generations are read back MERGED, then compacted into one snapshot
+    and read again — and BOTH reads must produce the identical
+    aggregate the oracle computes from raw events. The output carries
+    each row twice under a ``phase`` tag ('delta_read' /
+    'compacted'), so the exact-hash compare certifies that the
+    union-of-deltas read loses nothing AND that compaction folds the
+    log losslessly.
+
+    Keys are (user, ten-day bucket) profiles; each generation owns one
+    disjoint bucket, matching append_delta's new-rows contract. Scale
+    shape: each append writes O(batch); compaction is the amortized
+    fold that keeps file counts bounded (reference analogue: the
+    idempotent mergeV micro-batches that never rewrite the store,
+    neptune_etl_aws.py:209-253)."""
+    import os
+    import shutil
+
+    from ..streaming.store import GraphStore
+
+    ev = load_table(spark, sf_dir, "events")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = os.path.join(repo_root, "spark-warehouse", f"deltalog_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = GraphStore(root, keep_versions=4)
+
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+    decade = F.floor(day / 10).alias("decade")
+
+    def gen(which: int) -> DataFrame:
+        return (
+            ev.withColumn("decade", decade)
+            .filter(F.col("decade") % 3 == which)
+            .groupBy("user_id", "decade")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                    "cents"
+                ),
+            )
+        )
+
+    store.write(gen(0), "profiles", 0)
+    store.append_delta(gen(1), "profiles", 1)
+    store.append_delta(gen(2), "profiles", 2)
+
+    merged = store.read(spark, "profiles")
+    agg = lambda df: df.groupBy("decade").agg(  # noqa: E731
+        F.count("*").alias("n_keys"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("cents").alias("cents"),
+    )
+    # Materialize the delta-merged aggregate BEFORE compacting:
+    # compact() retires the delta dirs, and a lazy plan would re-read
+    # the deleted files at collection time.
+    from_deltas = (
+        agg(merged)
+        .withColumn("phase", F.lit("delta_read"))
+        .localCheckpoint(eager=True)
+    )
+
+    store.compact(spark, "profiles", 3)
+    compacted = store.read_version(spark, "profiles", 3)
+    from_compact = agg(compacted).withColumn("phase", F.lit("compacted"))
+    return from_deltas.unionByName(from_compact)
+
+
+register(
+    "q_store_delta_log",
+    q_store_delta_log,
+    """
+    WITH e AS (
+        SELECT user_id,
+               (epoch_us(ts) // 86400000000) // 10 AS decade,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    profiles AS (
+        SELECT user_id, decade, count(*) AS n_events, sum(cents) AS cents
+        FROM e GROUP BY user_id, decade
+    ),
+    agg AS (
+        SELECT decade, count(*) AS n_keys,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM profiles GROUP BY decade
+    )
+    SELECT decade, n_keys, n_events, cents, 'delta_read' AS phase FROM agg
+    UNION ALL
+    SELECT decade, n_keys, n_events, cents, 'compacted' AS phase FROM agg
+    """,
+)
