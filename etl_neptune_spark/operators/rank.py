@@ -37,6 +37,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Test hook (ADVICE r5): the localCheckpoint below truncates consumers'
+# visible plans at an ExistingRDD scan, hiding the range exchange from
+# plan-shape tests. When a test sets this to a list, every prefix_sums
+# call appends its PRE-checkpoint physical plan so the test can assert
+# the range exchange is really there. None (the default) skips the
+# capture entirely — zero cost in production.
+PRECHECKPOINT_PLANS: list[str] | None = None
+
 
 def prefix_sums(
     df: DataFrame,
@@ -97,6 +105,10 @@ def prefix_sums(
     # against local ranks. The checkpoint pins one assignment for both
     # branches; the frame is the collapsed rank input (per-key scale),
     # not the corpus, so the materialization is bounded.
+    if PRECHECKPOINT_PLANS is not None:
+        PRECHECKPOINT_PLANS.append(
+            rp._jdf.queryExecution().executedPlan().toString()
+        )
     rp = rp.localCheckpoint(eager=False)
 
     w_local = (

@@ -258,12 +258,15 @@ def sessionize(
     )
     # .cast("timestamp") is a no-op on TimestampType and an exact
     # reinterpretation of TIMESTAMP_NTZ under the UTC-pinned session —
-    # unix_millis rejects NTZ input outright (belt-and-braces alongside
-    # the load_table normalization).
+    # unix_micros rejects NTZ input outright (belt-and-braces alongside
+    # the load_table normalization). Gap compares FULL microsecond
+    # precision — Spark's session_window convention; an ms-truncated
+    # compare would classify a gap within 1 ms of the threshold
+    # differently from session_window (ADVICE r5).
     ts = F.col(ts_col).cast("timestamp")
-    gap_ms = F.unix_millis(ts) - F.unix_millis(F.lag(F.col(ts_col)).over(w).cast("timestamp"))
+    gap_us = F.unix_micros(ts) - F.unix_micros(F.lag(F.col(ts_col)).over(w).cast("timestamp"))
     new_session = F.when(
-        gap_ms.isNull() | (gap_ms > gap_sec * 1000), F.lit(1)
+        gap_us.isNull() | (gap_us > gap_sec * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     return events.withColumn(
         "session_id", F.sum(new_session).over(run).cast("long")

@@ -859,9 +859,13 @@ register(
     """
     WITH flagged AS (
         SELECT user_id, ts, value, event_id,
+               -- full-microsecond gap test — Spark's session_window
+               -- compares whole timestamps, so an epoch_ms-truncated
+               -- oracle would diverge on a gap within 1 ms of exactly
+               -- 30 min (ADVICE r5)
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
-                            > 1800000
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

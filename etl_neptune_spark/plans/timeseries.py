@@ -286,9 +286,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_CTE = f"""
     flagged AS (
         SELECT user_id, ts, event_id,
+               -- full-microsecond gap test: matches the engine's
+               -- unix_micros compare and Spark session_window (an
+               -- epoch_ms truncation diverges on gaps within 1 ms of
+               -- the threshold — ADVICE r5)
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
-                            > {GAP_MIN * 60 * 1000}
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {GAP_MIN * 60 * 1000000}
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -275,7 +275,11 @@ register(
 
 
 DENY_SITES = ("example.de", "example.zh")
-DENY_PATH_RE = "/page/(1?[0-9])($|[/?])"  # low-numbered pages
+# Aimed at the synthesized path space ('/docs/<doc_id % 37>/<doc_id>') so the
+# path-deny branch is LIVE: doc_id % 37 in 0..19 trips the rule, which means
+# both the denylist arm and the rlike-vs-regexp_matches path arm contribute
+# rows to n_denied (ADVICE r5: the old '/page/...' pattern was dead code).
+DENY_PATH_RE = "/docs/(1?[0-9])/"  # low-numbered sections
 
 
 def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -306,26 +306,43 @@ def test_round4_plan_shapes(plans):
     assert "CartesianProduct" not in pc
 
 
-def test_round5_no_unbounded_rank_windows(plans):
+def test_round5_no_unbounded_rank_windows(plans, spark, sf_dir):
     """VERDICT r4 task 1 pin: the six formerly single-partition
     rank/ntile queries now rank via the distributed two-phase prefix
     sum — no ntile/row_number/rank window function appears anywhere in
     their plans (the only remaining global windows are over the
-    one-row-per-partition offset table, which are sum() windows)."""
+    one-row-per-partition offset table, which are sum() windows).
+
+    prefix_sums localCheckpoints the pid-stamped frame (the sf1
+    pid-divergence fix), so the consumer-visible plan truncates at an
+    ExistingRDD scan. A bare "ExistingRDD in plan" escape hatch would
+    also accept a plan that LOST the range exchange behind the
+    checkpoint (ADVICE r5) — so each query is re-derived with the
+    rank-module capture hook on, and the range exchange is asserted on
+    the captured PRE-checkpoint plan."""
+    from etl_neptune_spark.operators import rank as rank_mod
+
+    import __spark_entry__ as e
+
+    queries = e.queries()
     for name in ("q_gini", "q_lorenz", "q_rfm", "q_gains", "q_auc",
                  "q_ks_test"):
         p = plans(name)
         assert "ntile(" not in p, name
         assert "row_number(" not in p, name
         assert " rank(" not in p, name
-        # the two-phase shape is present: either the range exchange is
-        # visible, or the plan reads the checkpointed pid-stamped frame
-        # (prefix_sums localCheckpoints it so both consumers share ONE
-        # materialized partition assignment — the sf1 pid-divergence
-        # fix truncates the visible plan at the checkpoint scan)
         assert (
             "rangepartitioning" in p.lower() or "ExistingRDD" in p
         ), name
+        rank_mod.PRECHECKPOINT_PLANS = []
+        try:
+            queries[name](spark, sf_dir)
+            captured = rank_mod.PRECHECKPOINT_PLANS
+        finally:
+            rank_mod.PRECHECKPOINT_PLANS = None
+        assert captured, f"{name} no longer routes through prefix_sums"
+        for pre in captured:
+            assert "rangepartitioning" in pre.lower(), name
 
 
 def test_round5_format_and_prune_plan_shapes(plans):
