@@ -961,3 +961,181 @@ register(
     GROUP BY event_type
     """,
 )
+
+
+def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRASH-RECOVERY streaming certificate (VERDICT r5 task 2): a real
+    stream is KILLED mid-run — after its second micro-batch has already
+    written to the store but BEFORE the checkpoint committed that batch
+    — then a second ``writeStream`` call restarts from the SAME
+    checkpoint, replays the uncommitted batch, and finishes. On top of
+    the replay, one already-processed input file is REDELIVERED under a
+    new name before the restart, so at-least-once delivery is exercised
+    both ways a production source produces it: engine-level batch
+    replay after a crash, and source-level duplicate delivery.
+
+    The final store state must still equal the batch oracle — which
+    holds only because the sink is the reference's consistency model:
+    idempotent keyed MERGE (mergeV / coalesce(inE…, addE…),
+    neptune_etl_deepflow.py:482-501 batch→per-row retry fallback,
+    OPTIMIZATION-CHANGELOG.md) — the replayed batch and the redelivered
+    file rewrite their complete (window, src, dst, protocol) groups
+    with identical values (day-whole files ⇒ complete groups per file,
+    the q_stream_e2e invariant), so every retry converges.
+
+    ``q_stream_restart.last_run_info`` records the injected failure and
+    the replayed batch id for the unit test to pin (two starts, one
+    crash, batch replay observed)."""
+    import os
+    import shutil
+
+    from ..operators.merge import merge_keyed
+    from ..streaming.pipeline import EVENTS_SCHEMA
+    from ..streaming.store import GraphStore
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    root = os.path.join(repo_root, "spark-warehouse", f"stream_restart_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    staging = os.path.join(root, "input")
+    tmp = os.path.join(root, "_stage_tmp")
+    # Day-hashed staging (the q_stream_e2e invariant): every file holds
+    # whole days, so every 5-min window group lives in exactly one file
+    # — replays and redeliveries rewrite COMPLETE aggregates.
+    (
+        ev.withColumn("_day", F.to_date("ts"))
+        .repartition(8, "_day")
+        .drop("_day")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.makedirs(staging, exist_ok=True)
+    staged = []
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(tmp, f), os.path.join(staging, f))
+            staged.append(f)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    store = GraphStore(os.path.join(root, "store"))
+    info = {"crashes": 0, "batches": [], "starts": 0}
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        info["batches"].append(batch_id)
+        agg = (
+            flow_projection(batch)
+            .groupBy(
+                F.window("ts", f"{STREAM_E2E_WINDOW_MIN} minutes").alias("w"),
+                "src",
+                "dst",
+                "protocol",
+            )
+            .agg(
+                F.count("*").alias("calls"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                    "value_cents"
+                ),
+                F.count_if(F.col("value") >= ERROR_THRESHOLD).alias("errors"),
+            )
+            .select(
+                F.unix_seconds(F.col("w.start")).alias("win_start"),
+                "src",
+                "dst",
+                "protocol",
+                "calls",
+                "value_cents",
+                "errors",
+            )
+        )
+        sp = batch.sparkSession
+        existing = store.read(sp, "edges")
+        if existing is None:
+            existing = sp.createDataFrame([], agg.schema)
+        merged = merge_keyed(
+            existing,
+            agg,
+            keys=["win_start", "src", "dst", "protocol"],
+            update_cols=["calls", "value_cents", "errors"],
+        )
+        store.write(merged, "edges", batch_id)
+        # Injected crash: batch 1's store write has LANDED but the
+        # checkpoint has NOT committed batch 1 — the worst-case
+        # at-least-once window. The restarted query must replay batch 1
+        # against a store that already contains its effects.
+        if batch_id == 1 and info["crashes"] == 0:
+            info["crashes"] += 1
+            raise RuntimeError("injected crash after store write")
+
+    checkpoint = os.path.join(root, "_checkpoint")
+
+    def start_stream():
+        info["starts"] += 1
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "3")
+            .parquet(staging)
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with _stream_shuffle(spark):
+        q1 = start_stream()
+        try:
+            q1.awaitTermination(600)
+            raise RuntimeError("injected crash did not fire")
+        except Exception as exc:  # StreamingQueryException expected
+            if "injected crash" not in str(exc):
+                raise
+        # Source-level redelivery: one already-processed file comes back
+        # under a new name; the restarted stream treats it as new input.
+        shutil.copy(
+            os.path.join(staging, staged[0]),
+            os.path.join(staging, "redelivered-" + staged[0]),
+        )
+        q2 = start_stream()
+        q2.awaitTermination(600)
+
+    q_stream_restart.last_run_info = dict(info)
+    out = store.read(spark, "edges")
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            "win_start bigint, src bigint, dst bigint, protocol string, "
+            "calls bigint, value_cents bigint, errors bigint",
+        )
+    return out
+
+
+register(
+    "q_stream_restart",
+    q_stream_restart,
+    f"""
+    WITH flows AS (
+        SELECT CAST(user_id % {SRC_MOD} AS BIGINT) AS src,
+               TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                   % {DST_MOD} AS dst,
+               event_type AS protocol,
+               value, ts
+        FROM events
+        WHERE value > 0
+    ),
+    valid AS (SELECT * FROM flows WHERE src != dst)
+    SELECT CAST((epoch_ms(ts) // {STREAM_E2E_WINDOW_MIN * 60 * 1000})
+                   * {STREAM_E2E_WINDOW_MIN * 60} AS BIGINT) AS win_start,
+           src, dst, protocol,
+           count(*) AS calls,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           count(*) FILTER (WHERE value >= {ERROR_THRESHOLD}) AS errors
+    FROM valid
+    GROUP BY 1, src, dst, protocol
+    """,
+)
