@@ -2441,6 +2441,49 @@ def q_sql_surface2(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("q_sql_surface2", q_sql_surface2, _SQL_SURFACE2)
 
 
+def q_sql_surface2_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTICAL readout as q_sql_surface2, computed the way you
+    would SHIP it at 100 TB (VERDICT r5 task 4): the global
+    ``rank()``/running-total windows are replaced by the distributed
+    two-phase prefix rank (operators/rank.py prefix_sums — range
+    exchange → partition-local cumsum → one-row-per-partition offset
+    table), so no SinglePartition window touches the per-user frame.
+    The oracle is the SAME verbatim ANSI text as q_sql_surface2, which
+    links the dialect-surface certificate and the scale recipe by a
+    value oracle: both produce byte-identical results.
+
+    Exactness: the ORDER BY (n_events DESC, user_id) is total (user_id
+    is unique after the groupBy), so ``rank()`` degenerates to the row
+    number prefix_sums computes, and the running total is an exact
+    BIGINT cumsum — partition-boundary independent."""
+    from ..operators.rank import prefix_sums
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.filter(
+            F.col("event_type").isin("view", "click")
+            & (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    ranked = prefix_sums(
+        agg,
+        order_by=[F.col("n_events").desc(), F.col("user_id").asc()],
+        sums={"running_total": F.col("n_events")},
+        row_number="activity_rank",
+    )
+    return (
+        ranked.filter(F.col("activity_rank") <= 40)
+        .select("user_id", "n_events", "activity_rank", "running_total")
+        .orderBy("activity_rank")
+    )
+
+
+register("q_sql_surface2_scaled", q_sql_surface2_scaled, _SQL_SURFACE2)
+
+
 _SQL_SURFACE3 = """
     WITH types AS (SELECT DISTINCT event_type FROM events)
     SELECT t.event_type, l.n, l.p50, l.p90
