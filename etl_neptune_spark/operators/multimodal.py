@@ -290,12 +290,34 @@ def fabricate_jpeg(
     )
 
 
+def _decode_jpeg_pixels(payload: bytes):
+    """Full-pixel JPEG decode through the BEST available codec: PIL
+    (libjpeg — the codec you'd ship; ~100× the pure-numpy throughput)
+    when importable, the pure-stdlib baseline codec otherwise. On the
+    fabricated certification corpus the two are BIT-IDENTICAL — every
+    block is DC-only with a quantizer-divisible DC, so any conforming
+    decoder recovers the exact pixels (pinned by
+    tests/test_jpegcodec.py::test_pil_parity_on_fabricated_corpus
+    wherever PIL exists); the driver gate therefore certifies whichever
+    codec this seam picked."""
+    if _HAVE_PIL:
+        try:
+            import numpy as np
+
+            img = _PILImage.open(io.BytesIO(payload))
+            return np.asarray(img)
+        except Exception:  # noqa: BLE001 — fall through to our codec
+            pass
+    return _jpeg.decode(payload)
+
+
 def decode_jpeg_pixel_stats(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
 ) -> DataFrame:
     """REAL-decode certificate for JPEG: payload → dims, channels,
     format, and the exact pixel checksum (Σ decoded bytes mod 10007).
-    Non-JPEG payloads raise by design — this certifies the codec."""
+    Non-JPEG payloads raise by design — this certifies the codec.
+    Decode goes through the best-codec seam (``_decode_jpeg_pixels``)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -303,7 +325,7 @@ def decode_jpeg_pixel_stats(
         for pdf in it:
             rows = []
             for i, b in zip(pdf[id_col].values, pdf[bin_col].values):
-                img = _jpeg.decode(bytes(b))
+                img = _decode_jpeg_pixels(bytes(b))
                 h, w = img.shape[:2]
                 c = int(img.shape[2]) if img.ndim == 3 else 1
                 rows.append(
@@ -519,9 +541,10 @@ def perceptual_hash(
                     except _png.PngError:
                         pass
                 if _jpeg.is_jpeg(raw):
-                    # REAL JPEG pixel path via the stdlib baseline codec
+                    # REAL JPEG pixel path via the best-codec seam
+                    # (PIL when present, stdlib baseline otherwise)
                     try:
-                        out.append(_png.ahash64(_jpeg.decode(raw)))
+                        out.append(_png.ahash64(_decode_jpeg_pixels(raw)))
                         continue
                     except _jpeg.JpegError:
                         pass

@@ -36,6 +36,20 @@ from ..operators.text import (
 from ..sources import load_table
 from .registry import register
 
+
+def _spread_for_codec(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a CPU-bound codec stage across every core.
+
+    The media-codec certificates are compute-bound Arrow passes; their
+    input parquet is tiny in BYTES, so Spark's split planner hands the
+    whole table to ONE partition and the codec runs serially (the
+    entire 29.5 s q_jpeg_pipeline sf1 cost — VERDICT r5). One round-
+    robin shuffle of the (small) id+size columns buys full-core
+    parallelism; at 100 TB real input splits provide this for free and
+    the repartition keys stay proportional to executor count."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
 # DuckDB fragment: distinct word-3-gram shingles of lower(text).
 _SH_SQL = """
     list_distinct(list_transform(
@@ -426,7 +440,7 @@ def q_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     from ..operators.multimodal import decode_pixel_stats, fabricate_png
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_for_codec(spark, load_table(spark, sf_dir, "documents"))
     return decode_pixel_stats(fabricate_png(docs))
 
 
@@ -473,7 +487,7 @@ def q_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow passes, zero shuffle."""
     from ..operators.multimodal import decode_jpeg_pixel_stats, fabricate_jpeg
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_for_codec(spark, load_table(spark, sf_dir, "documents"))
     return decode_jpeg_pixel_stats(fabricate_jpeg(docs))
 
 
@@ -1694,7 +1708,7 @@ def q_wav_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode bit-exactly. Two chained Arrow passes, zero shuffle."""
     from ..operators.multimodal import decode_audio_stats, fabricate_wav
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_for_codec(spark, load_table(spark, sf_dir, "documents"))
     return decode_audio_stats(fabricate_wav(docs))
 
 

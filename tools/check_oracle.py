@@ -6,13 +6,21 @@ row-count, schema (column names), and an order-insensitive value
 comparison (columns sorted by name, rows sorted). Use while iterating so
 CORRECTNESS_r{N}.json holds no surprises.
 
-Usage: python tools/check_oracle.py [--strict] [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--strict] [--no-broadcast] [sf_dir] [query ...]
 
 ``--strict`` replicates the driver's exact-hash semantics: every column is
 compared ``astype(str)`` with NO float tolerance, so a DuckDB HUGEINT that
 materializes as ``8300.0`` against Spark's ``8300`` is a failure even though
 the values are numerically equal. Run strict before every commit — the
 driver's CORRECTNESS gate hashes rendered values, not numbers.
+
+``--no-broadcast`` sets ``spark.sql.autoBroadcastJoinThreshold=-1`` (and the
+AQE variant) for the whole run, forcing sort-merge for every join Catalyst
+would otherwise broadcast — the join-strategy-invariance gate (VERDICT r5
+task 7, same philosophy as the 7-partition gate): results must not depend on
+the physical join strategy, and any plan that only avoids a CartesianProduct
+because broadcast kicked in surfaces here. Explicit ``broadcast()`` hints
+still broadcast — those are deliberate plan design, not threshold luck.
 """
 
 from __future__ import annotations
@@ -94,8 +102,10 @@ def compare(
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    flags = {"--strict", "--no-broadcast"}
+    argv = [a for a in sys.argv[1:] if a not in flags]
     strict = "--strict" in sys.argv[1:]
+    no_broadcast = "--no-broadcast" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -103,6 +113,9 @@ def main() -> int:
     from etl_neptune_spark.session import get_spark
 
     spark = get_spark("check_oracle")
+    if no_broadcast:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     con = duckdb_conn(sf_dir)
     queries, oracles = e.queries(), e.oracle_sql()
 
