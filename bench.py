@@ -20,6 +20,62 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = ["q_flow_edges"]
 
 
+def store_bench(spark, sf_dir: str) -> dict:
+    """Sustained-ingest read-cost probe for the delta-log GraphStore
+    (VERDICT r5 task 6): the reference's 5-min cadence lands thousands
+    of micro-batches per week on ONE store (lib/neptune-etl-stack.ts:
+    148-153), so merged-read cost must be O(compacted segments), not
+    O(batches ever ingested). 12 disjoint-key append->merged-read
+    cycles, compaction at cycle 8: records append cost, the read cost
+    at peak delta count vs post-compaction, and the scanned-file
+    counts that drive it."""
+    import shutil
+
+    from etl_neptune_spark.sources import load_table
+    from etl_neptune_spark.streaming.store import GraphStore
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = os.path.join(repo, "spark-warehouse", f"storebench_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = GraphStore(root)
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    n_cycles, compact_at = 12, 8
+
+    def batch(i):
+        return ev.filter(F.col("event_id") % n_cycles == i)
+
+    t0 = time.perf_counter()
+    store.write(batch(0), "edges", 0)
+    stats = {}
+    read_peak = None
+    for i in range(1, n_cycles):
+        store.append_delta(batch(i), "edges", i)
+        t_r = time.perf_counter()
+        df = store.read(spark, "edges")
+        df.count()
+        read_sec = time.perf_counter() - t_r
+        if i == compact_at - 1:
+            read_peak = read_sec
+            stats["files_peak"] = len(df.inputFiles())
+        if i == compact_at:
+            store.compact(spark, "edges", i, target_files=8)
+            t_c = time.perf_counter()
+            dfc = store.read(spark, "edges")
+            dfc.count()
+            stats["read_compacted_sec"] = round(time.perf_counter() - t_c, 3)
+            stats["files_compacted"] = len(dfc.inputFiles())
+    stats["append_cycle_total_sec"] = round(time.perf_counter() - t0, 3)
+    stats["read_peak_sec"] = round(read_peak, 3) if read_peak else None
+    shutil.rmtree(root, ignore_errors=True)
+    return stats
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -98,6 +154,14 @@ def main() -> None:
             errors["skew_fixture"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"skew bench failed: {errors['skew_fixture']}", file=sys.stderr)
 
+    store_stats: dict = {}
+    if os.environ.get("SPARK_GRAFT_STORE", "1") != "0":
+        try:
+            store_stats = store_bench(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            errors["store_bench"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"store bench failed: {errors['store_bench']}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "etl_neptune_spark_total",
@@ -108,6 +172,8 @@ def main() -> None:
     }
     if skew_timings:
         out["skew"] = skew_timings
+    if store_stats:
+        out["store"] = store_stats
     if errors:
         out["errors"] = errors
     # The driver's tail buffer truncated the (large) single JSON line in
@@ -134,6 +200,8 @@ def main() -> None:
     }
     if skew_timings:
         compact["skew"] = skew_timings
+    if store_stats:
+        compact["store"] = store_stats
     print(json.dumps(compact))
 
 

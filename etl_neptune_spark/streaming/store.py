@@ -177,15 +177,34 @@ class GraphStore:
         os.rename(staging, final)
         shutil.rmtree(retired, ignore_errors=True)
 
-    def compact(self, spark: SparkSession, table: str, version: int) -> None:
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        version: int,
+        target_files: int | None = None,
+    ) -> None:
         """Fold the base snapshot + all deltas ≤ ``version`` into one
         snapshot ``v=<version>`` and drop the folded deltas. Amortized:
         call every K batches; crash between publish and delta removal is
         safe (``read`` ignores deltas ≤ the snapshot version, and the
-        next compact sweeps them)."""
+        next compact sweeps them).
+
+        The merged union carries one partition per folded file, so an
+        uncoalesced write would republish as many files as it folded —
+        compaction that never shrinks the layout (caught by the r6
+        read-cost test). ``coalesce`` to ``target_files`` (default: the
+        session shuffle width) bounds the snapshot without a shuffle;
+        at 100 TB size-aware binning (operators/cdc.py compaction_bins)
+        picks the target from the manifest instead."""
         merged = self.read(spark, table)
         if merged is None:
             return
+        if target_files is None:
+            target_files = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        merged = merged.coalesce(max(1, target_files))
         folded = [d for d in self.delta_versions(table) if d <= version]
         self.write(merged, table, version)
         for d in folded:
