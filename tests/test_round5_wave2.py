@@ -211,13 +211,13 @@ def test_stream_restart_replays_uncommitted_batch(spark, sf_dir):
     computation (MERGE idempotency across the query boundary)."""
     out = streaming.q_stream_restart(spark, sf_dir)
     info = streaming.q_stream_restart.last_run_info
-    assert info["starts"] == 2
-    assert info["crashes"] == 1
+    assert info["starts"] == 2, info
+    assert info["crashes"] == 1, info
     # batch 1 ran in the crashed query AND was replayed by the restart
-    assert info["batches"].count(1) == 2
+    assert info["batches"].count(1) >= 2, info
     # the restart finished the remaining files (incl. the redelivered
     # copy, which may share a trigger with them under maxFilesPerTrigger)
-    assert max(info["batches"]) >= 2
+    assert max(info["batches"]) >= 2, info
 
     # crash-free equivalent computed directly in batch
     ev = load_table(spark, sf_dir, "events")
