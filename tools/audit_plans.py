@@ -97,13 +97,25 @@ def main() -> int:
             for i, ln in enumerate(lines):
                 if "Exchange SinglePartition" not in ln:
                     continue
+                window_seen = False
                 for j in range(max(0, i - 4), i):
                     if "Window" in lines[j]:
+                        window_seen = True
                         kinds.add(
                             "rank"
                             if any(f in lines[j] for f in rank_fns)
                             else "agg-only"
                         )
+                if not window_seen:
+                    # consumer is a global AGGREGATE (one-row moment /
+                    # rollup frame — metadata scale, the sanctioned
+                    # shape), not a window: classify it so only
+                    # rank-class windows stand out
+                    if any(
+                        "Aggregate" in lines[j]
+                        for j in range(max(0, i - 4), i)
+                    ):
+                        kinds.add("agg-only")
             if kinds == {"agg-only"}:
                 flags = [
                     "SinglePartition(agg-only)" if f == "SinglePartition" else f
