@@ -17,6 +17,10 @@ here with one doc line saying why.
 
 Budget history:
 - r6: initial budgets recorded (tools/plan_metrics.py introduced).
+- r6: shuffle-BYTES bands added (0.6x-1.7x of the recorded volume) and
+  8 more queries pinned, incl. q_bucketed_merge at ZERO runtime
+  exchanges — the bytes band catches the one re-execution mode counts
+  cannot: the same exchange node run twice accumulates its metrics.
 """
 
 from __future__ import annotations
@@ -25,28 +29,53 @@ import pytest
 
 SF_01 = "/root/testdata/sf0.01"
 
-# (shuffle_exchanges, broadcast_exchanges, reused_exchanges)
+# (shuffle_exchanges, broadcast_exchanges, reused_exchanges,
+#  expected shuffle_bytes at sf0.01 — band-checked, see below)
 BUDGETS = {
-    "q_flow_edges": (1, 0, 0),      # one agg shuffle, top-k local
-    "q_topk": (0, 0, 0),            # TakeOrderedAndProject — no exchange
-    "q_sum": (1, 0, 0),
-    "q_join_equi": (1, 1, 0),       # agg shuffle + broadcast dim
-    "q_join_ip": (1, 1, 1),         # ip map broadcast REUSED for src+dst
-    "q_degrees": (4, 0, 0),         # out/in/label-filtered degree aggs
-    "q_upsert_nodes": (2, 0, 0),    # SMJ full-outer MERGE (both sides)
-    "q_gc_anti": (1, 1, 0),         # broadcast anti-join + final agg
-    "q_dedup_minhash": (2, 3, 0),   # banded LSH: band agg + verify join
-    "q_llm_pipeline": (4, 4, 2),    # composed stages SHARE 2 exchanges
+    "q_flow_edges": (1, 0, 0, 88656),   # one agg shuffle, top-k local
+    "q_topk": (0, 0, 0, 0),             # TakeOrderedAndProject — no exchange
+    "q_sum": (1, 0, 0, 5191),
+    "q_join_equi": (1, 1, 0, 508),      # agg shuffle + broadcast dim
+    "q_join_ip": (1, 1, 1, 5825),       # ip map broadcast REUSED src+dst
+    "q_degrees": (4, 0, 0, 10358),      # out/in/label-filtered degree aggs
+    "q_upsert_nodes": (2, 0, 0, 41248), # SMJ full-outer MERGE (both sides)
+    "q_gc_anti": (1, 1, 0, 2960),       # broadcast anti-join + final agg
+    "q_dedup_minhash": (2, 3, 0, 91795),  # banded LSH: band agg + verify
+    "q_llm_pipeline": (4, 4, 2, 25812), # composed stages SHARE 2 exchanges
+    # the shuffle-free co-located MERGE: ZERO runtime exchanges is the
+    # whole point of the bucketed layout — pinned at the metric level,
+    # not just the plan shape
+    "q_bucketed_merge": (0, 0, 0, 0),
+    # join/sink shapes
+    "q_tpch_q3": (1, 2, 0, 19065),
+    "q_tpch_q18": (1, 2, 0, 167737),
+    "q_dedup_exact": (1, 0, 0, 26808),
+    "q_asof_join": (2, 0, 0, 159889),   # union-window as-of: one keyed
+    # bytes band None: rebuilds its partitioned sink, so volume depends
+    # on filesystem state from earlier calls in the session
+    "q_partition_prune": (2, 0, 0, None),
+    "q_ann_lsh": (1, 0, 0, 135451),     # bucket agg; kernel is Arrow-side
     # two-phase rank rewrites — post-checkpoint consumers only (the
     # pre-checkpoint range exchange is pinned by test_plans.py's
-    # capture hook); the offset-table windows are metadata-scale
-    "q_gini": (4, 1, 0),
-    "q_rfm": (3, 1, 0),
-    "q_auc": (4, 1, 0),
-    "q_lorenz": (5, 1, 0),
-    "q_gains": (5, 1, 0),
-    "q_ks_test": (4, 1, 0),
+    # capture hook); the offset-table windows are metadata-scale.
+    # Bytes bands None: a localCheckpoint materialized by an EARLIER
+    # call in the same session absorbs part of the volume, so bytes are
+    # session-history-dependent even though the counts are stable
+    "q_gini": (4, 1, 0, None),
+    "q_rfm": (3, 1, 0, None),
+    "q_auc": (4, 1, 0, None),
+    "q_lorenz": (5, 1, 0, None),
+    "q_gains": (5, 1, 0, None),
+    "q_ks_test": (4, 1, 0, None),
 }
+
+# Shuffle-bytes band: same plan + same fixture + same partitioning give
+# deterministic shuffle volume up to layout/compression jitter. The band
+# is deliberately NARROWER than 2x because the failure mode it exists
+# for — ONE exchange node executed twice (reuse lost without AQE
+# re-planning) — accumulates metrics on the same node: the count stays
+# equal and only the bytes double.
+BYTES_LO, BYTES_HI = 0.6, 1.7
 
 
 @pytest.fixture(scope="module")
@@ -64,7 +93,7 @@ def measured(spark):
 
 def test_exchange_counts_match_budget(measured):
     drift = {}
-    for name, (sh, bc, re_) in BUDGETS.items():
+    for name, (sh, bc, re_, _by) in BUDGETS.items():
         m = measured[name]
         got = (
             m["shuffle_exchanges"],
@@ -76,6 +105,23 @@ def test_exchange_counts_match_budget(measured):
     assert not drift, (
         "exchange budget drift (intentional? update BUDGETS with a doc "
         f"line): {drift}"
+    )
+
+
+def test_shuffle_bytes_within_band(measured):
+    drift = {}
+    for name, (_sh, _bc, _re, by) in BUDGETS.items():
+        got = measured[name]["shuffle_bytes"]
+        if by is None:  # session-history-dependent volume (see BUDGETS)
+            continue
+        if by == 0:
+            if got != 0:
+                drift[name] = {"expected": 0, "got": got}
+        elif not (by * BYTES_LO <= got <= by * BYTES_HI):
+            drift[name] = {"expected": by, "got": got}
+    assert not drift, (
+        "shuffle-volume drift (a doubled volume with equal counts means "
+        f"an exchange re-executed — the r5 pid-bug class): {drift}"
     )
 
 
