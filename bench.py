@@ -71,7 +71,7 @@ def store_bench(spark, sf_dir: str) -> dict:
             stats["read_compacted_sec"] = round(time.perf_counter() - t_c, 3)
             stats["files_compacted"] = len(dfc.inputFiles())
     stats["append_cycle_total_sec"] = round(time.perf_counter() - t0, 3)
-    stats["read_peak_sec"] = round(read_peak, 3) if read_peak else None
+    stats["read_peak_sec"] = round(read_peak, 3) if read_peak is not None else None
     shutil.rmtree(root, ignore_errors=True)
     return stats
 

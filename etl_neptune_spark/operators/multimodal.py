@@ -299,8 +299,15 @@ def _decode_jpeg_pixels(payload: bytes):
     decoder recovers the exact pixels (pinned by
     tests/test_jpegcodec.py::test_pil_parity_on_fabricated_corpus
     wherever PIL exists); the driver gate therefore certifies whichever
-    codec this seam picked."""
-    if _HAVE_PIL:
+    codec this seam picked. Bit parity between the two codecs is only
+    certified for the fabricated DC-only corpus; arbitrary real-world
+    JPEGs would decode environment-dependently, which is why only
+    fabricated payloads flow through the certificates. The PIL branch
+    is gated on ``is_jpeg`` so non-JPEG payloads raise exactly as the
+    stdlib path does (PIL would otherwise happily open PNG/BMP/GIF,
+    silently weakening decode_jpeg_pixel_stats' raise-on-non-JPEG
+    contract — ADVICE r6)."""
+    if _HAVE_PIL and _jpeg.is_jpeg(payload):
         try:
             import numpy as np
 

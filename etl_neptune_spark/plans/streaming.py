@@ -1088,12 +1088,29 @@ def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with _stream_shuffle(spark):
         q1 = start_stream()
+        # The sentinel lives OUTSIDE the try so a run where the crash
+        # never fires (or awaitTermination times out with q1 still
+        # running) fails loudly instead of being swallowed by the
+        # except that matches the injected-crash message (ADVICE r6).
+        crashed = False
+        terminated = False
         try:
-            q1.awaitTermination(600)
-            raise RuntimeError("injected crash did not fire")
+            terminated = q1.awaitTermination(600)
         except Exception as exc:  # StreamingQueryException expected
             if "injected crash" not in str(exc):
                 raise
+            crashed = True
+        if not crashed:
+            if not terminated:
+                q1.stop()
+                raise RuntimeError(
+                    "q_stream_restart: q1 still running after timeout; "
+                    "crash-replay path not exercised"
+                )
+            raise RuntimeError(
+                "q_stream_restart: first stream terminated cleanly; "
+                "the injected crash never fired"
+            )
         # Source-level redelivery: one already-processed file comes back
         # under a new name; the restarted stream treats it as new input.
         shutil.copy(
@@ -1101,7 +1118,12 @@ def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(staging, "redelivered-" + staged[0]),
         )
         q2 = start_stream()
-        q2.awaitTermination(600)
+        if not q2.awaitTermination(600):
+            q2.stop()
+            raise RuntimeError(
+                "q_stream_restart: restarted stream did not terminate "
+                "within the timeout"
+            )
 
     q_stream_restart.last_run_info = dict(info)
     out = store.read(spark, "edges")
