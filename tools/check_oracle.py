@@ -101,11 +101,57 @@ def compare(
     return problems
 
 
+# Queries whose registered DuckDB oracle is intentionally quadratic
+# (all-pairs ground truths, closure recomputation) or rows-only.
+# Under --heavy-value these route to tools/sf1_value_check's class
+# checkers (sampled-subgraph brute force / independent union-find /
+# recall-vs-numpy contracts) so ONE command yields strict value
+# evidence for the FULL registry at 10×+ scales (VERDICT r6 task 2).
+HEAVY_PAIRWISE = {
+    "q_ngram_jaccard",
+    "q_containment",
+    "q_jaccard_prefix",
+    "q_embed_neardup",
+}
+HEAVY_CLOSURE = {"q_dup_clusters", "q_cluster_survivors", "q_leakage_split"}
+HEAVY_CONTRACT_ANN = {"q_ann_ivf", "q_ann_pq"}
+HEAVY_CONTRACT_BPE = {"q_bpe_tokens"}
+HEAVY_ALL = (
+    HEAVY_PAIRWISE | HEAVY_CLOSURE | HEAVY_CONTRACT_ANN | HEAVY_CONTRACT_BPE
+)
+
+
+def _run_heavy_value(spark, sf_dir, queries, oracles, names) -> list[str]:
+    """Delegate the heavy set to sf1_value_check's class checkers.
+    Returns the list of FAILED query names (group checks attribute the
+    failure to every member they cover)."""
+    from tools import sf1_value_check as sv
+
+    failed: list[str] = []
+    for name in sorted(names & HEAVY_PAIRWISE):
+        if not sv.check_pairwise(name, spark, sf_dir, queries, oracles):
+            failed.append(name)
+    if names & HEAVY_CLOSURE:
+        if not sv.check_closures(spark, sf_dir, queries):
+            failed.extend(sorted(names & HEAVY_CLOSURE))
+    if names & {"q_jaccard_prefix"}:
+        if not sv.check_pair_crosschecks(spark, sf_dir, queries):
+            failed.append("q_jaccard_prefix(crosscheck)")
+    if names & HEAVY_CONTRACT_ANN:
+        if not sv.check_ann_contracts(spark, sf_dir, queries):
+            failed.extend(sorted(names & HEAVY_CONTRACT_ANN))
+    if names & HEAVY_CONTRACT_BPE:
+        if not sv.check_bpe(spark, sf_dir, queries):
+            failed.append("q_bpe_tokens")
+    return failed
+
+
 def main() -> int:
-    flags = {"--strict", "--no-broadcast"}
+    flags = {"--strict", "--no-broadcast", "--heavy-value"}
     argv = [a for a in sys.argv[1:] if a not in flags]
     strict = "--strict" in sys.argv[1:]
     no_broadcast = "--no-broadcast" in sys.argv[1:]
+    heavy_value = "--heavy-value" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -120,8 +166,12 @@ def main() -> int:
     queries, oracles = e.queries(), e.oracle_sql()
 
     failed = []
+    delegated: set = set()
     for name, fn in queries.items():
         if only and name not in only:
+            continue
+        if heavy_value and name in HEAVY_ALL:
+            delegated.add(name)
             continue
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
@@ -147,6 +197,12 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"PASS {name}: {len(spark_pdf)} rows")
+
+    if delegated:
+        print(f"-- heavy-value checks for {len(delegated)} queries --")
+        failed.extend(
+            _run_heavy_value(spark, sf_dir, queries, oracles, delegated)
+        )
 
     extra_oracles = set(oracles) - set(queries)
     if extra_oracles:
