@@ -465,10 +465,17 @@ def lsh_topk(
     )
 
 
+# Invocation counter so tests can PROVE the persisted-index query path
+# never retrains (VERDICT r6 task 3: "second plan must contain no
+# k-means stage").
+KMEANS_CALLS = {"n": 0}
+
+
 def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
     """Tiny seeded k-means on a driver-side sample — coarse-quantizer
     training is a bounded-sample step even at 100 TB (the FAISS recipe:
     train on ~10⁵ vectors, assign the corpus distributedly)."""
+    KMEANS_CALLS["n"] += 1
     rng = np.random.default_rng(seed)
     u = _unit(sample)
     cents = u[rng.choice(len(u), size=k, replace=False)]
@@ -492,6 +499,7 @@ def cap_ivf_cells(
     seed: int = 42,
     split_bits: int = 4,
     max_rounds: int = 8,
+    record: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Quantizer-skew guard for the IVF layout: no cogroup cell may
     exceed ``cell_cap`` corpus rows. Oversized cells get a seeded
@@ -505,7 +513,15 @@ def cap_ivf_cells(
     cannot separate them).
 
     ``corpus`` must have (vid, vec, cell); ``queries`` (qid, qvec, cell).
-    Returns both with string-typed, capped cell keys."""
+    Returns both with string-typed, capped cell keys.
+
+    ``record`` (optional): a list that receives one ``(sfx_seed,
+    [oversized cells])`` entry per split round — the split HISTORY a
+    persisted index needs so later probes/appends can replay the exact
+    same sub-cell keys (``ivf_build``/``ivf_query_persisted``). The
+    oversized-cell list is tiny by construction (cells already over the
+    cap), so the extra collect is a bounded driver action."""
+    spark = corpus.sparkSession
     corpus = corpus.withColumn("cell", F.col("cell").cast("string"))
     queries = queries.withColumn("cell", F.col("cell").cast("string"))
     for round_no in range(max_rounds):
@@ -515,10 +531,18 @@ def cap_ivf_cells(
             .filter(F.col("__n") > cell_cap)
             .select("cell")
         )
-        if over.isEmpty():
+        sfx_seed = seed + 101 * (round_no + 1)
+        if record is not None:
+            cells = sorted(r["cell"] for r in over.collect())
+            if not cells:
+                break
+            record.append((sfx_seed, cells))
+            over = spark.createDataFrame(
+                [(c,) for c in cells], "cell string"
+            )
+        elif over.isEmpty():
             break
         ov = F.broadcast(over.withColumn("__over", F.lit(True)))
-        sfx_seed = seed + 101 * (round_no + 1)
 
         def _split(df: DataFrame, vcol: str) -> DataFrame:
             return (
@@ -545,6 +569,60 @@ def cap_ivf_cells(
         corpus = corpus.localCheckpoint(eager=False)
         queries = queries.localCheckpoint(eager=False)
     return corpus, queries
+
+
+def _make_cell_scorer(k: int):
+    """Per-cell exact cosine top-k cogroup kernel shared by the ad-hoc
+    (``ivf_topk``) and persisted (``ivf_query_persisted``) IVF paths.
+    Queries arrive as (qid, qvec, cell), corpus as (vid, vec, cell);
+    identical ids are self-masked (the self-query convention)."""
+
+    def score(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []}).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+        )
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return empty
+        qi, ci = qpdf["qid"].to_numpy(), cpdf["vid"].to_numpy()
+        c = np.round(_unit(_matrix(qpdf["qvec"])) @ _unit(_matrix(cpdf["vec"])).T, 4)
+        c[qi[:, None] == ci[None, :]] = -np.inf
+        rows = []
+        kk = min(k, c.shape[1])
+        for r in range(c.shape[0]):
+            order = np.lexsort((ci, -c[r]))[:kk]
+            rows.extend(
+                (qi[r], ci[j], c[r, j]) for j in order if np.isfinite(c[r, j])
+            )
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"]).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+        )
+
+    return score
+
+
+def _rank_cell_candidates(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """Cogroup-score probed cells and rank the survivors globally —
+    block-local top-k per probed cell is a superset of the global
+    top-k over the probed cells, so the window pass is exact."""
+    from pyspark.sql import Window
+
+    candidates = (
+        queries.groupBy("cell")
+        .cogroup(corpus.groupBy("cell"))
+        .applyInPandas(
+            _make_cell_scorer(k),
+            schema="query_id long, neighbor_id long, cos double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        candidates.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
 
 
 def ivf_topk(
@@ -650,40 +728,272 @@ def ivf_topk(
             seed=seed,
         )
 
-    def score(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []}).astype(
-            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
-        )
-        if len(qpdf) == 0 or len(cpdf) == 0:
-            return empty
-        qi, ci = qpdf["qid"].to_numpy(), cpdf["vid"].to_numpy()
-        c = np.round(_unit(_matrix(qpdf["qvec"])) @ _unit(_matrix(cpdf["vec"])).T, 4)
-        c[qi[:, None] == ci[None, :]] = -np.inf
-        rows = []
-        kk = min(k, c.shape[1])
-        for r in range(c.shape[0]):
-            order = np.lexsort((ci, -c[r]))[:kk]
-            rows.extend(
-                (qi[r], ci[j], c[r, j]) for j in order if np.isfinite(c[r, j])
-            )
-        if not rows:
-            return empty
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"]).astype(
-            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
-        )
+    return _rank_cell_candidates(queries, corpus, k)
 
-    candidates = (
-        queries.groupBy("cell")
-        .cogroup(corpus.groupBy("cell"))
-        .applyInPandas(score, schema="query_id long, neighbor_id long, cos double")
+
+# --------------------------------------------------------------------------
+# Persisted IVF index (VERDICT r6 task 3)
+#
+# ``ivf_topk`` retrains its coarse quantizer on every invocation — fine
+# for a one-shot certificate, a scale-killer for a real corpus queried
+# repeatedly. The persisted form separates the index LIFECYCLE the way
+# FAISS does (train once → add → search many):
+#
+# - ``ivf_build``  — train the quantizer on a bounded sample, assign
+#   the corpus distributedly, cap-split skewed cells, and persist
+#   centroids + capped cell codes + the split HISTORY as parquet
+#   snapshots in a GraphStore (same versioned layout as the graph
+#   tables: time travel, O(batch) deltas, bounded compaction).
+# - ``ivf_append`` — assign NEW vectors with the FROZEN quantizer
+#   (no retraining — the FAISS ``add`` posture) and land them as an
+#   O(batch) delta. Appended mass can re-skew a cell past the cap;
+#   that is the documented rebuild trigger, exactly as a FAISS index
+#   degrades until retrained.
+# - ``ivf_query_persisted`` — answer top-k from the persisted index
+#   with NO k-means stage anywhere: centroids are a tiny parquet read
+#   broadcast to the probe assigner, the split history replays the
+#   exact sub-cell keys, and the cogroup scorer reads the codes
+#   snapshot. Mirrors the reference's cache-reuse posture
+#   (OPTIMIZATION-CHANGELOG.md:100-113: reuse expensive state across
+#   runs instead of recomputing it).
+#
+# At 100 TB the build is one linear assign pass + bounded driver
+# actions; every query afterwards touches nprobe cells of the parquet
+# codes table (partition-prunable on `cell` if written partitioned).
+# --------------------------------------------------------------------------
+
+IVF_TABLES = ("centroids", "codes", "meta", "splits")
+
+
+def _assign_with_centroids(
+    emb: DataFrame,
+    cents: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """Distributed nearest-centroid assignment against a FROZEN
+    quantizer: one Arrow pass, no training. Emits (vid, vec, cell,
+    probe0..probe{nprobe-1})."""
+    bc = emb.sparkSession.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        for pdf in batches:
+            u = _unit(_matrix(pdf[vec_col]))
+            sims = u @ bc.value.T
+            order = np.argsort(-sims, axis=1)
+            out = pd.DataFrame(
+                {
+                    "vid": pdf[id_col].astype("int64"),
+                    "vec": pdf[vec_col],
+                    "cell": order[:, 0].astype("int32"),
+                }
+            )
+            for p in range(nprobe):
+                out[f"probe{p}"] = order[:, min(p, order.shape[1] - 1)].astype(
+                    "int32"
+                )
+            yield out
+
+    probes_schema = ", ".join(f"probe{p} int" for p in range(nprobe))
+    return emb.mapInPandas(
+        assign, f"vid long, vec array<float>, cell int, {probes_schema}"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        candidates.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
+
+
+def _replay_cell_splits(
+    df: DataFrame,
+    vcol: str,
+    history: list[tuple[int, list[str]]],
+    split_bits: int,
+    dim: int,
+) -> DataFrame:
+    """Replay a recorded cap-split history on fresh rows: each round's
+    oversized-cell list is broadcast and matching rows get the same
+    vector-derived sign-hyperplane suffix ``cap_ivf_cells`` assigned at
+    build time — so an appended vector or a probe lands in exactly the
+    sub-cell the persisted codes use."""
+    spark = df.sparkSession
+    df = df.withColumn("cell", F.col("cell").cast("string"))
+    for sfx_seed, cells in history:
+        ov = F.broadcast(
+            spark.createDataFrame([(c,) for c in cells], "cell string")
+            .withColumn("__over", F.lit(True))
+        )
+        df = (
+            df.join(ov, "cell", "left")
+            .withColumn(
+                "cell",
+                F.when(
+                    F.col("__over"),
+                    F.concat(
+                        F.col("cell"),
+                        F.lit("|"),
+                        sign_bucket(vcol, split_bits, dim, sfx_seed),
+                    ),
+                ).otherwise(F.col("cell")),
+            )
+            .drop("__over")
+        )
+    return df
+
+
+def ivf_build(
+    emb: DataFrame,
+    store,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int | None = None,
+    train_sample: int = 4096,
+    seed: int = 42,
+    cell_cap: int | None = 4096,
+    split_bits: int = 4,
+    version: int = 0,
+) -> dict:
+    """Train + assign + persist an IVF index into ``store`` (a
+    ``GraphStore``). Same quantizer recipe as ``ivf_topk`` (seeded
+    hash-ordered bounded sample → driver k-means → distributed assign →
+    cap-split), but the trained state lands as parquet snapshots so
+    queries and appends never retrain. Returns the persisted params."""
+    spark = emb.sparkSession
+    if n_clusters is None:
+        n = emb.count()
+        n_clusters = int(
+            min(max(4, round(math.sqrt(n))), max(4, train_sample // 8))
+        )
+    sample_pdf = (
+        emb.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias(vec_col),
+            F.hash(F.col(id_col), F.lit(seed)).alias("__r"),
+        )
+        .orderBy("__r", "__id")
+        .limit(train_sample)
+        .select(vec_col)
+        .toPandas()
     )
+    if not len(sample_pdf):
+        raise ValueError("ivf_build: empty corpus")
+    dim = len(sample_pdf[vec_col].iloc[0])
+    cents = _kmeans(_matrix(sample_pdf[vec_col]), n_clusters, seed=seed)
+
+    corpus = _assign_with_centroids(emb, cents, id_col, vec_col, nprobe=1).select(
+        "vid", "vec", "cell"
+    )
+    history: list[tuple[int, list[str]]] = []
+    if cell_cap is not None:
+        empty_q = spark.createDataFrame(
+            [], "qid long, qvec array<float>, cell int"
+        )
+        corpus, _ = cap_ivf_cells(
+            corpus,
+            empty_q,
+            cell_cap,
+            dim=dim,
+            seed=seed,
+            split_bits=split_bits,
+            record=history,
+        )
+    else:
+        corpus = corpus.withColumn("cell", F.col("cell").cast("string"))
+
+    cents_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cell int, centroid array<float>",
+    )
+    meta_df = spark.createDataFrame(
+        [(dim, n_clusters, seed, split_bits, int(cell_cap or 0))],
+        "dim int, n_clusters int, seed int, split_bits int, cell_cap int",
+    )
+    splits_df = spark.createDataFrame(
+        [
+            (r, sfx_seed, cell)
+            for r, (sfx_seed, cells) in enumerate(history)
+            for cell in cells
+        ],
+        "round int, sfx_seed int, cell string",
+    )
+    store.write(corpus, "codes", version)
+    store.write(cents_df, "centroids", version)
+    store.write(meta_df, "meta", version)
+    store.write(splits_df, "splits", version)
+    return {
+        "dim": dim,
+        "n_clusters": n_clusters,
+        "split_rounds": len(history),
+    }
+
+
+def _load_ivf_state(spark, store):
+    """Bounded driver reads of the tiny index-state tables (centroids ≈
+    √N rows, meta 1 row, splits ≈ oversized-cell count)."""
+    meta = store.read(spark, "meta").collect()[0].asDict()
+    cent_rows = store.read(spark, "centroids").collect()
+    cents = np.zeros((meta["n_clusters"], meta["dim"]), dtype=np.float64)
+    for r in cent_rows:
+        cents[r["cell"]] = r["centroid"]
+    splits = store.read(spark, "splits").collect()
+    by_round: dict[int, tuple[int, list[str]]] = {}
+    for r in splits:
+        seed_cells = by_round.setdefault(r["round"], (r["sfx_seed"], []))
+        seed_cells[1].append(r["cell"])
+    history = [by_round[k] for k in sorted(by_round)]
+    return meta, cents, history
+
+
+def ivf_append(
+    new_emb: DataFrame,
+    store,
+    version: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add new vectors to a persisted IVF index WITHOUT retraining: one
+    frozen-quantizer assign pass + split-history replay, landed as an
+    O(batch) GraphStore delta (``read`` unions it; ``compact`` folds it
+    into the next snapshot). The FAISS ``index.add`` posture."""
+    spark = new_emb.sparkSession
+    meta, cents, history = _load_ivf_state(spark, store)
+    assigned = _assign_with_centroids(
+        new_emb, cents, id_col, vec_col, nprobe=1
+    ).select("vid", "vec", "cell")
+    assigned = _replay_cell_splits(
+        assigned, "vec", history, meta["split_bits"], meta["dim"]
+    )
+    store.append_delta(assigned, "codes", version)
+
+
+def ivf_query_persisted(
+    queries: DataFrame,
+    store,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k from a PERSISTED IVF index: no k-means anywhere (pinned by
+    tests via ``KMEANS_CALLS``) — centroids come from a tiny parquet
+    read, probes replay the recorded split history, and the scorer
+    cogroups against the codes snapshot. Identical semantics to
+    ``ivf_topk`` when the query set is the indexed corpus itself
+    (self-masking scorer), which is what ``q_ann_persist`` exploits to
+    hash-match the fresh-build answer."""
+    spark = queries.sparkSession
+    meta, cents, history = _load_ivf_state(spark, store)
+    nprobe = min(nprobe, meta["n_clusters"])
+    assigned = _assign_with_centroids(queries, cents, id_col, vec_col, nprobe)
+    probe_q = assigned.select(
+        F.col("vid").alias("qid"),
+        F.col("vec").alias("qvec"),
+        F.explode(
+            F.array(*[f"probe{p}" for p in range(nprobe)])
+        ).alias("cell"),
+    )
+    probe_q = _replay_cell_splits(
+        probe_q, "qvec", history, meta["split_bits"], meta["dim"]
+    )
+    corpus = store.read(spark, "codes")
+    return _rank_cell_candidates(probe_q, corpus, k)
 
 
 def label_centroids(

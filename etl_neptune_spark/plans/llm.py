@@ -574,6 +574,54 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("q_ann_ivf", q_ann_ivf)  # rows-only: k-means state is not SQL-expressible
 
 
+def q_ann_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF lifecycle certificate (VERDICT r6 task 3): build
+    the index ONCE into a versioned GraphStore (centroids + capped cell
+    codes + split history as parquet), then answer top-k TWICE from the
+    persisted state — no k-means stage in the query path — and require
+    (a) the two persisted-path runs to be identical and (b) the
+    persisted answer to equal a FRESH ``ivf_topk`` build with the same
+    parameters. Both checks raise on any diff, so the driver's
+    rows-only gate is a real certificate: a red row means the persisted
+    index diverged from the fresh build. Same params as q_ann_ivf
+    (n_clusters=8, nprobe=4), so recall evidence transfers."""
+    import os
+
+    from ..operators.similarity import (
+        ivf_build,
+        ivf_query_persisted,
+        ivf_topk,
+    )
+    from ..streaming.store import GraphStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_") or "sf"
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    store = GraphStore(
+        os.path.join(repo_root, "spark-warehouse", f"annidx_{tag}")
+    )
+    ivf_build(emb, store, n_clusters=8, version=0)
+    first = ivf_query_persisted(emb, store, k=5, nprobe=4).localCheckpoint()
+    second = ivf_query_persisted(emb, store, k=5, nprobe=4).localCheckpoint()
+    rerun_diff = first.exceptAll(second).count() + second.exceptAll(first).count()
+    if rerun_diff:
+        raise RuntimeError(
+            f"q_ann_persist: persisted-index queries diverged ({rerun_diff} rows)"
+        )
+    fresh = ivf_topk(emb, n_clusters=8, nprobe=4).localCheckpoint()
+    build_diff = first.exceptAll(fresh).count() + fresh.exceptAll(first).count()
+    if build_diff:
+        raise RuntimeError(
+            f"q_ann_persist: persisted != fresh build ({build_diff} rows)"
+        )
+    return second
+
+
+register("q_ann_persist", q_ann_persist)  # rows-only + in-query equality certificate
+
+
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction (binary → array<float>), certified
     value-exact: the feature vector is exploded to (doc_id, dim_idx,

@@ -530,3 +530,62 @@ def test_minhash_signature_kernel_matches_naive_definition(spark):
             for j in range(6)
         ]
         assert got[doc_id] == expect, doc_id
+
+
+def test_ivf_persisted_index_no_retrain_and_matches_fresh(spark, sf_dir, tmp_path):
+    """Persisted-IVF lifecycle (VERDICT r6 task 3): build once, then
+    (a) the query path performs ZERO k-means training (KMEANS_CALLS
+    pinned), (b) its answer equals a fresh ivf_topk build with the same
+    parameters, and (c) appended vectors join the index via the frozen
+    quantizer and become findable without a rebuild."""
+    from etl_neptune_spark.operators.similarity import (
+        KMEANS_CALLS,
+        ivf_append,
+        ivf_build,
+        ivf_query_persisted,
+        ivf_topk,
+    )
+    from etl_neptune_spark.sources import load_table
+    from etl_neptune_spark.streaming.store import GraphStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = GraphStore(str(tmp_path / "annidx"))
+    info = ivf_build(emb, store, n_clusters=8, version=0)
+    assert info["n_clusters"] == 8
+
+    before = KMEANS_CALLS["n"]
+    got = {
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in ivf_query_persisted(emb, store, k=5, nprobe=4).collect()
+    }
+    assert KMEANS_CALLS["n"] == before, "query path must not retrain"
+
+    fresh = {
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in ivf_topk(emb, k=5, n_clusters=8, nprobe=4).collect()
+    }
+    assert got == fresh
+
+    # append: clone 5 vectors under new ids; the clones are exact
+    # duplicates, so each original must now see its clone at cos 1.0.
+    from pyspark.sql import functions as F
+
+    clones = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+    )
+    before = KMEANS_CALLS["n"]
+    ivf_append(clones, store, version=1)
+    assert KMEANS_CALLS["n"] == before, "append path must not retrain"
+    after = ivf_query_persisted(emb, store, k=5, nprobe=4)
+    clone_hits = {
+        r.query_id
+        for r in after.filter(
+            F.col("neighbor_id") >= 10_000_000
+        ).collect()
+        if r.neighbor_id == r.query_id + 10_000_000
+    }
+    originals = {r.vec_id for r in clones.select(
+        (F.col("vec_id") - 10_000_000).alias("vec_id")).collect()}
+    assert originals <= clone_hits, (originals, clone_hits)
