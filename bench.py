@@ -97,22 +97,53 @@ def main() -> None:
     spark.range(1024).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # Warm the Structured Streaming machinery once (class loading,
+    # state-store provider init, checkpoint plumbing) so the first
+    # streaming certificate doesn't carry one-time JVM costs — part of
+    # the streaming-block de-noising (VERDICT r6 task 4).
+    try:
+        import shutil
+        import tempfile
+
+        wdir = tempfile.mkdtemp(prefix="bench_stream_warm_")
+        src = os.path.join(wdir, "in")
+        spark.range(64).write.mode("overwrite").parquet(src)
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(src)
+            .dropDuplicates(["id"])
+            .writeStream.format("parquet")
+            .option("path", os.path.join(wdir, "out"))
+            .option("checkpointLocation", os.path.join(wdir, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        shutil.rmtree(wdir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        print(f"stream warmup failed: {exc}", file=sys.stderr)
 
     names = HEADLINE + sorted(set(queries) - set(HEADLINE))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    stream_runs: dict[str, list[float]] = {}
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+
+    def is_stream_cert(n: str) -> bool:
+        return n.startswith("q_stream_") and n.endswith(
+            ("_e2e", "_dedup", "_stateful", "_dedup_wm", "_restart")
+        )
+
     for name in names:
         # Best-of-N (default 2): single-shot timings on a shared host
         # swing 2x with neighbor load; the min is the query's cost.
-        # Executed-streaming certificates run ONCE: their wall time is
-        # fixed micro-batch machinery (state commits, checkpoints, file
-        # staging), stable across runs and ~15 s each — repeating them
-        # doubles bench wall time without sharpening the measurement.
-        n_runs = 1 if name.startswith("q_stream_") and name.endswith(
-            ("_e2e", "_dedup", "_stateful", "_dedup_wm")
-        ) else max(1, repeats)
+        # Executed-streaming certificates also run twice now that their
+        # staging is cached (VERDICT r6 task 4): both wall times are
+        # recorded so run-to-run variance is an artifact, not a guess.
+        n_runs = max(1, repeats)
         best = float("inf")
+        runs: list[float] = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             try:
@@ -123,9 +154,13 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"bench {name} failed: {errors[name]}", file=sys.stderr)
                 break
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            runs.append(round(dt, 3))
+            best = min(best, dt)
         if name not in errors:
             timings[name] = round(best, 3)
+            if is_stream_cert(name):
+                stream_runs[name] = runs
 
     # Skew evidence (VERDICT r4 task 8): the same headline queries on a
     # deterministic zipfian-key copy of the tables — one user carries
@@ -170,6 +205,24 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if stream_runs:
+        # The executed-streaming block reported separately: its wall
+        # time is micro-batch machinery, not data-dependent plan cost,
+        # and used to drown the regression signal (VERDICT r6 task 4).
+        block = {k: timings[k] for k in stream_runs if k in timings}
+        out["streaming_block"] = {
+            "total_sec": round(sum(block.values()), 3),
+            "queries": block,
+            "runs": stream_runs,
+            "max_run_ratio": round(
+                max(
+                    (max(r) / min(r)) for r in stream_runs.values() if min(r) > 0
+                ),
+                3,
+            )
+            if stream_runs
+            else None,
+        }
     if skew_timings:
         out["skew"] = skew_timings
     if store_stats:

@@ -35,6 +35,7 @@ except ImportError:  # this container: PNG-only via the stdlib codec
     _PILImage = None
     _HAVE_PIL = False
 
+from ..functions import avicodec as _avi
 from ..functions import jpegcodec as _jpeg
 from ..functions import pngcodec as _png
 
@@ -497,14 +498,20 @@ def frame_sample_plan(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", every_n: int = 10
 ) -> DataFrame:
     """Video-frame sampling plumbing: one output row per sampled frame
-    index. Frame *count* comes from the (fake) decode; frame extraction
-    itself would slot into the mapInPandas body."""
+    index. AVI payloads take the REAL container path (header probe via
+    functions.avicodec); other payloads keep the deterministic fake
+    probe so the text-fixture oracle (q_frame_sample) is unchanged.
+    Full frame EXTRACTION + decode is ``frame_sample`` below."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for i, b in zip(pdf[id_col].values, pdf[bin_col].values):
-                n_frames = len(bytes(b)) % 300 + 1  # fake probe
+                raw = bytes(b)
+                if _avi.is_avi(raw):
+                    n_frames = _avi.probe(raw)["n_frames"]
+                else:
+                    n_frames = len(raw) % 300 + 1  # fake probe
                 rows.extend(
                     {"doc_id": int(i), "frame_idx": f}
                     for f in range(0, n_frames, every_n)
@@ -513,6 +520,99 @@ def frame_sample_plan(
 
     return df.select(id_col, bin_col).mapInPandas(
         batches, "doc_id bigint, frame_idx bigint"
+    )
+
+
+def fabricate_avi(
+    df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """(id, payload) with payload a REAL MJPEG-in-AVI byte stream —
+    the video analogue of ``fabricate_jpeg`` (VERDICT r6 task 5, the
+    last synthetic-media path made real). ``size % 4 + 2`` frames of
+    ``(size % 3 + 2) × (size % 2 + 2)`` constant 8×8 tiles; frame f's
+    tile t carries ``2·((id·7 + f·11 + t·13) % 128)`` — even DC-only
+    values, so every frame's JPEG round-trips EXACTLY and the sampled
+    frames' pixels are SQL-predictable (q_mjpeg_pipeline) while the
+    wire bytes are a genuine RIFF container of Huffman-coded frames."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            pays = []
+            for i, n in zip(pdf[id_col].values, pdf[size_col].values):
+                tw, th = int(n) % 3 + 2, int(n) % 2 + 2
+                nf = int(n) % 4 + 2
+                t = np.arange(tw * th, dtype=np.int64).reshape(th, tw)
+                frames = []
+                for f in range(nf):
+                    tiles = (
+                        (int(i) * 7 + f * 11 + t * 13) % 128 * 2
+                    ).astype(np.uint8)
+                    frames.append(
+                        _jpeg.encode(
+                            np.kron(tiles, np.ones((8, 8), dtype=np.uint8)),
+                            quality=50,
+                        )
+                    )
+                pays.append(_avi.encode(frames, tw * 8, th * 8))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "payload": pays})
+
+    return df.select(id_col, size_col).mapInPandas(
+        batches, "doc_id bigint, payload binary"
+    )
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    every_n: int = 2,
+) -> DataFrame:
+    """REAL video frame sampling: parse the AVI container, take every
+    ``every_n``-th frame, decode each sampled frame through the JPEG
+    best-codec seam, and emit dims + the exact decoded pixel checksum
+    per sampled frame. Non-AVI payloads raise by design — this
+    certifies the container walk + per-frame codec, not a fallback.
+    One Arrow pass, no shuffle; at 100 TB the per-file unit is a video
+    whose frames decode independently inside the batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col].values, pdf[bin_col].values):
+                frames, info = _avi.decode(bytes(b))
+                for f in range(0, len(frames), every_n):
+                    img = _decode_jpeg_pixels(frames[f])
+                    h, w = img.shape[:2]
+                    rows.append(
+                        {
+                            "doc_id": int(i),
+                            "frame_idx": f,
+                            "width": w,
+                            "height": h,
+                            "pixel_checksum": int(
+                                np.sum(img, dtype=np.int64) % 10007
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "pixel_checksum",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches,
+        "doc_id bigint, frame_idx bigint, width int, height int, "
+        "pixel_checksum bigint",
     )
 
 

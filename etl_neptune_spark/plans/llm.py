@@ -524,6 +524,56 @@ register(
 )
 
 
+def q_mjpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container certification through the driver gate
+    (VERDICT r6 task 5 — the last synthetic-media path made real):
+    fabricate a genuine MJPEG-in-AVI per document (RIFF hdrl/movi/idx1
+    skeleton wrapping per-frame baseline-JFIF streams), ship the binary
+    column through Spark, walk the container, sample every 2nd frame,
+    and decode the sampled frames with the certified JPEG codec. The
+    frames are DC-only constant-tile images (the q_jpeg_pipeline
+    argument), so the oracle predicts each sampled frame's decoded
+    pixel checksum arithmetically — a hash match certifies container
+    assemble → binary column → chunk walk → frame extract → JPEG
+    decode end to end. Two chained Arrow passes, zero shuffle."""
+    from ..operators.multimodal import fabricate_avi, frame_sample
+
+    docs = _spread_for_codec(spark, load_table(spark, sf_dir, "documents"))
+    return frame_sample(fabricate_avi(docs), every_n=2)
+
+
+register(
+    "q_mjpeg_pipeline",
+    q_mjpeg_pipeline,
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               n_chars % 3 + 2 AS tw,
+               n_chars % 2 + 2 AS th,
+               n_chars % 4 + 2 AS nf
+        FROM documents
+    ),
+    sampled AS (
+        SELECT doc_id, tw, th, f.f AS frame_idx
+        FROM dims, unnest(range(0, nf, 2)) AS f(f)
+    ),
+    px AS (
+        SELECT doc_id, frame_idx, tw, th,
+               sum(((doc_id * 7 + frame_idx * 11 + t.i * 13) % 128) * 2 * 64)
+                   AS psum
+        FROM sampled, unnest(range(0, tw * th)) AS t(i)
+        GROUP BY doc_id, frame_idx, tw, th
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(tw * 8 AS INTEGER) AS width,
+           CAST(th * 8 AS INTEGER) AS height,
+           CAST(psum % 10007 AS BIGINT) AS pixel_checksum
+    FROM px
+    """,
+)
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: one row per sampled frame index."""
     from ..operators.multimodal import frame_sample_plan, with_payload

@@ -8,6 +8,7 @@ checkpoints and file-arrival batches (tests/test_streaming.py).
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +48,152 @@ def _stream_shuffle(spark: SparkSession, n: int | None = None):
         yield
     finally:
         spark.conf.set(key, prev)
+
+
+_STAGE_FP_CACHE: dict[str, int] = {}
+
+
+def _events_fingerprint(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the fixture's events table, cached per process —
+    the cheap invalidation key for the staged-file cache below."""
+    key = os.path.abspath(sf_dir)
+    if key not in _STAGE_FP_CACHE:
+        _STAGE_FP_CACHE[key] = load_table(spark, sf_dir, "events").count()
+    return _STAGE_FP_CACHE[key]
+
+
+def _staged_events(spark: SparkSession, sf_dir: str, layout: str, build) -> str:
+    """Stage-once cache for the executed-streaming certificates
+    (VERDICT r6 task 4): every certificate re-shapes the SAME immutable
+    fixture into its staging layout on every invocation — a full Spark
+    write job each, ~1–3 s × 8 certificates of pure fixed cost that
+    drowns the regression signal in the bench. The shaped files are a
+    deterministic function of (fixture, layout), so they are built once
+    into ``spark-warehouse/stream_staged_<tag>/<layout>/`` and
+    HARDLINKED into each certificate's private staging dir afterwards.
+    Invalidation: the marker records the fixture's event row count; a
+    mismatch rebuilds. ``build(tmp_dir)`` performs the cert's original
+    shaping write."""
+    import json
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    cache = os.path.join(
+        repo_root, "spark-warehouse", f"stream_staged_{tag}", layout
+    )
+    marker = os.path.join(cache, "_STAGED")
+    fp = _events_fingerprint(spark, sf_dir)
+    try:
+        with open(marker) as fh:
+            if json.load(fh).get("fp") == fp:
+                return cache
+    except (FileNotFoundError, ValueError):
+        pass
+    shutil.rmtree(cache, ignore_errors=True)
+    tmp = cache + "__tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build(tmp)
+    os.makedirs(cache, exist_ok=True)
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            os.replace(os.path.join(tmp, f), os.path.join(cache, f))
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(marker, "w") as fh:
+        json.dump({"fp": fp}, fh)
+    return cache
+
+
+def _link_staged(cache: str, staging: str, prefixes: tuple[str, ...] = ("",)):
+    """Hardlink the cached staged files into a certificate's private
+    staging dir (falling back to copy across filesystems). Returns the
+    created file names in sorted order.
+
+    Spark's file stream source orders files by MODIFICATION TIME, and
+    hardlinks share the cached inode's single mtime — leaving the
+    file→micro-batch assignment to an undefined tie-break (which broke
+    q_stream_restart's 'redeliver an already-processed file' invariant:
+    the redelivered copy could land in the same batch as its
+    unprocessed original and double those groups). Stamping strictly
+    increasing mtimes in name order makes the batch slicing
+    deterministic: sorted name order IS arrival order."""
+    import shutil
+    import time
+
+    os.makedirs(staging, exist_ok=True)
+    names = []
+    for f in sorted(os.listdir(cache)):
+        if not f.endswith(".parquet"):
+            continue
+        for p in prefixes:
+            dst = os.path.join(staging, p + f)
+            try:
+                os.link(os.path.join(cache, f), dst)
+            except OSError:
+                shutil.copy(os.path.join(cache, f), dst)
+            names.append(p + f)
+    names = sorted(names)
+    base = time.time() - 3600
+    for i, f in enumerate(names):
+        os.utime(os.path.join(staging, f), (base + i, base + i))
+    return names
+
+
+def _write_sentinel_parquet(
+    path: str, event_id: int, user_id: int, ts_micros: int
+) -> None:
+    """Write a one-row far-future sentinel event DIRECTLY with pyarrow
+    — the sentinel-advance flushes previously cost a coalesce(1) Spark
+    write job plus a file copy each (VERDICT r6 task 4's 'trim sentinel
+    file copies'). UTC-adjusted micros match Spark's own parquet
+    timestamp encoding, so the streaming reader's explicit schema reads
+    it exactly as a Spark-written row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([event_id], pa.int64()),
+            "user_id": pa.array([user_id], pa.int64()),
+            "event_type": pa.array(["zz_sentinel"], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "ts": pa.array([ts_micros], pa.timestamp("us", tz="UTC")),
+            "props": pa.array([None], pa.string()),
+        }
+    )
+    pq.write_table(t, path)
+
+
+def _day8_build(ev):
+    """Day-hashed 8-file layout (the q_stream_e2e invariant): every
+    file holds whole days, so every 5-min window group lives in exactly
+    one file and one micro-batch. Explicit partition count — AQE would
+    coalesce the small hash shuffle into ONE file, collapsing the run
+    to a single micro-batch."""
+
+    def build(tmp):
+        (
+            ev.withColumn("_day", F.to_date("ts"))
+            .repartition(8, "_day")
+            .drop("_day")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    return build
+
+
+def _rr_build(df, n: int):
+    """Round-robin n-file layout for certificates whose result is
+    batch-split-invariant by their own mechanism (dedup state, lifetime
+    counters, span-sized watermarks)."""
+
+    def build(tmp):
+        df.repartition(n).write.mode("overwrite").parquet(tmp)
+
+    return build
 
 
 def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,24 +323,9 @@ def q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(repo_root, "spark-warehouse", f"stream_e2e_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     staging = os.path.join(root, "input")
-    tmp = os.path.join(root, "_stage_tmp")
-    # Explicit partition count: AQE would coalesce the small hash
-    # shuffle into ONE file, collapsing the run to a single micro-batch
-    # — 8 day-hashed files / maxFilesPerTrigger=3 gives 3 real batches.
-    # Day-wholeness still holds: each file is a set of whole hash
-    # partitions, each day lives in exactly one of them.
-    (
-        ev.withColumn("_day", F.to_date("ts"))
-        .repartition(8, "_day")
-        .drop("_day")
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    os.makedirs(staging, exist_ok=True)
-    for f in sorted(os.listdir(tmp)):
-        if f.endswith(".parquet"):
-            shutil.copy(os.path.join(tmp, f), os.path.join(staging, f))
-    shutil.rmtree(tmp, ignore_errors=True)
+    # 8 day-hashed files / maxFilesPerTrigger=3 gives 3 real batches;
+    # staged once per fixture and hardlinked (see _staged_events).
+    _link_staged(_staged_events(spark, sf_dir, "day8", _day8_build(ev)), staging)
 
     store = GraphStore(os.path.join(root, "store"))
     dim = broadcast_dim(spark, PROTOCOL_PRIORITY, "protocol string, priority int")
@@ -334,15 +466,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(repo_root, "spark-warehouse", f"stream_dedup_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     staging = os.path.join(root, "input")
-    tmp = os.path.join(root, "_stage_tmp")
-    ev.repartition(4).write.mode("overwrite").parquet(tmp)
-    os.makedirs(staging, exist_ok=True)
-    for f in sorted(os.listdir(tmp)):
-        if f.endswith(".parquet"):
-            # deliver every file TWICE under distinct paths
-            shutil.copy(os.path.join(tmp, f), os.path.join(staging, "a_" + f))
-            shutil.copy(os.path.join(tmp, f), os.path.join(staging, "b_" + f))
-    shutil.rmtree(tmp, ignore_errors=True)
+    # deliver every file TWICE under distinct paths (a_/b_ links)
+    _link_staged(
+        _staged_events(spark, sf_dir, "rr4", _rr_build(ev, 4)),
+        staging,
+        prefixes=("a_", "b_"),
+    )
 
     sink = os.path.join(root, "sink")
     with _stream_shuffle(spark):
@@ -420,19 +549,9 @@ def q_stream_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(repo_root, "spark-warehouse", f"stream_win_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     staging = os.path.join(root, "input")
-    tmp = os.path.join(root, "_stage_tmp")
-    (
-        ev.withColumn("_day", F.to_date("ts"))
-        .repartition(8, "_day")
-        .drop("_day")
-        .write.mode("overwrite")
-        .parquet(tmp)
+    _link_staged(
+        _staged_events(spark, sf_dir, "day8", _day8_build(ev)), staging
     )
-    os.makedirs(staging, exist_ok=True)
-    for f in sorted(os.listdir(tmp)):
-        if f.endswith(".parquet"):
-            shutil.copy(os.path.join(tmp, f), os.path.join(staging, f))
-    shutil.rmtree(tmp, ignore_errors=True)
 
     sink = os.path.join(root, "sink")
     ckpt = os.path.join(root, "_checkpoint")
@@ -464,8 +583,8 @@ def q_stream_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(600)
 
     run_once()  # drains the real data
-    mx = ev.agg(F.max("ts")).first()[0]
-    if mx is None:  # empty input: nothing staged, nothing to flush
+    mx_us = ev.agg(F.unix_micros(F.max("ts"))).first()[0]
+    if mx_us is None:  # empty input: nothing staged, nothing to flush
         return spark.createDataFrame(
             [],
             "win_start bigint, event_type string, n_events bigint, "
@@ -476,22 +595,14 @@ def q_stream_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel's advanced watermark and flushes every real window —
     # one extra streaming run instead of two (order-insensitive: either
     # sentinel first, the later batch's watermark clears all real
-    # windows).
+    # windows). Written directly with pyarrow — no Spark job.
     for i, days in enumerate((90, 180)):
-        sent = ev.sparkSession.createDataFrame(
-            [(-(i + 1), -1, "zz_sentinel", 0.0, None, None)],
-            "event_id bigint, user_id bigint, event_type string, "
-            "value double, ts timestamp, props string",
-        ).withColumn("ts", F.lit(mx) + F.expr(f"INTERVAL {days} DAYS"))
-        sent.select(*[f.name for f in EVENTS_SCHEMA.fields]).coalesce(
-            1
-        ).write.mode("overwrite").parquet(os.path.join(root, f"_sent{i}"))
-        for f in os.listdir(os.path.join(root, f"_sent{i}")):
-            if f.endswith(".parquet"):
-                shutil.copy(
-                    os.path.join(root, f"_sent{i}", f),
-                    os.path.join(staging, f"zz_sentinel_{i}.parquet"),
-                )
+        _write_sentinel_parquet(
+            os.path.join(staging, f"zz_sentinel_{i}.parquet"),
+            -(i + 1),
+            -1,
+            mx_us + days * 86_400_000_000,
+        )
     run_once(max_files="1")  # two single-file batches: advance + flush
 
     out = spark.read.parquet(sink)
@@ -545,13 +656,9 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(repo_root, "spark-warehouse", f"stream_state_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     staging = os.path.join(root, "input")
-    tmp = os.path.join(root, "_stage_tmp")
-    ev.repartition(6).write.mode("overwrite").parquet(tmp)
-    os.makedirs(staging, exist_ok=True)
-    for f in sorted(os.listdir(tmp)):
-        if f.endswith(".parquet"):
-            shutil.copy(os.path.join(tmp, f), os.path.join(staging, f))
-    shutil.rmtree(tmp, ignore_errors=True)
+    _link_staged(
+        _staged_events(spark, sf_dir, "rr6", _rr_build(ev, 6)), staging
+    )
 
     sink_dir = os.path.join(root, "sink")
 
@@ -651,14 +758,13 @@ def q_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return empty
 
     def stage(name: str, flt) -> str:
-        tmp = os.path.join(root, f"_tmp_{name}")
         out = os.path.join(root, name)
-        ev.filter(flt).repartition(4).write.mode("overwrite").parquet(tmp)
-        os.makedirs(out, exist_ok=True)
-        for f in sorted(os.listdir(tmp)):
-            if f.endswith(".parquet"):
-                shutil.copy(os.path.join(tmp, f), os.path.join(out, f))
-        shutil.rmtree(tmp, ignore_errors=True)
+        _link_staged(
+            _staged_events(
+                spark, sf_dir, f"{name}_rr4", _rr_build(ev.filter(flt), 4)
+            ),
+            out,
+        )
         return out
 
     v_dir = stage("views", F.col("event_type") == "view")
@@ -775,31 +881,13 @@ def q_stream_session_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, session_start_us bigint, n_events bigint, "
         "cents bigint",
     )
-    mx = ev.agg(F.max("ts")).first()[0]
-    if mx is None:
+    mx_us = ev.agg(F.unix_micros(F.max("ts"))).first()[0]
+    if mx_us is None:
         return empty
     staging = os.path.join(root, "input")
-    tmp = os.path.join(root, "_stage_tmp")
-    ev.repartition(6).write.mode("overwrite").parquet(tmp)
-    os.makedirs(staging, exist_ok=True)
-    for f in sorted(os.listdir(tmp)):
-        if f.endswith(".parquet"):
-            shutil.copy(os.path.join(tmp, f), os.path.join(staging, f))
-    shutil.rmtree(tmp, ignore_errors=True)
-    # Far-future sentinel users: each single-file follow-up batch
-    # advances the watermark past the previous sentinel; the second
-    # batch flushes every real session (same reasoning as
-    # q_stream_window_e2e — one follow-up run, order-insensitive).
-    for i, days in enumerate((90, 180)):
-        sent = spark.createDataFrame(
-            [(-(i + 1), -(i + 1), "zz_sentinel", 0.0, None, None)],
-            "event_id bigint, user_id bigint, event_type string, "
-            "value double, ts timestamp, props string",
-        ).withColumn("ts", F.lit(mx) + F.expr(f"INTERVAL {days} DAYS"))
-        sdir = os.path.join(root, f"_sent{i}")
-        sent.select(*[f.name for f in EVENTS_SCHEMA.fields]).coalesce(
-            1
-        ).write.mode("overwrite").parquet(sdir)
+    _link_staged(
+        _staged_events(spark, sf_dir, "rr6", _rr_build(ev, 6)), staging
+    )
 
     sink = os.path.join(root, "sink")
     ckpt = os.path.join(root, "_checkpoint")
@@ -839,13 +927,18 @@ def q_stream_session_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination(600)
 
     run_once("2")  # drains the real data; tail sessions still in state
-    for i in range(2):
-        for f in os.listdir(os.path.join(root, f"_sent{i}")):
-            if f.endswith(".parquet"):
-                shutil.copy(
-                    os.path.join(root, f"_sent{i}", f),
-                    os.path.join(staging, f"zz_sentinel_{i}.parquet"),
-                )
+    # Far-future sentinel users: each single-file follow-up batch
+    # advances the watermark past the previous sentinel; the second
+    # batch flushes every real session (same reasoning as
+    # q_stream_window_e2e). Written directly with pyarrow — no Spark
+    # job, no copy.
+    for i, days in enumerate((90, 180)):
+        _write_sentinel_parquet(
+            os.path.join(staging, f"zz_sentinel_{i}.parquet"),
+            -(i + 1),
+            -(i + 1),
+            mx_us + days * 86_400_000_000,
+        )
     run_once("1")  # two single-file batches: advance + flush
     out = spark.read.schema(
         "user_id long, session_start_us long, n_events long, cents long"
@@ -916,14 +1009,11 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(repo_root, "spark-warehouse", f"stream_dwm_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     staging = os.path.join(root, "input")
-    tmp = os.path.join(root, "_stage_tmp")
-    ev.repartition(4).write.mode("overwrite").parquet(tmp)
-    os.makedirs(staging, exist_ok=True)
-    for f in sorted(os.listdir(tmp)):
-        if f.endswith(".parquet"):
-            shutil.copy(os.path.join(tmp, f), os.path.join(staging, "a_" + f))
-            shutil.copy(os.path.join(tmp, f), os.path.join(staging, "b_" + f))
-    shutil.rmtree(tmp, ignore_errors=True)
+    _link_staged(
+        _staged_events(spark, sf_dir, "rr4", _rr_build(ev, 4)),
+        staging,
+        prefixes=("a_", "b_"),
+    )
 
     sink = os.path.join(root, "sink")
     with _stream_shuffle(spark):
@@ -1001,24 +1091,11 @@ def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(repo_root, "spark-warehouse", f"stream_restart_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     staging = os.path.join(root, "input")
-    tmp = os.path.join(root, "_stage_tmp")
-    # Day-hashed staging (the q_stream_e2e invariant): every file holds
-    # whole days, so every 5-min window group lives in exactly one file
-    # — replays and redeliveries rewrite COMPLETE aggregates.
-    (
-        ev.withColumn("_day", F.to_date("ts"))
-        .repartition(8, "_day")
-        .drop("_day")
-        .write.mode("overwrite")
-        .parquet(tmp)
+    # Day-hashed staging (the q_stream_e2e invariant): replays and
+    # redeliveries rewrite COMPLETE aggregates.
+    staged = _link_staged(
+        _staged_events(spark, sf_dir, "day8", _day8_build(ev)), staging
     )
-    os.makedirs(staging, exist_ok=True)
-    staged = []
-    for f in sorted(os.listdir(tmp)):
-        if f.endswith(".parquet"):
-            shutil.copy(os.path.join(tmp, f), os.path.join(staging, f))
-            staged.append(f)
-    shutil.rmtree(tmp, ignore_errors=True)
 
     store = GraphStore(os.path.join(root, "store"))
     info = {"crashes": 0, "batches": [], "starts": 0}
