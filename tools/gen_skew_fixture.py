@@ -8,6 +8,10 @@ Derives a DETERMINISTIC skewed copy of the sf tables:
 - ``documents.parquet``: ~30% of docs replaced with one of three hot
   boilerplate texts, so shingle/band keys skew the same way (the
   MinHash-LSH bucket-skew case the band caps defend against).
+- ``customer.parquet``: ~30% of customers remapped onto ONE custkey,
+  which collapses their derived coordinates into one grid cell — the
+  hot-cell case for q_grid_join's spatial hash join and a hot probe
+  key for any customer-keyed join (VERDICT r6 task 7).
 
 Output: ``<repo>/spark-warehouse/skewfix/{events,documents}.parquet``
 (directories; load_table reads them like the snapshot tables).
@@ -64,10 +68,23 @@ def build(spark, src_sf_dir: str, out_dir: str) -> None:
         os.path.join(out_dir, "documents.parquet")
     )
 
-    # pass-through tables: queries resolve dims (nation, customer, ...)
+    cust = load_table(spark, src_sf_dir, "customer")
+    cbucket = F.pmod(F.hash("c_custkey"), F.lit(100))
+    skewed_cust = cust.withColumn(
+        "c_custkey",
+        F.when(cbucket < 30, F.lit(7)).otherwise(F.col("c_custkey")),
+    )
+    cust_dst = os.path.join(out_dir, "customer.parquet")
+    # a stale fixture may hold a SYMLINK to the read-only source table —
+    # never let an overwrite follow it
+    if os.path.islink(cust_dst):
+        os.unlink(cust_dst)
+    skewed_cust.write.mode("overwrite").parquet(cust_dst)
+
+    # pass-through tables: queries resolve dims (nation, supplier, ...)
     # against the same dir — symlink the unskewed originals
     for t in (
-        "region nation customer supplier part orders lineitem embeddings"
+        "region nation supplier part orders lineitem embeddings"
     ).split():
         dst = os.path.join(out_dir, f"{t}.parquet")
         src = os.path.join(src_sf_dir.rstrip("/"), f"{t}.parquet")
