@@ -1,0 +1,156 @@
+"""sf10 heavy-tail scale probe (VERDICT r6 task 1).
+
+The standing scaling sweep covers sf0.001→sf1; its 100× claim rested on
+one 10× step. This probe adds the SECOND decade for the queries that
+grew fastest on the first one: each heavy-tail query runs TWICE at sf1
+and TWICE at sf10 (best-of-2 wall time, timed around the full
+collect+hash so the two runs double as the two-run determinism gate —
+any fold-order float, partition-id dependence or unstable tie-break
+shows as a hash mismatch at the scale where it would first matter).
+
+Outputs the "## sf10 heavy-tail probe" section of SCALING.md (replacing
+a previous probe section, keeping the main table). A ratio ≤10× on the
+sf1→sf10 step means the plan stayed linear-or-better through BOTH
+decades; any super-linear grower is called out for a plan fix or a
+documented bound.
+
+Usage: python tools/sf10_probe.py [q ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from tools.determinism_check import result_hash  # noqa: E402
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1_DIR = os.path.join(_REPO, "spark-warehouse", "sf1")
+SF10_DIR = os.path.join(_REPO, "spark-warehouse", "sf10")
+
+# The verdict's ≥5× growers on the 0.1→1 step, every ≥3.3× grower, the
+# rank rewrites (hot-cardinality two-phase ranks), the closures, and
+# the flagship.
+HEAVY_TAIL = [
+    "q_json_refs_udtf",
+    "q_tpch_q21",
+    "q_ann_ivf",
+    "q_ann_pq",
+    "q_temporal_reach",
+    "q_span_dedup",
+    "q_jaccard_prefix",
+    "q_dedup_minhash",
+    "q_tfidf",
+    "q_bm25",
+    "q_simhash_band",
+    "q_assoc_rules",
+    "q_boilerplate",
+    "q_ngram_jaccard",
+    "q_containment",
+    "q_dup_clusters",
+    "q_cluster_survivors",
+    "q_leakage_split",
+    "q_semdedup",
+    "q_hard_negatives",
+    "q_ewma",
+    "q_rfm",
+    "q_gains",
+    "q_flow_edges",
+]
+
+SECTION_HEADER = "## sf10 heavy-tail probe"
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    names = list(dict.fromkeys(sys.argv[1:] or HEAVY_TAIL))
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "96")
+        .config("spark.driver.memory", "28g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    if not os.path.isdir(os.path.join(SF10_DIR, "events.parquet")):
+        raise SystemExit("run tools/gen_sf10.py first")
+
+    qs = entry.queries()
+    rows = []
+    det_failed = 0
+    for name in names:
+        cells = []
+        stable = True
+        for sf, parts in ((SF1_DIR, "96"), (SF10_DIR, "192")):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            best = None
+            hashes = []
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    hashes.append(result_hash(qs[name](spark, sf)))
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                print(
+                    f"{os.path.basename(sf)} {name}: FAILED "
+                    f"{type(exc).__name__}: {str(exc)[:200]}",
+                    flush=True,
+                )
+                best = float("nan")
+            cells.append(best)
+            if len(hashes) == 2 and hashes[0] != hashes[1]:
+                stable = False
+                det_failed += 1
+                print(f"DETERMINISM FAIL {name} at {os.path.basename(sf)}")
+            if best == best:
+                print(
+                    f"{os.path.basename(sf)} {name}: {best:.2f}s "
+                    f"({hashes[0][0]} rows)",
+                    flush=True,
+                )
+        ratio = (
+            cells[1] / cells[0]
+            if cells[0] and cells[0] == cells[0] and cells[1] == cells[1]
+            else float("nan")
+        )
+        rows.append((name, cells[0], cells[1], ratio, stable))
+
+    lines = [
+        SECTION_HEADER,
+        "",
+        "Second 10× decade for the fastest growers of the 0.1→1 step",
+        "(`tools/sf10_probe.py`; sf10 = gen_sf1's amplifier applied to",
+        "sf1 — 10M events / 500k docs / 200k vectors / 60M lineitem).",
+        "Wall time is best-of-2 around full collect+hash; the two runs",
+        "double as the two-run determinism gate at sf10.",
+        "",
+        "| query | sf1 | sf10 | ×(1→10) | det |",
+        "|---|---|---|---|---|",
+    ]
+    for name, a, b, r, stable in rows:
+        lines.append(
+            f"| {name} | {a:.2f}s | {b:.2f}s | {r:.1f}× |"
+            f" {'ok' if stable else 'FAIL'} |"
+        )
+    section = "\n".join(lines) + "\n"
+
+    path = os.path.join(_REPO, "SCALING.md")
+    existing = open(path).read() if os.path.exists(path) else ""
+    if SECTION_HEADER in existing:
+        existing = existing[: existing.index(SECTION_HEADER)].rstrip() + "\n"
+    with open(path, "w") as f:
+        f.write(existing.rstrip() + "\n\n" + section)
+    print(f"appended sf10 probe section to SCALING.md ({det_failed} det failures)")
+    sys.exit(1 if det_failed else 0)
+
+
+if __name__ == "__main__":
+    main()
