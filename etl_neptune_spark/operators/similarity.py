@@ -913,7 +913,11 @@ def ivf_build(
         ],
         "round int, sfx_seed int, cell string",
     )
-    store.write(corpus, "codes", version)
+    # Hive-partition the codes by cell: a 100 TB reader that probes
+    # nprobe cells scans only those partitions (the GraphStore label-
+    # partitioning recipe applied to the IVF layout); locally the
+    # cogroup reads the whole snapshot either way.
+    store.write(corpus, "codes", version, partition_by=("cell",))
     store.write(cents_df, "centroids", version)
     store.write(meta_df, "meta", version)
     store.write(splits_df, "splits", version)
@@ -992,7 +996,12 @@ def ivf_query_persisted(
     probe_q = _replay_cell_splits(
         probe_q, "qvec", history, meta["split_bits"], meta["dim"]
     )
-    corpus = store.read(spark, "codes")
+    # cell is a hive PARTITION column of the codes table; partition
+    # type inference reads all-numeric values back as int — normalize
+    # to string so the cogroup key matches the probe side exactly.
+    corpus = store.read(spark, "codes").withColumn(
+        "cell", F.col("cell").cast("string")
+    )
     return _rank_cell_candidates(probe_q, corpus, k)
 
 
