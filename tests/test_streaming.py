@@ -1041,3 +1041,44 @@ def test_stream_multi_writer_interleaving_invariance(spark, sf_dir):
     assert info2["batches_a"] >= 2 and info2["batches_b"] >= 3, info2
     # the store accumulated one version per merge, serialized
     assert info1["version"] + 1 == info1["batches_a"] + info1["batches_b"]
+
+
+def test_staged_events_cache_hit_and_invalidation(spark, sf_dir, tmp_path, monkeypatch):
+    """The stage-once cache must (a) build once and reuse on hit,
+    (b) rebuild when the fixture fingerprint changes, (c) hand every
+    cert hardlinks with strictly increasing mtimes in name order."""
+    import os
+
+    from etl_neptune_spark.plans import streaming as st
+
+    builds = {"n": 0}
+
+    def build(tmp):
+        builds["n"] += 1
+        (
+            st.load_table(spark, sf_dir, "events")
+            .repartition(3)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    # isolate the cache under tmp_path by faking the layout name
+    layout = f"test_{os.path.basename(str(tmp_path))}"
+    c1 = st._staged_events(spark, sf_dir, layout, build)
+    c2 = st._staged_events(spark, sf_dir, layout, build)
+    assert c1 == c2 and builds["n"] == 1  # second call is a cache hit
+
+    # corrupt the fingerprint -> rebuild
+    import json
+
+    with open(os.path.join(c1, "_STAGED"), "w") as fh:
+        json.dump({"fp": -1}, fh)
+    st._staged_events(spark, sf_dir, layout, build)
+    assert builds["n"] == 2
+
+    # links carry strictly increasing mtimes in name order
+    staging = str(tmp_path / "staging")
+    names = st._link_staged(c1, staging)
+    assert names == sorted(names) and len(names) >= 3
+    mtimes = [os.path.getmtime(os.path.join(staging, f)) for f in names]
+    assert all(b > a for a, b in zip(mtimes, mtimes[1:]))
