@@ -132,7 +132,8 @@ def main() -> None:
 
     def is_stream_cert(n: str) -> bool:
         return n.startswith("q_stream_") and n.endswith(
-            ("_e2e", "_dedup", "_stateful", "_dedup_wm", "_restart")
+            ("_e2e", "_dedup", "_stateful", "_dedup_wm", "_restart",
+             "_multi_writer")
         )
 
     for name in names:
