@@ -1050,13 +1050,14 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     nprobe: int = 2,
     m: int = 8,
     codebook_k: int = 16,
     refine: int = 32,
     train_sample: int = 4096,
     seed: int = 42,
+    cell_cap: int | None = 4096,
 ) -> DataFrame:
     """IVF-PQ approximate top-k (the FAISS ``IVFx,PQm`` layout): an IVF
     coarse quantizer routes queries to ``nprobe`` cells, and INSIDE each
@@ -1074,10 +1075,23 @@ def ivfpq_topk(
     compression factor, which is the point of the operator. Self-query
     form, matching ``lsh_topk``/``ivf_topk``. k-means state has no SQL
     form, so certification is rows-only plus a recall-vs-brute-force
-    test (tests/test_similarity_pq.py)."""
-    from pyspark.sql import Window
+    test (tests/test_similarity_pq.py).
+
+    ``cell_cap`` (round-7, found by the sf10 probe): like ``ivf_topk``,
+    oversized quantizer cells are sub-split with vector-derived
+    sign-hyperplane suffixes so no cogroup task sees more than
+    ``cell_cap`` candidates — without it a fixed cell count turned the
+    per-cell ADC scan quadratic in corpus density (probes × candidates
+    inside one cell) at the 200k-vector fixture. ``n_clusters=None``
+    applies the same ~√N FAISS sizing as ``ivf_topk``."""
+    from pyspark.sql import Window  # noqa: F401 — used by the rank pass
 
     spark = emb.sparkSession
+    if n_clusters is None:
+        n = emb.count()
+        n_clusters = int(
+            min(max(4, round(math.sqrt(n))), max(4, train_sample // 8))
+        )
     sample_pdf = (
         emb.select(
             F.col(id_col).alias("__id"),
@@ -1142,6 +1156,12 @@ def ivfpq_topk(
         F.explode(F.array(*[f"probe{p}" for p in range(nprobe)])).alias("cell"),
     )
 
+    if cell_cap is not None and len(sample_pdf):
+        assigned = assigned.localCheckpoint(eager=False)
+        corpus, queries = cap_ivf_cells(
+            corpus, queries, cell_cap, dim=dim, seed=seed
+        )
+
     def score(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []}).astype(
             {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
@@ -1152,22 +1172,29 @@ def ivfpq_topk(
         qu = _unit(_matrix(qpdf["qvec"]))
         codes = np.vstack(cpdf["codes"].to_numpy())  # (n, m)
         cu = _unit(_matrix(cpdf["vec"]))
-        rows = []
-        rr = min(refine, codes.shape[0])
         books_ = bc_books.value
-        for r in range(len(qu)):
-            # ADC: lut[s, c] = <q_sub_s, codebook_s[c]>; candidate score
-            # is m gathers + a sum — never touches candidate vectors.
-            lut = np.stack(
-                [
-                    books_[s] @ qu[r, s * dsub : (s + 1) * dsub]
-                    for s in range(m)
-                ]
-            )  # (m, codebook_k)
-            adc = lut[np.arange(m)[None, :], codes].sum(axis=1)
-            adc[ci == qi[r]] = -np.inf
-            cand = np.argsort(-adc)[:rr]
-            cand = cand[np.isfinite(adc[cand])]
+        n_q, n_c = len(qu), len(ci)
+        rr = min(refine, n_c)
+        # ADC for ALL queries in one shot (round-7, sf10 probe): the
+        # per-query python loop made the cell scan queries × candidates
+        # in interpreter time; the LUT build and the m gathers are now
+        # numpy-batched — lut[r, s, c] = <q_r's subvector s, book_s[c]>,
+        # adc[r, n] = Σ_s lut[r, s, codes[n, s]].
+        lut = np.einsum(
+            "rsd,skd->rsk", qu.reshape(n_q, m, dsub), books_
+        )  # (n_q, m, codebook_k)
+        adc = np.zeros((n_q, n_c))
+        for s in range(m):
+            adc += lut[:, s, codes[:, s]]
+        adc[qi[:, None] == ci[None, :]] = -np.inf
+        if rr < n_c:
+            cand_all = np.argpartition(-adc, rr - 1, axis=1)[:, :rr]
+        else:
+            cand_all = np.broadcast_to(np.arange(n_c), (n_q, n_c))
+        rows = []
+        for r in range(n_q):
+            cand = cand_all[r]
+            cand = cand[np.isfinite(adc[r, cand])]
             if not len(cand):
                 continue
             # exact re-rank of the refine set only
