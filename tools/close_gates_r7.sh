@@ -10,15 +10,23 @@ echo "=== 1. full strict + heavy-value at sf0.01 ==="
 timeout 4000 python tools/check_oracle.py --strict --heavy-value /root/testdata/sf0.01 > $R/strict_sf001.log 2>&1
 echo "strict sf0.01: $(tail -2 $R/strict_sf001.log | head -1)"
 
-echo "=== 2. pinned strict at sf0.1 ==="
+echo "=== 2. bench at sf0.1 ==="
+timeout 4000 python bench.py > $R/bench.log 2>&1
+echo "bench: $(tail -1 $R/bench.log | head -c 400)"
+
+echo "=== 3. full pytest ==="
+timeout 4000 python -m pytest tests/ -q > $R/pytest.log 2>&1
+echo "pytest: $(tail -2 $R/pytest.log | head -1)"
+
+echo "=== 4. pinned strict at sf0.1 ==="
 timeout 4000 python tools/check_oracle.py --strict /root/testdata/sf0.1 $(cat tools/pinned_strict.txt | tr '\n' ' ') > $R/pinned_sf01.log 2>&1
 echo "pinned sf0.1: $(tail -2 $R/pinned_sf01.log | head -1)"
 
-echo "=== 3. 7-partition invariance at sf0.01 ==="
+echo "=== 5. 7-partition invariance at sf0.01 ==="
 SPARK_GRAFT_CPUS=7 timeout 4000 python tools/check_oracle.py --strict --heavy-value /root/testdata/sf0.01 > $R/strict_7part.log 2>&1
 echo "7-part: $(tail -2 $R/strict_7part.log | head -1)"
 
-echo "=== 4. no-broadcast invariance (broadcast-bearing set) ==="
+echo "=== 6. no-broadcast invariance (broadcast-bearing set) ==="
 timeout 4000 python - > $R/nobcast.log 2>&1 <<'PYEOF'
 import json, subprocess, sys
 budget = json.load(open("PLAN_BUDGET.json"))
@@ -31,17 +39,9 @@ sys.exit(subprocess.call(cmd))
 PYEOF
 echo "no-broadcast: $(tail -2 $R/nobcast.log | head -1)"
 
-echo "=== 5. bare smoke (full registry, bare local[8], sf0.001) ==="
+echo "=== 7. bare smoke (full registry, bare local[8], sf0.001) ==="
 timeout 4000 python tools/bare_smoke.py > $R/bare.log 2>&1
 echo "bare: $(tail -2 $R/bare.log | head -1)"
-
-echo "=== 6. full pytest ==="
-timeout 4000 python -m pytest tests/ -q > $R/pytest.log 2>&1
-echo "pytest: $(tail -2 $R/pytest.log | head -1)"
-
-echo "=== 7. bench at sf0.1 ==="
-timeout 4000 python bench.py > $R/bench.log 2>&1
-echo "bench: $(tail -1 $R/bench.log | head -c 400)"
 
 echo "=== 8. plan audit --exec (regenerate budgets over grown registry) ==="
 timeout 4000 python tools/audit_plans.py --exec > $R/audit.log 2>&1
