@@ -3,10 +3,16 @@
 The standing scaling sweep covers sf0.001→sf1; its 100× claim rested on
 one 10× step. This probe adds the SECOND decade for the queries that
 grew fastest on the first one: each heavy-tail query runs TWICE at sf1
-and TWICE at sf10 (best-of-2 wall time, timed around the full
-collect+hash so the two runs double as the two-run determinism gate —
-any fold-order float, partition-id dependence or unstable tie-break
-shows as a hash mismatch at the scale where it would first matter).
+and TWICE at sf10 (best-of-2 wall time; the two hashed runs double as
+the two-run determinism gate — any fold-order float, partition-id
+dependence or unstable tie-break shows as a hash mismatch at the scale
+where it would first matter).
+
+Results are hashed DISTRIBUTIVELY (count + sum of per-row xxhash64,
+an order-insensitive aggregate) — collecting a heavy query's full
+output to the driver to hash it violates the engine's own
+no-unbounded-collect rule and capped out at sf10 (q_simhash_band's
+pair set alone is >2 GiB serialized).
 
 Outputs the "## sf10 heavy-tail probe" section of SCALING.md (replacing
 a previous probe section, keeping the main table). A ratio ≤10× on the
@@ -25,7 +31,6 @@ import time
 
 sys.path.insert(0, ".")
 
-from tools.determinism_check import result_hash  # noqa: E402
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1_DIR = os.path.join(_REPO, "spark-warehouse", "sf1")
@@ -64,6 +69,23 @@ HEAVY_TAIL = [
 SECTION_HEADER = "## sf10 heavy-tail probe"
 
 
+def dist_hash(df) -> tuple[int, int]:
+    """(rows, order-insensitive content hash) computed ENGINE-side:
+    xxhash64 over every column (null-sentineled, sorted column order)
+    summed with 64-bit wrap — deterministic, no driver transfer,
+    O(1) result size."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+        for c in sorted(df.columns)
+    ]
+    agg = df.select(F.xxhash64(*cols).alias("h")).agg(
+        F.count("*").alias("n"), F.sum("h").alias("s")
+    ).first()
+    return int(agg["n"]), int(agg["s"] or 0)
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -95,7 +117,7 @@ def main() -> None:
             try:
                 for _ in range(2):
                     t0 = time.time()
-                    hashes.append(result_hash(qs[name](spark, sf)))
+                    hashes.append(dist_hash(qs[name](spark, sf)))
                     dt = time.time() - t0
                     best = dt if best is None else min(best, dt)
             except Exception as exc:  # noqa: BLE001 — isolate per query
@@ -129,8 +151,9 @@ def main() -> None:
         "Second 10× decade for the fastest growers of the 0.1→1 step",
         "(`tools/sf10_probe.py`; sf10 = gen_sf1's amplifier applied to",
         "sf1 — 10M events / 500k docs / 200k vectors / 60M lineitem).",
-        "Wall time is best-of-2 around full collect+hash; the two runs",
-        "double as the two-run determinism gate at sf10.",
+        "Wall time is best-of-2 around a DISTRIBUTED order-insensitive",
+        "hash (count + summed xxhash64, no driver transfer); the two",
+        "runs double as the two-run determinism gate at sf10.",
         "",
         "| query | sf1 | sf10 | ×(1→10) | det |",
         "|---|---|---|---|---|",
