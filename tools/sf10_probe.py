@@ -72,7 +72,7 @@ SECTION_HEADER = "## sf10 heavy-tail probe"
 def dist_hash(df) -> tuple[int, int]:
     """(rows, order-insensitive content hash) computed ENGINE-side:
     xxhash64 over every column (null-sentineled, sorted column order)
-    summed with 64-bit wrap — deterministic, no driver transfer,
+    summed in decimal(38,0) (exact under ANSI mode) — deterministic, no driver transfer,
     O(1) result size."""
     from pyspark.sql import functions as F
 
@@ -80,9 +80,9 @@ def dist_hash(df) -> tuple[int, int]:
         F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
         for c in sorted(df.columns)
     ]
-    agg = df.select(F.xxhash64(*cols).alias("h")).agg(
-        F.count("*").alias("n"), F.sum("h").alias("s")
-    ).first()
+    agg = df.select(
+        F.xxhash64(*cols).cast("decimal(38,0)").alias("h")
+    ).agg(F.count("*").alias("n"), F.sum("h").alias("s")).first()
     return int(agg["n"]), int(agg["s"] or 0)
 
 
