@@ -68,6 +68,24 @@ HEAVY_TAIL = [
 
 SECTION_HEADER = "## sf10 heavy-tail probe"
 
+FOOTNOTES = """
+Super-linear growers, explained (documented bounds, not plan bugs):
+
+- **q_hard_negatives 17.1×** — EXACT cross-label contrastive mining is
+  O(queries × corpus) by definition (the oracle is the exact top-k);
+  blocking keeps it sub-quadratic in wall (100× pair mass → 17× wall).
+  The production path at corpus scale swaps the exact scorer for the
+  persisted IVF index (ivf_query_persisted), trading recall for
+  linearity — operators/similarity.py documents the seam.
+- **q_semdedup 13.3×** — the certificate clusters by LABEL so the
+  within-cluster pairwise verdicts stay oracle-checkable; label count
+  is fixed, so pair mass inside each label grows quadratically with
+  the corpus. semantic_dedup itself takes any clustering column: the
+  SemDeDup-paper posture sizes clusters ~√N (the ivf_topk sizing), under
+  which the same operator stays linear; the label choice is the price
+  of the strict oracle, not an operator property.
+"""
+
 
 def dist_hash(df) -> tuple[int, int]:
     """(rows, order-insensitive content hash) computed ENGINE-side:
@@ -163,6 +181,7 @@ def main() -> None:
             f"| {name} | {a:.2f}s | {b:.2f}s | {r:.1f}× |"
             f" {'ok' if stable else 'FAIL'} |"
         )
+    lines += [""] + FOOTNOTES.strip("\n").split("\n")
     section = "\n".join(lines) + "\n"
 
     path = os.path.join(_REPO, "SCALING.md")
