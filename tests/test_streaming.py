@@ -1062,8 +1062,11 @@ def test_staged_events_cache_hit_and_invalidation(spark, sf_dir, tmp_path, monke
             .parquet(tmp)
         )
 
-    # isolate the cache under tmp_path by faking the layout name
-    layout = f"test_{os.path.basename(str(tmp_path))}"
+    # unique layout per invocation: tmp_path basenames repeat across
+    # pytest sessions, and the cache dir outlives the test session
+    import uuid
+
+    layout = f"test_{uuid.uuid4().hex[:12]}"
     c1 = st._staged_events(spark, sf_dir, layout, build)
     c2 = st._staged_events(spark, sf_dir, layout, build)
     assert c1 == c2 and builds["n"] == 1  # second call is a cache hit
@@ -1082,3 +1085,6 @@ def test_staged_events_cache_hit_and_invalidation(spark, sf_dir, tmp_path, monke
     assert names == sorted(names) and len(names) >= 3
     mtimes = [os.path.getmtime(os.path.join(staging, f)) for f in names]
     assert all(b > a for a, b in zip(mtimes, mtimes[1:]))
+    import shutil
+
+    shutil.rmtree(c1, ignore_errors=True)  # only this test's layout dir
