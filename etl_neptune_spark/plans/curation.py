@@ -91,6 +91,62 @@ register(
 )
 
 
+SEMDEDUP_BITS = 6
+
+
+def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of q_semdedup (the 13.3× sf10 row's documented bound,
+    now ALSO certified on its scale path): the coarse cluster is a
+    seeded 6-bit sign-LSH bucket instead of the fixed label column —
+    bucket count grows with the sketch width, so within-cluster pair
+    mass stays bounded as the corpus grows (the SemDeDup-paper sizing
+    posture), and unlike a k-means assignment the bucket is
+    ORACLE-EXPRESSIBLE: sign_bucket_expr emits the identical left-fold
+    arithmetic in Spark (0-based) and DuckDB (1-based), so the full
+    keep-first verdict set stays strict-certifiable."""
+    from ..operators.similarity import semantic_dedup, sign_bucket_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket",
+        F.expr(sign_bucket_expr("embedding", bits=SEMDEDUP_BITS, dim=64)),
+    )
+    return semantic_dedup(
+        emb, cluster_col="bucket", min_cosine=SEMDEDUP_MIN_COS
+    )
+
+
+def _register_semdedup_scaled():
+    from ..operators.similarity import sign_bucket_expr
+
+    register(
+        "q_semdedup_scaled",
+        q_semdedup_scaled,
+        f"""
+        WITH e AS (
+            SELECT vec_id,
+                   {sign_bucket_expr("embedding", bits=SEMDEDUP_BITS, dim=64, one_based=True)}
+                       AS bucket,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        d AS (
+            SELECT DISTINCT b.vec_id
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(
+                list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+                / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
+                   * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))),
+                4) >= {SEMDEDUP_MIN_COS}
+        )
+        SELECT e.vec_id, e.bucket, (d.vec_id IS NULL) AS keep
+        FROM e LEFT JOIN d ON d.vec_id = e.vec_id
+        """,
+    )
+
+
+_register_semdedup_scaled()
+
+
 HARDNEG_K = 3
 
 

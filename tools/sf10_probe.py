@@ -84,6 +84,11 @@ Super-linear growers, explained (documented bounds, not plan bugs):
   SemDeDup-paper posture sizes clusters ~√N (the ivf_topk sizing), under
   which the same operator stays linear; the label choice is the price
   of the strict oracle, not an operator property.
+  Round-7 addendum: the scale path is now itself CERTIFIED —
+  q_semdedup_scaled clusters by a seeded 6-bit sign-LSH bucket
+  (oracle-expressible, unlike k-means), keeps the identical keep-first
+  verdict rule, passes strict at sf0.01/sf0.1/sf1, and runs sub-second
+  at both sf1 and sf10 (0.69s / 0.57s).
 """
 
 
