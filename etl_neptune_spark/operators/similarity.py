@@ -219,6 +219,50 @@ def semantic_dedup(
     )
 
 
+def _masked_topk_kernel(k: int, with_label: bool):
+    """Arrow-batch scorer shared by ``brute_force_topk`` and
+    ``lsh_hard_negatives``: one numpy matmul scores a query block
+    against a candidate block, self-pairs are masked, same-label pairs
+    are masked when ``with_label`` (SQL three-valued ``!=`` semantics:
+    a NULL on EITHER side drops the pair), and each query keeps its
+    block-local top-k by (cos desc, neighbor_id asc) on the rounded
+    score — a superset of the global top-k, so the ranking window
+    above it is exact."""
+
+    def score(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []}).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+        )
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return empty
+        qi, ci = qpdf["vid"].to_numpy(), cpdf["vid"].to_numpy()
+        c = np.round(_unit(_matrix(qpdf["vec"])) @ _unit(_matrix(cpdf["vec"])).T, 4)
+        c[qi[:, None] == ci[None, :]] = -np.inf  # exclude self
+        if with_label:
+            ql, cl = qpdf["lbl"].to_numpy(), cpdf["lbl"].to_numpy()
+            c[ql[:, None] == cl[None, :]] = -np.inf  # exclude same class
+            # SQL three-valued "q.label != c.label" also drops any pair
+            # where EITHER label is NULL — match that, not numpy equality
+            # (which only excludes both-NULL pairs).
+            qn, cn = pd.isna(qpdf["lbl"]).to_numpy(), pd.isna(cpdf["lbl"]).to_numpy()
+            c[qn[:, None] | cn[None, :]] = -np.inf
+        rows = []
+        kk = min(k, c.shape[1])
+        for r in range(c.shape[0]):
+            # top-k by (cos desc, neighbor_id asc) on the ROUNDED score
+            order = np.lexsort((ci, -c[r]))[:kk]
+            for j in order:
+                if np.isfinite(c[r, j]):
+                    rows.append((qi[r], ci[j], c[r, j]))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"]).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+        )
+
+    return score
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -256,36 +300,7 @@ def brute_force_topk(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), *lbl
     ).withColumn("blk", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
 
-    def score(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []}).astype(
-            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
-        )
-        if len(qpdf) == 0 or len(cpdf) == 0:
-            return empty
-        qi, ci = qpdf["vid"].to_numpy(), cpdf["vid"].to_numpy()
-        c = np.round(_unit(_matrix(qpdf["vec"])) @ _unit(_matrix(cpdf["vec"])).T, 4)
-        c[qi[:, None] == ci[None, :]] = -np.inf  # exclude self
-        if exclude_label_col:
-            ql, cl = qpdf["lbl"].to_numpy(), cpdf["lbl"].to_numpy()
-            c[ql[:, None] == cl[None, :]] = -np.inf  # exclude same class
-            # SQL three-valued "q.label != c.label" also drops any pair
-            # where EITHER label is NULL — match that, not numpy equality
-            # (which only excludes both-NULL pairs).
-            qn, cn = pd.isna(qpdf["lbl"]).to_numpy(), pd.isna(cpdf["lbl"]).to_numpy()
-            c[qn[:, None] | cn[None, :]] = -np.inf
-        rows = []
-        kk = min(k, c.shape[1])
-        for r in range(c.shape[0]):
-            # top-k by (cos desc, neighbor_id asc) on the ROUNDED score
-            order = np.lexsort((ci, -c[r]))[:kk]
-            for j in order:
-                if np.isfinite(c[r, j]):
-                    rows.append((qi[r], ci[j], c[r, j]))
-        if not rows:
-            return empty
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"]).astype(
-            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
-        )
+    score = _masked_topk_kernel(k, with_label=exclude_label_col is not None)
 
     candidates = (
         q_rep.groupBy("blk")
@@ -462,6 +477,64 @@ def lsh_topk(
 
     return bucketed.groupBy("bucket").applyInPandas(
         score, schema="query_id long, neighbor_id long, cos double, rank int"
+    )
+
+
+def lsh_hard_negatives(
+    emb: DataFrame,
+    anchor_pred: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    bits: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Bucketed hard-negative mining — the SCALE path of
+    ``brute_force_topk(exclude_label_col=...)``: per anchor (rows
+    matching ``anchor_pred``), the top-k most-similar vectors of a
+    DIFFERENT label among candidates sharing the anchor's seeded
+    sign-LSH bucket. Candidate mass is Σ_b anchors_b × |b| instead of
+    anchors × corpus — widen ``bits`` with the corpus (the coarse-
+    quantizer sizing) and the per-bucket work stays bounded; the
+    Rademacher bucket is oracle-expressible (``sign_bucket_expr``), so
+    unlike a k-means assignment the whole approximate answer is
+    strict-certifiable.
+
+    Within a bucket the candidates are hashed into ``n_blocks`` blocks
+    and anchors replicated per block (the ``brute_force_topk`` layout),
+    so one Arrow group holds a bucket-block, not a whole bucket; the
+    masked matmul kernel and the exact ranking window over the ≤
+    blocks·k block-local survivors are shared with the exact miner —
+    swapping exact↔bucketed changes ONLY the candidate generator."""
+    from pyspark.sql import Window
+
+    b = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.col(label_col).alias("lbl"),
+        sign_bucket(vec_col, bits, dim, seed).alias("bucket"),
+        anchor_pred.alias("is_anchor"),
+    )
+    cand = b.withColumn("blk", F.pmod(F.hash("vid"), F.lit(n_blocks)))
+    anch = b.filter("is_anchor").withColumn(
+        "blk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    )
+    candidates = (
+        anch.groupBy("bucket", "blk")
+        .cogroup(cand.groupBy("bucket", "blk"))
+        .applyInPandas(
+            _masked_topk_kernel(k, with_label=True),
+            schema="query_id long, neighbor_id long, cos double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
     )
 
 

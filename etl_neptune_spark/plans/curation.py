@@ -195,6 +195,66 @@ register(
 )
 
 
+HARDNEG_BITS = 4
+
+
+def q_hard_negatives_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of q_hard_negatives (the 17.1× sf10 row's documented
+    bound, now ALSO certified on its scale path): candidates come from
+    the anchor's seeded 4-bit sign-LSH bucket instead of the whole
+    corpus, so pair mass is Σ_b anchors_b·|b| — widen bits with the
+    corpus and the miner stays linear (the IVF posture SCALING.md
+    promised for this row). Identical masking (different-label, no
+    self) and ranking rule; the Rademacher bucket is the same
+    ORACLE-EXPRESSIBLE family q_semdedup_scaled certifies, so the
+    approximate answer itself is strict-checked, not just row-counted."""
+    from ..operators.similarity import lsh_hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_hard_negatives(
+        emb,
+        anchor_pred=F.col("vec_id") % 50 == 0,
+        k=HARDNEG_K,
+        bits=HARDNEG_BITS,
+    )
+
+
+def _register_hard_negatives_scaled():
+    from ..operators.similarity import sign_bucket_expr
+
+    register(
+        "q_hard_negatives_scaled",
+        q_hard_negatives_scaled,
+        f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   {sign_bucket_expr("embedding", bits=HARDNEG_BITS, dim=64, one_based=True)}
+                       AS bucket,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(
+                       list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+                       / (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i])))
+                          * sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))),
+                       4) AS cos
+            FROM e q JOIN e c ON q.bucket = c.bucket AND q.label != c.label
+            WHERE q.vec_id % 50 = 0
+        )
+        SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {HARDNEG_K}
+        """,
+    )
+
+
+_register_hard_negatives_scaled()
+
+
 # Deterministic 64-dim weight vector shared by both engines: a small
 # integer recurrence, NOT trained — what's certified is the inference
 # plumbing (broadcast weights, per-row fold, threshold), the part that

@@ -3785,3 +3785,52 @@ register(
     FROM cum GROUP BY event_type
     """,
 )
+
+
+def q_auth_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 — the reference's EKS bearer-token RENDER (etl_aws:1289–1293:
+    ``'k8s-aws-v1.' + base64.urlsafe_b64encode(signed).rstrip('=')``)
+    re-expressed declaratively: per cluster row, a deterministic
+    presigned-URL-shaped payload (NO real signing — the signature slot
+    carries an md5 of the name; what's certified is the render: UTF-8
+    → base64 → urlsafe alphabet → padding strip → version prefix).
+    Name lengths vary mod 3, so all three padding cases are exercised.
+    One narrow projection over a dimension table — zero shuffles."""
+    sup = load_table(spark, sf_dir, "supplier")
+    payload = F.concat(
+        F.lit("https://sts.amazonaws.com/?Action=GetCallerIdentity"
+              "&X-Amz-Credential="),
+        F.col("s_name"),
+        F.lit("&X-Amz-SignedHeaders=x-k8s-aws-id&X-Amz-Signature="),
+        F.md5(F.col("s_name").cast("binary")),
+    )
+    token = F.concat(
+        F.lit("k8s-aws-v1."),
+        F.regexp_replace(
+            # Spark's base64 is MIME-chunked (76-char CRLF lines);
+            # translate drops \r\n to match Python's unchunked encoder
+            F.translate(F.base64(payload.cast("binary")), "+/\r\n", "-_"),
+            "=+$",
+            "",
+        ),
+    )
+    return sup.select(
+        F.col("s_suppkey").alias("suppkey"), token.alias("token")
+    )
+
+
+register(
+    "q_auth_token",
+    q_auth_token,
+    """
+    SELECT s_suppkey AS suppkey,
+           'k8s-aws-v1.' || replace(replace(regexp_replace(
+               to_base64(encode(
+                   'https://sts.amazonaws.com/?Action=GetCallerIdentity'
+                   || '&X-Amz-Credential=' || s_name
+                   || '&X-Amz-SignedHeaders=x-k8s-aws-id&X-Amz-Signature='
+                   || md5(s_name)
+               )), '=+$', ''), '+', '-'), '/', '_') AS token
+    FROM supplier
+    """,
+)

@@ -61,6 +61,55 @@ def test_hard_negatives_never_return_same_label(spark, sf_dir):
     assert bad == 0
 
 
+def test_lsh_hard_negatives_matches_bucketed_reference(spark, sf_dir):
+    """The bucketed miner must EQUAL an independent numpy reference:
+    per anchor, the top-3 cross-label neighbors by (cos desc, id asc)
+    among rows sharing its sign-LSH bucket — same candidate rule, same
+    masking, same tiebreak, computed without Spark."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_neptune_spark.operators.similarity import (
+        lsh_hard_negatives,
+        sign_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = (
+        lsh_hard_negatives(emb, anchor_pred=F.col("vec_id") % 50 == 0, k=3, bits=4)
+        .toPandas()
+        .astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    base = emb.select(
+        "vec_id", "label", "embedding", sign_bucket("embedding", 4, 64).alias("bucket")
+    ).toPandas()
+    rows = []
+    for _, grp in base.groupby("bucket"):
+        ids = grp["vec_id"].to_numpy()
+        labels = grp["label"].to_numpy()
+        m = np.vstack(grp["embedding"].to_numpy()).astype(np.float64)
+        u = m / np.linalg.norm(m, axis=1, keepdims=True)
+        c = np.round(u @ u.T, 4)
+        for r in range(len(ids)):
+            if ids[r] % 50 != 0:
+                continue
+            cand = np.where(labels != labels[r])[0]
+            order = cand[np.lexsort((ids[cand], -c[r][cand]))][:3]
+            rows.extend(
+                (int(ids[r]), int(ids[j]), float(c[r, j]), rank)
+                for rank, j in enumerate(order, start=1)
+            )
+    exp = (
+        pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos", "rank"])
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_semantic_dedup_keep_first_within_cluster(spark):
     # two near-identical vectors in cluster 0 (keep the smaller id),
     # an identical vector in a DIFFERENT cluster (cross-cluster pairs
