@@ -54,10 +54,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build(spark, src: str, out: str) -> None:
+def build(spark, src: str, out: str, tables: set[str] | None = None) -> None:
+    """Amplify ``src`` ×10 into ``out``. ``tables`` restricts which fact
+    tables are generated (default: all five) — the sf100 probe amplifies
+    only the LLM-pipeline facts (events/documents/embeddings) because
+    its query set never touches orders/lineitem and 600M lineitem rows
+    would dominate generation time for nothing."""
     from pyspark.sql import functions as F
 
     from etl_neptune_spark.sources import load_table
+
+    def want(name: str) -> bool:
+        return tables is None or name in tables
 
     os.makedirs(out, exist_ok=True)
     r = F.col("_r")
@@ -75,7 +83,8 @@ def build(spark, src: str, out: str) -> None:
         (F.col("value") + r.cast("double") * 0.01).alias("value"),
         "props",
     )
-    ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    if want("events"):
+        ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
 
     keep_original = (r == 0) | ((r == 1) & (F.col("doc_id") % 5 == 0))
     # (doc, r)-salted replacement token — see module docstring
@@ -101,7 +110,8 @@ def build(spark, src: str, out: str) -> None:
         "source",
         F.length(new_text).cast("bigint").alias("n_chars"),
     )
-    docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    if want("documents"):
+        docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
 
     emb = amplified("embeddings").select(
         (F.col("vec_id") * 10 + r).alias("vec_id"),
@@ -115,7 +125,8 @@ def build(spark, src: str, out: str) -> None:
         ).cast("array<float>").alias("embedding"),
         "label",
     )
-    emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    if want("embeddings"):
+        emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
 
     orders = amplified("orders").select(
         (F.col("o_orderkey") * 10 + r).alias("o_orderkey"),
@@ -125,7 +136,8 @@ def build(spark, src: str, out: str) -> None:
         "o_orderdate",
         "o_orderpriority",
     )
-    orders.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    if want("orders"):
+        orders.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
 
     li = amplified("lineitem").select(
         (F.col("l_orderkey") * 10 + r).alias("l_orderkey"),
@@ -140,7 +152,8 @@ def build(spark, src: str, out: str) -> None:
         "l_linestatus",
         "l_shipdate",
     )
-    li.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    if want("lineitem"):
+        li.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
 
     for t in "region nation customer supplier part".split():
         dst = os.path.join(out, f"{t}.parquet")

@@ -1,0 +1,148 @@
+"""sf100 third-decade scale probe.
+
+SCALING.md's sf10 section put a SECOND 10× decade behind the heavy
+tail; this probe adds a THIRD for the LLM-pipeline operators — the
+queries whose 100 TB posture the engine is graded on — at 100M events
+/ 5M documents / 2M embedding rows (1000× the bench scale). A plan
+whose cost has any super-linear term in corpus size can hide it for
+one decade and strain through two; three decades at ≤10×-per-step is
+strong evidence the term does not exist.
+
+Mechanics are tools/sf10_probe.py's (imported): each query runs TWICE
+per scale (best-of-2 wall; the two distributed order-insensitive
+hashes double as the two-run determinism gate at the scale where an
+unstable tie-break would first matter). Only events/documents/
+embeddings-backed queries qualify — gen_sf100 amplifies just those
+tables (see its docstring).
+
+Usage: python tools/sf100_probe.py [q ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from tools.sf10_probe import SF10_DIR, dist_hash  # noqa: E402
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF100_DIR = os.path.join(_REPO, "spark-warehouse", "sf100")
+
+# Every probed query reads only the amplified tables. The set covers
+# each candidate-generation family the engine's 100 TB claims rest on:
+# banded MinHash, SimHash bands, prefix-filter Jaccard, span dedup,
+# sign-LSH ANN + the two certified scale twins, the TF-IDF/BM25 model
+# builds, the boilerplate profile, and the flagship events rollup.
+SF100_SET = [
+    "q_flow_edges",
+    "q_ewma",
+    "q_dedup_minhash",
+    "q_span_dedup",
+    "q_jaccard_prefix",
+    "q_simhash_band",
+    "q_tfidf",
+    "q_bm25",
+    "q_boilerplate",
+    "q_ann_lsh",
+    "q_semdedup_scaled",
+    "q_hard_negatives_scaled",
+]
+
+SECTION_HEADER = "## sf100 third-decade probe"
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    names = list(dict.fromkeys(sys.argv[1:] or SF100_SET))
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "192")
+        .config("spark.driver.memory", "48g")
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    if not os.path.isdir(os.path.join(SF100_DIR, "events.parquet")):
+        raise SystemExit("run tools/gen_sf100.py first")
+
+    qs = entry.queries()
+    rows = []
+    det_failed = 0
+    for name in names:
+        cells = []
+        stable = True
+        for sf, parts in ((SF10_DIR, "192"), (SF100_DIR, "384")):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            best = None
+            hashes = []
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    hashes.append(dist_hash(qs[name](spark, sf)))
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                print(
+                    f"{os.path.basename(sf)} {name}: FAILED "
+                    f"{type(exc).__name__}: {str(exc)[:200]}",
+                    flush=True,
+                )
+                best = float("nan")
+            cells.append(best)
+            if len(hashes) == 2 and hashes[0] != hashes[1]:
+                stable = False
+                det_failed += 1
+                print(f"DETERMINISM FAIL {name} at {os.path.basename(sf)}")
+            if best == best:
+                print(
+                    f"{os.path.basename(sf)} {name}: {best:.2f}s "
+                    f"({hashes[0][0]} rows)",
+                    flush=True,
+                )
+        ratio = (
+            cells[1] / cells[0]
+            if cells[0] and cells[0] == cells[0] and cells[1] == cells[1]
+            else float("nan")
+        )
+        rows.append((name, cells[0], cells[1], ratio, stable))
+
+    lines = [
+        SECTION_HEADER,
+        "",
+        "Third 10× decade for the LLM-pipeline operators"
+        " (`tools/sf100_probe.py`;",
+        "sf100 = the amplifier applied to sf10, events/documents/embeddings",
+        "only — 100M events / 5M docs / 2M vectors, 1000× the bench scale).",
+        "Best-of-2 wall around the distributed order-insensitive hash; the",
+        "two runs double as the two-run determinism gate at sf100.",
+        "",
+        "| query | sf10 | sf100 | ×(10→100) | det |",
+        "|---|---|---|---|---|",
+    ]
+    for name, a, b, r, stable in rows:
+        lines.append(
+            f"| {name} | {a:.2f}s | {b:.2f}s | {r:.1f}× |"
+            f" {'ok' if stable else 'FAIL'} |"
+        )
+    section = "\n".join(lines) + "\n"
+
+    path = os.path.join(_REPO, "SCALING.md")
+    existing = open(path).read() if os.path.exists(path) else ""
+    if SECTION_HEADER in existing:
+        existing = existing[: existing.index(SECTION_HEADER)].rstrip() + "\n"
+    with open(path, "w") as f:
+        f.write(existing.rstrip() + "\n\n" + section)
+    print(f"appended sf100 probe section to SCALING.md ({det_failed} det failures)")
+    sys.exit(1 if det_failed else 0)
+
+
+if __name__ == "__main__":
+    main()

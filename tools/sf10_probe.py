@@ -59,7 +59,9 @@ HEAVY_TAIL = [
     "q_cluster_survivors",
     "q_leakage_split",
     "q_semdedup",
+    "q_semdedup_scaled",
     "q_hard_negatives",
+    "q_hard_negatives_scaled",
     "q_ewma",
     "q_rfm",
     "q_gains",
@@ -77,6 +79,12 @@ Super-linear growers, explained (documented bounds, not plan bugs):
   The production path at corpus scale swaps the exact scorer for the
   persisted IVF index (ivf_query_persisted), trading recall for
   linearity — operators/similarity.py documents the seam.
+  Round-7 addendum: the scale path is now itself CERTIFIED —
+  q_hard_negatives_scaled mines from the anchor's seeded 4-bit
+  sign-LSH bucket (oracle-expressible; the masked top-k kernel is
+  SHARED with the exact miner), passes strict at sf0.01/sf0.1/sf1,
+  and grows 3.5× on the sf1→sf10 step where the exact miner grew
+  17.1×.
 - **q_semdedup 13.3×** — the certificate clusters by LABEL so the
   within-cluster pairwise verdicts stay oracle-checkable; label count
   is fixed, so pair mass inside each label grows quadratically with
