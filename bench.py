@@ -133,7 +133,7 @@ def main() -> None:
     def is_stream_cert(n: str) -> bool:
         return n.startswith("q_stream_") and n.endswith(
             ("_e2e", "_dedup", "_stateful", "_dedup_wm", "_restart",
-             "_multi_writer")
+             "_multi_writer", "_ann_ingest")
         )
 
     for name in names:

@@ -1389,6 +1389,148 @@ def q_stream_multi_writer(
     )
 
 
+def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED streaming ANN-index ingest: new vectors arrive through
+    an ``availableNow`` file stream and every micro-batch joins a
+    PERSISTED IVF index via the frozen quantizer (``ivf_append`` in
+    ``foreachBatch`` — the FAISS ``index.add`` posture on a stream),
+    with three raises making the driver's rows-only gate a real
+    certificate:
+
+    (a) **micro-batch partitioning is immaterial** — the streamed store
+        (4 micro-batches, one O(batch) delta each) answers top-k
+        identically to a store whose arrivals were appended in ONE
+        batch call;
+    (b) **no retraining anywhere past the initial builds** — the
+        ``KMEANS_CALLS`` counter is pinned across the stream and all
+        queries (an ingest path that silently retrains would shift
+        cells under 100 TB of already-encoded codes);
+    (c) **delta compaction is invisible to readers** — folding the 4
+        deltas into one snapshot (``GraphStore.compact``) leaves the
+        answer bit-identical and the delta list empty.
+
+    This is the reference's incremental-upsert cadence (EventBridge
+    micro-batches into one long-lived Neptune store,
+    lib/neptune-etl-stack.ts:148-238) applied to the ANN index: a
+    100 TB corpus cannot rebuild its index per arrival batch, so the
+    ingest path must be O(batch) and the quantizer frozen.
+
+    Scale posture: each delta write touches only its batch (codes are
+    assigned distributed, Arrow-batched); the per-batch driver reads
+    are the tiny index-state tables (centroids ≈ √N rows); compaction
+    is amortized and crash-safe (store.py). Base/arrival split is
+    deterministic (vec_id % 5), so the certificate itself is
+    reproducible."""
+    import shutil
+
+    from ..operators.similarity import (
+        KMEANS_CALLS,
+        ivf_append,
+        ivf_build,
+        ivf_query_persisted,
+    )
+    from ..streaming.store import GraphStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    arrivals = emb.filter(F.col("vec_id") % 5 == 0)
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    root = os.path.join(repo_root, "spark-warehouse", f"stream_ann_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    staging = os.path.join(root, "input")
+    _link_staged(
+        _staged_events(spark, sf_dir, "annvec4", _rr_build(arrivals, 4)),
+        staging,
+    )
+
+    store_s = GraphStore(os.path.join(root, "store_stream"))
+    store_b = GraphStore(os.path.join(root, "store_batch"))
+    ivf_build(base, store_s, n_clusters=8, version=0)
+    # The one-shot twin starts from THE SAME base snapshot — a file
+    # copy, not a second (deterministic, hence identical) build: the
+    # certificate compares APPEND paths, so paying a second k-means +
+    # assign + snapshot write would add fixed cost without evidence.
+    shutil.copytree(
+        os.path.join(root, "store_stream"), os.path.join(root, "store_batch")
+    )
+
+    trained = KMEANS_CALLS["n"]
+    state = {"batches": 0}
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        # Delta versions must sort after the base snapshot (v=0);
+        # replaying a batch rewrites its own delta dir — idempotent.
+        state["batches"] += 1
+        ivf_append(batch, store_s, version=batch_id + 1)
+
+    ckpt = os.path.join(root, "_ckpt")
+    # The whole lifecycle runs at the stream-sized shuffle width: the
+    # cogroup/agg working set here is a few thousand vectors, and 32
+    # state/shuffle partitions would be pure per-task fixed cost
+    # (same sizing argument as _stream_shuffle's docstring).
+    with _stream_shuffle(spark):
+        q = (
+            spark.readStream.schema(
+                "vec_id bigint, embedding array<float>, label int"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("q_stream_ann_ingest: stream did not terminate")
+
+        ivf_append(arrivals, store_b, version=1)
+
+        streamed = ivf_query_persisted(emb, store_s, k=5).localCheckpoint()
+        batched = ivf_query_persisted(emb, store_b, k=5).localCheckpoint()
+        split_diff = (
+            streamed.exceptAll(batched).count()
+            + batched.exceptAll(streamed).count()
+        )
+        if split_diff:
+            raise RuntimeError(
+                "q_stream_ann_ingest: streamed != one-shot append "
+                f"({split_diff} rows)"
+            )
+
+        n_deltas = len(store_s.delta_versions("codes"))
+        store_s.compact(spark, "codes", version=n_deltas + 1)
+        if store_s.delta_versions("codes"):
+            raise RuntimeError(
+                "q_stream_ann_ingest: compaction left deltas behind"
+            )
+        compacted = ivf_query_persisted(emb, store_s, k=5).localCheckpoint()
+    compact_diff = (
+        streamed.exceptAll(compacted).count()
+        + compacted.exceptAll(streamed).count()
+    )
+    if compact_diff:
+        raise RuntimeError(
+            f"q_stream_ann_ingest: compaction changed answers ({compact_diff} rows)"
+        )
+    if KMEANS_CALLS["n"] != trained:
+        raise RuntimeError(
+            "q_stream_ann_ingest: ingest/query path retrained the quantizer"
+        )
+    q_stream_ann_ingest.last_run_info = dict(state)
+    return compacted
+
+
+# rows-only (k-means state is not SQL-expressible) + three in-query
+# equality raises: streamed==batched append, compaction-invariant,
+# zero retraining.
+register("q_stream_ann_ingest", q_stream_ann_ingest)
+
+
 register(
     "q_stream_multi_writer",
     q_stream_multi_writer,

@@ -1088,3 +1088,30 @@ def test_staged_events_cache_hit_and_invalidation(spark, sf_dir, tmp_path, monke
     import shutil
 
     shutil.rmtree(c1, ignore_errors=True)  # only this test's layout dir
+
+
+def test_stream_ann_ingest_multi_batch_and_compaction(spark, sf_dir):
+    """Streaming ANN ingest certificate: the stream must genuinely run
+    multiple micro-batches (one ivf_append delta each), and the query's
+    own raises certify streamed==one-shot append, compaction-invariant
+    answers, and a frozen quantizer. Here we additionally pin the
+    multi-batch shape and that the compacted store retains no deltas."""
+    import os
+
+    from etl_neptune_spark.plans import streaming as st
+    from etl_neptune_spark.streaming.store import GraphStore
+
+    out = st.q_stream_ann_ingest(spark, sf_dir)
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+    assert out.count() > 0
+    info = st.q_stream_ann_ingest.last_run_info
+    assert info["batches"] >= 3, info  # 4 staged files, mft=1
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(st.__file__)))
+    repo_root = os.path.dirname(repo_root)
+    store = GraphStore(
+        os.path.join(repo_root, "spark-warehouse", f"stream_ann_{tag}", "store_stream")
+    )
+    assert store.delta_versions("codes") == []  # compaction folded all
+    assert store.latest_version("codes") == info["batches"] + 1
