@@ -383,6 +383,18 @@ def refined_sign_buckets(
     and oracle agree. Exact-duplicate vectors can never be separated by
     hyperplanes; ``max_split_rounds`` bounds the loop and leaves such
     residual buckets to the scorer (documented approximation floor)."""
+    if max_bucket_rows is not None:
+        # A narrow parquet scan (a handful of large files, as local
+        # fixtures and small clusters produce) would serialize every
+        # per-round corpus pass below onto those few tasks. Widening is
+        # one round-robin shuffle of just (id, vec) and fires only when
+        # the scan is narrower than the session shuffle width — at
+        # cluster scale the scan is already wide and this is a no-op.
+        n_shuffle = int(
+            emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        if emb.rdd.getNumPartitions() < n_shuffle:
+            emb = emb.repartition(n_shuffle)
     bucketed = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
@@ -390,19 +402,40 @@ def refined_sign_buckets(
     )
     if max_bucket_rows is None:
         return bucketed
+    # Materialize between rounds: each round's count would otherwise
+    # re-evaluate the whole lineage — the bits·dim-term sign expression
+    # over the full corpus plus every prior round's join — making R
+    # rounds cost O(R²) corpus passes (the sf100 probe measured this:
+    # 17.6× on a 10× step). localCheckpoint bounds each round to one
+    # corpus pass; on a real cluster this is the iterative-refinement
+    # checkpoint, same as the connected-components loop.
+    bucketed = bucketed.localCheckpoint(eager=False)
+    prev_over_rows: int | None = None
     for round_no in range(max_split_rounds):
-        over = (
+        over_stats = (
             bucketed.groupBy("bucket")
             .agg(F.count("*").alias("__n"))
             .filter(F.col("__n") > max_bucket_rows)
-            .select("bucket")
         )
-        if over.isEmpty():
+        tot = over_stats.agg(
+            F.count("*").alias("b"),
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("r"),
+        ).collect()[0]
+        if tot["b"] == 0:
             break
+        if prev_over_rows is not None and tot["r"] >= prev_over_rows:
+            # No progress: the remaining oversized buckets are (near-)
+            # duplicate clusters no hyperplane family can separate —
+            # further rounds would only burn corpus passes. Leave them
+            # to the scorer (the documented approximation floor).
+            break
+        prev_over_rows = tot["r"]
         extra = sign_bucket("vec", split_bits, dim, seed + 37 * (round_no + 1))
         bucketed = (
             bucketed.join(
-                F.broadcast(over.withColumn("__over", F.lit(True))),
+                F.broadcast(over_stats.select("bucket").withColumn(
+                    "__over", F.lit(True)
+                )),
                 "bucket",
                 "left",
             )
@@ -413,6 +446,7 @@ def refined_sign_buckets(
                 ).otherwise(F.col("bucket")),
             )
             .drop("__over")
+            .localCheckpoint(eager=False)
         )
     return bucketed
 
