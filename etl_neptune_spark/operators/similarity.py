@@ -357,6 +357,43 @@ def sign_bucket(vec_name: str, bits: int = 12, dim: int = 64, seed: int = 7) -> 
     return F.expr(sign_bucket_expr(vec_name, bits, dim, seed))
 
 
+# Widest sign family the adaptive sizing may pick. The seeded Rademacher
+# stream fills row-major, so the b-bit family is the PREFIX of the
+# 16-bit one — an engine computing only b hyperplanes and an oracle
+# substring-ing the 16-bit string produce the identical bucket.
+SIGN_BITS_MAX = 16
+
+
+def adaptive_sign_bits(
+    n_rows: int, target_bucket: int, lo: int = 1, hi: int = SIGN_BITS_MAX
+) -> int:
+    """Corpus-adaptive sign-LSH width: enough hyperplanes that the
+    AVERAGE bucket holds ~``target_bucket`` rows. Bucket count doubles
+    per bit, so within-bucket pair mass stays bounded as the corpus
+    grows — a FIXED width is quadratic in disguise (the sf100 probe
+    measured 76× on a 10× step for the 6-bit SemDeDup twin). The SQL
+    twin ``adaptive_sign_bits_sql`` emits the same formula over
+    ``count(*)``, so both engines derive the same width from the same
+    table."""
+    if n_rows <= 0:
+        return lo
+    return max(
+        lo, min(hi, math.ceil(math.log2(max(1.0, n_rows / target_bucket))))
+    )
+
+
+def adaptive_sign_bits_sql(
+    count_expr: str, target_bucket: int, lo: int = 1, hi: int = SIGN_BITS_MAX
+) -> str:
+    """DuckDB expression mirroring ``adaptive_sign_bits`` — pair with
+    ``substring(<16-bit sign string>, 1, <this>)`` to reproduce the
+    engine's adaptively-sized bucket in a static oracle query."""
+    return (
+        f"greatest({lo}, least({hi}, CAST(ceil(log2(greatest(1.0, "
+        f"{count_expr} / {target_bucket}.0))) AS INT)))"
+    )
+
+
 def refined_sign_buckets(
     emb: DataFrame,
     id_col: str = "vec_id",

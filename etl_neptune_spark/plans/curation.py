@@ -91,24 +91,36 @@ register(
 )
 
 
-SEMDEDUP_BITS = 6
+# Target AVERAGE bucket size for the adaptively-sized sign sketch: the
+# width grows with log2(corpus/target), so within-bucket pair mass
+# stays ~corpus·target — LINEAR. The fixed 6-bit first draft was
+# quadratic in disguise: the sf100 probe measured 76× on a 10× step
+# (bucket count frozen while bucket size grew 10× per decade).
+SEMDEDUP_TARGET = 64
 
 
 def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale twin of q_semdedup (the 13.3× sf10 row's documented bound,
-    now ALSO certified on its scale path): the coarse cluster is a
-    seeded 6-bit sign-LSH bucket instead of the fixed label column —
-    bucket count grows with the sketch width, so within-cluster pair
-    mass stays bounded as the corpus grows (the SemDeDup-paper sizing
-    posture), and unlike a k-means assignment the bucket is
-    ORACLE-EXPRESSIBLE: sign_bucket_expr emits the identical left-fold
-    arithmetic in Spark (0-based) and DuckDB (1-based), so the full
-    keep-first verdict set stays strict-certifiable."""
-    from ..operators.similarity import semantic_dedup, sign_bucket_expr
+    ALSO certified on its scale path): the coarse cluster is a seeded
+    sign-LSH bucket instead of the fixed label column, with the sketch
+    width derived from the corpus count (``adaptive_sign_bits``) so the
+    average bucket stays ~SEMDEDUP_TARGET rows at every scale — the
+    SemDeDup-paper sizing posture. Unlike a k-means assignment the
+    bucket is ORACLE-EXPRESSIBLE: the engine computes the first
+    ``bits`` hyperplanes, the oracle substrings the 16-bit sign string
+    by the same count-derived width (the Rademacher stream fills
+    row-major, so narrow families are prefixes of wide ones), and the
+    full keep-first verdict set stays strict-certifiable."""
+    from ..operators.similarity import (
+        adaptive_sign_bits,
+        semantic_dedup,
+        sign_bucket_expr,
+    )
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket",
-        F.expr(sign_bucket_expr("embedding", bits=SEMDEDUP_BITS, dim=64)),
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = adaptive_sign_bits(emb.count(), SEMDEDUP_TARGET)
+    emb = emb.withColumn(
+        "bucket", F.expr(sign_bucket_expr("embedding", bits=bits, dim=64))
     )
     return semantic_dedup(
         emb, cluster_col="bucket", min_cosine=SEMDEDUP_MIN_COS
@@ -116,18 +128,25 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_semdedup_scaled():
-    from ..operators.similarity import sign_bucket_expr
+    from ..operators.similarity import (
+        SIGN_BITS_MAX,
+        adaptive_sign_bits_sql,
+        sign_bucket_expr,
+    )
 
     register(
         "q_semdedup_scaled",
         q_semdedup_scaled,
         f"""
-        WITH e AS (
+        WITH n AS (SELECT count(*) AS n_rows FROM embeddings),
+        e AS (
             SELECT vec_id,
-                   {sign_bucket_expr("embedding", bits=SEMDEDUP_BITS, dim=64, one_based=True)}
+                   substring(
+                       {sign_bucket_expr("embedding", bits=SIGN_BITS_MAX, dim=64, one_based=True)},
+                       1, {adaptive_sign_bits_sql("n.n_rows", SEMDEDUP_TARGET)})
                        AS bucket,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings
+            FROM embeddings, n
         ),
         d AS (
             SELECT DISTINCT b.vec_id
@@ -195,43 +214,57 @@ register(
 )
 
 
-HARDNEG_BITS = 4
+# Target AVERAGE candidate-bucket size for hard-negative mining: pair
+# mass is Σ_b anchors_b·|b| ≈ anchors·target — linear in the corpus
+# when the width tracks it (the fixed 4-bit draft grew 22× on the
+# sf10→sf100 step).
+HARDNEG_TARGET = 128
 
 
 def q_hard_negatives_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale twin of q_hard_negatives (the 17.1× sf10 row's documented
-    bound, now ALSO certified on its scale path): candidates come from
-    the anchor's seeded 4-bit sign-LSH bucket instead of the whole
-    corpus, so pair mass is Σ_b anchors_b·|b| — widen bits with the
-    corpus and the miner stays linear (the IVF posture SCALING.md
-    promised for this row). Identical masking (different-label, no
-    self) and ranking rule; the Rademacher bucket is the same
-    ORACLE-EXPRESSIBLE family q_semdedup_scaled certifies, so the
-    approximate answer itself is strict-checked, not just row-counted."""
-    from ..operators.similarity import lsh_hard_negatives
+    bound, ALSO certified on its scale path): candidates come from the
+    anchor's seeded sign-LSH bucket instead of the whole corpus, with
+    the sketch width derived from the corpus count so the average
+    bucket stays ~HARDNEG_TARGET rows — pair mass Σ_b anchors_b·|b|
+    stays linear at every scale (the IVF posture SCALING.md promised
+    for this row). Identical masking (different-label, no self) and
+    ranking rule; the adaptively-sized Rademacher bucket is the same
+    ORACLE-EXPRESSIBLE family q_semdedup_scaled certifies (prefix
+    property + count-derived substring), so the approximate answer
+    itself is strict-checked, not just row-counted."""
+    from ..operators.similarity import adaptive_sign_bits, lsh_hard_negatives
 
     emb = load_table(spark, sf_dir, "embeddings")
+    bits = adaptive_sign_bits(emb.count(), HARDNEG_TARGET)
     return lsh_hard_negatives(
         emb,
         anchor_pred=F.col("vec_id") % 50 == 0,
         k=HARDNEG_K,
-        bits=HARDNEG_BITS,
+        bits=bits,
     )
 
 
 def _register_hard_negatives_scaled():
-    from ..operators.similarity import sign_bucket_expr
+    from ..operators.similarity import (
+        SIGN_BITS_MAX,
+        adaptive_sign_bits_sql,
+        sign_bucket_expr,
+    )
 
     register(
         "q_hard_negatives_scaled",
         q_hard_negatives_scaled,
         f"""
-        WITH e AS (
+        WITH n AS (SELECT count(*) AS n_rows FROM embeddings),
+        e AS (
             SELECT vec_id, label,
-                   {sign_bucket_expr("embedding", bits=HARDNEG_BITS, dim=64, one_based=True)}
+                   substring(
+                       {sign_bucket_expr("embedding", bits=SIGN_BITS_MAX, dim=64, one_based=True)},
+                       1, {adaptive_sign_bits_sql("n.n_rows", HARDNEG_TARGET)})
                        AS bucket,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings
+            FROM embeddings, n
         ),
         scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
