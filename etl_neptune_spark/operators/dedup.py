@@ -900,9 +900,17 @@ def jaccard_prefix_pairs(
     df² blow-up of hot shingles never enters the join because hot
     shingles land in suffixes (a doc carries one in its prefix only if
     rarer shingles ran out, i.e. the doc is nearly all boilerplate).
-    Shuffles: one shingle-keyed exchange (df tag + prefix join share
-    it), one candidate-keyed verify join against the bounded per-doc
-    sets. Verify cost is O(candidates · avg set size).
+    Shuffles: the posting exchanges carry an 8-byte xxhash64 DIGEST of
+    each shingle, not the ~40-byte string — the sf100 probe's third
+    decade exhausted local shuffle disk on the string-keyed exchanges.
+    The PPJoin bound only needs A consistent global shingle order, so
+    (df, digest) works as well as (df, string); a digest collision can
+    only merge two shingles' df counts and ADD candidates — the exact
+    verify on the true string sets kills them, so emitted pairs are
+    unchanged. The verify join fetches shingle arrays ONLY for docs
+    that appear in some candidate (broadcast semi-join on the small
+    candidate-id set) instead of shuffling every doc's array into the
+    SMJ. Verify cost is O(candidates · avg set size).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -916,19 +924,21 @@ def jaccard_prefix_pairs(
         F.col(id_col),
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
+    ).select(
+        id_col, "n_sh", F.xxhash64("shingle").alias("dig")
     )
     tagged = posts.withColumn(
-        "df", F.count("*").over(Window.partitionBy("shingle"))
+        "df", F.count("*").over(Window.partitionBy("dig"))
     )
     # Rarest-first rank inside each document; keep the prefix only.
-    rk = Window.partitionBy(id_col).orderBy("df", "shingle")
+    rk = Window.partitionBy(id_col).orderBy("df", "dig")
     prefix = (
         tagged.withColumn("rk", F.row_number().over(rk))
         .filter(
             F.col("rk")
             <= F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1
         )
-        .select(id_col, "shingle")
+        .select(id_col, "dig", "n_sh", "rk")
     )
     # Both sides of the candidate self-join scan the prefix postings;
     # eager materialization stops the two concurrent scan stages from
@@ -937,17 +947,92 @@ def jaccard_prefix_pairs(
     # (|A| - ceil(tau*|A|) + 1 entries per doc).
     prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
     prefix.count()
+    # PPJoin's LENGTH and POSITIONAL filters as residual join
+    # predicates — both exact. Length: J>=tau forces
+    # min(|A|,|B|) >= tau*max(|A|,|B|). Positional: per-doc ranks
+    # preserve ONE consistent global order, so for the globally
+    # smallest shared shingle (which the prefix theorem puts inside
+    # both prefixes) every other shared shingle ranks later in BOTH
+    # docs — overlap <= 1 + min(suffix lengths), which must reach
+    # ceil(tau/(1+tau)*(|A|+|B|)). Without these, corpora whose
+    # rare-shingle profile degrades (the sf100 fixture's salt
+    # collisions raised prefix df from 1.2 to 7.1) blow the candidate
+    # pair mass quadratically — measured 3.8M -> 477M on a 10x step.
+    tau = float(min_jaccard)
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "shingle")
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.dig") == F.col("b.dig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.n_sh") * tau <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * tau <= F.col("a.n_sh"))
+            & (
+                F.least(
+                    F.col("a.n_sh") - F.col("a.rk"),
+                    F.col("b.n_sh") - F.col("b.rk"),
+                )
+                + 1
+                >= F.ceil(
+                    F.lit(tau / (1.0 + tau))
+                    * (F.col("a.n_sh") + F.col("b.n_sh"))
+                )
+            ),
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.rk").alias("rk_a"),
+            F.col("b.rk").alias("rk_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+    )
+    # PPJoin+'s GROUPED positional filter — the distinct() step carries
+    # the same shuffle anyway, so aggregate instead and prune before
+    # the (array-weighted) verify join. For a pair, the c counted
+    # shared-prefix shingles all precede every uncounted shared
+    # shingle in the one consistent global order (an uncounted one
+    # escaped a prefix, so its rank — hence its global position —
+    # exceeds every counted one's), so
+    # overlap <= c + min(n_a - max rk_a, n_b - max rk_b): exact. On
+    # the sf100 fixture this is what kills the salt-collision
+    # candidates (similar doc lengths neutralize the length filter;
+    # a handful of mid-prefix shared shingles plus a short suffix
+    # cannot reach the ceil(tau/(1+tau)(|A|+|B|)) overlap a true
+    # near-dup needs) — 477M candidates, ~200k true pairs.
+    cand = (
+        cand.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("c"),
+            F.max("rk_a").alias("mra"),
+            F.max("rk_b").alias("mrb"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter(
+            F.col("c")
+            + F.least(F.col("na") - F.col("mra"), F.col("nb") - F.col("mrb"))
+            >= F.ceil(
+                F.lit(tau / (1.0 + tau)) * (F.col("na") + F.col("nb"))
+            )
+        )
+        .select("id_a", "id_b")
+    )
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    # Only docs that appear in some candidate pair need their shingle
+    # array in the verify join — a broadcast semi-join (ids are 8 bytes
+    # × ≤ 2·candidates, and candidates are bounded by true near-dup
+    # density plus prefix noise) keeps the big array table OUT of the
+    # shuffle entirely.
+    need = F.broadcast(
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    sh_need = sh.join(need, id_col, "leftsemi")
+    sa = sh_need.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh_need.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     try:
         out = (
             cand.join(sa, "id_a")
@@ -975,3 +1060,4 @@ def jaccard_prefix_pairs(
     finally:
         sh.unpersist()
         prefix.unpersist()
+        cand.unpersist()

@@ -26,7 +26,7 @@ import time
 
 sys.path.insert(0, ".")
 
-from tools.sf10_probe import SF10_DIR, dist_hash  # noqa: E402
+from tools.sf10_probe import SF10_DIR, dist_hash, reclaim  # noqa: E402
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF100_DIR = os.path.join(_REPO, "spark-warehouse", "sf100")
@@ -97,6 +97,7 @@ def main() -> None:
                 )
                 best = float("nan")
             cells.append(best)
+            reclaim(spark)
             if len(hashes) == 2 and hashes[0] != hashes[1]:
                 stable = False
                 det_failed += 1

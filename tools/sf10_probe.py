@@ -117,6 +117,24 @@ def dist_hash(df) -> tuple[int, int]:
     return int(agg["n"]), int(agg["s"] or 0)
 
 
+def reclaim(spark) -> None:
+    """Nudge the ContextCleaner after a heavy query: Spark frees
+    shuffle files via weak references, so ~24 shuffle-heavy queries
+    re-using one JVM can accumulate more DEAD shuffle files than the
+    host has disk before any GC happens — the first sf100 probe run
+    died of exactly this ('No space left on device' while live data
+    fit comfortably). A real cluster sizes per-node shuffle dirs per
+    workload; a probe replaying a whole registry through one JVM must
+    clean up explicitly."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — best-effort hygiene
+        pass
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -159,6 +177,7 @@ def main() -> None:
                 )
                 best = float("nan")
             cells.append(best)
+            reclaim(spark)
             if len(hashes) == 2 and hashes[0] != hashes[1]:
                 stable = False
                 det_failed += 1
