@@ -917,24 +917,53 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage, shingle-space form): per document, the fraction of its
     distinct 3-gram shingles that are corpus-wide HOT (document
     frequency > 10) — high fractions mark templated/recrawled content.
-    One shingle explosion feeding a df hash agg and a join back: the
-    same single reused exchange shape as the n-gram index."""
+
+    Shape: the shingle frame is PERSISTED so the Arrow shingling
+    kernel — the dominant per-row cost — runs once however many plan
+    branches read it (the first draft's two branches each re-ran it;
+    the sf100 probe measured 12.5× on a 10× step). Per-doc totals come
+    straight from size(shingles) on the cached frame (zero shuffle);
+    the postings shuffle once for the df agg; the join-back moves only
+    HOT postings (≤ postings/BOILER_DF shingle keys by definition), so
+    the doc_id agg touches hot rows only. localCheckpoint freezes the
+    result before the cache is dropped — same lifecycle discipline as
+    jaccard_prefix_pairs."""
+    from pyspark import StorageLevel
+
     from ..operators.dedup import doc_shingles
 
-    sh = doc_shingles(load_table(spark, sf_dir, "documents"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
-    return (
-        ex.join(dfreq, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.count_if(F.col("df") > BOILER_DF).alias("n_boiler"),
-            F.round(
-                F.count_if(F.col("df") > BOILER_DF) / F.count("*"), 4
-            ).alias("boiler_frac"),
-        )
+    sh = doc_shingles(load_table(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    sh.count()  # eager fill: concurrent branches must not race the cache
+    try:
+        ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > BOILER_DF)
+            .select("s")
+        )
+        n_boiler = (
+            ex.join(hot, "s")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_boiler"))
+        )
+        out = (
+            sh.select("doc_id", F.size("shingles").alias("n_shingles"))
+            .join(n_boiler, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n_shingles").cast("long").alias("n_shingles"),
+                F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+                F.round(
+                    F.coalesce("n_boiler", F.lit(0)) / F.col("n_shingles"), 4
+                ).alias("boiler_frac"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 register(
