@@ -1401,7 +1401,7 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (4 micro-batches, one O(batch) delta each) answers top-k
         identically to a store whose arrivals were appended in ONE
         batch call;
-    (b) **no retraining anywhere past the initial builds** — the
+    (b) **no retraining anywhere past the initial build** — the
         ``KMEANS_CALLS`` counter is pinned across the stream and all
         queries (an ingest path that silently retrains would shift
         cells under 100 TB of already-encoded codes);
@@ -1448,7 +1448,6 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     store_s = GraphStore(os.path.join(root, "store_stream"))
-    store_b = GraphStore(os.path.join(root, "store_batch"))
     ivf_build(base, store_s, n_clusters=8, version=0)
     # The one-shot twin starts from THE SAME base snapshot — a file
     # copy, not a second (deterministic, hence identical) build: the
@@ -1457,6 +1456,7 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copytree(
         os.path.join(root, "store_stream"), os.path.join(root, "store_batch")
     )
+    store_b = GraphStore(os.path.join(root, "store_batch"))
 
     trained = KMEANS_CALLS["n"]
     state = {"batches": 0}
