@@ -930,13 +930,26 @@ def jaccard_prefix_pairs(
     tagged = posts.withColumn(
         "df", F.count("*").over(Window.partitionBy("dig"))
     )
+    # Float guard for every tau-derived integer bound below: binary
+    # floats round thresholds like 0.8 UP (5*0.8 -> 4.000000000000001),
+    # so a raw F.ceil lands one above the exact bound and silently
+    # prunes exact-boundary true pairs (|A|=5, |B|=4 at J=0.8). The
+    # epsilon is subtracted in the SAFE direction everywhere — a
+    # too-long prefix / too-low overlap bound only admits extra
+    # candidates, and the exact verify kills those for free. 1e-9
+    # exceeds the float64 rounding error of tau*n for any corpus-sized
+    # n while staying far below 1/q for any plausible rational tau.
+    _EPS = 1e-9
+    tau = float(min_jaccard)
     # Rarest-first rank inside each document; keep the prefix only.
     rk = Window.partitionBy(id_col).orderBy("df", "dig")
     prefix = (
         tagged.withColumn("rk", F.row_number().over(rk))
         .filter(
             F.col("rk")
-            <= F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1
+            <= F.col("n_sh")
+            - F.ceil(F.lit(tau) * F.col("n_sh") - F.lit(_EPS))
+            + 1
         )
         .select(id_col, "dig", "n_sh", "rk")
     )
@@ -958,15 +971,14 @@ def jaccard_prefix_pairs(
     # rare-shingle profile degrades (the sf100 fixture's salt
     # collisions raised prefix df from 1.2 to 7.1) blow the candidate
     # pair mass quadratically — measured 3.8M -> 477M on a 10x step.
-    tau = float(min_jaccard)
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.dig") == F.col("b.dig"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col("a.n_sh") * tau <= F.col("b.n_sh"))
-            & (F.col("b.n_sh") * tau <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * tau - _EPS <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * tau - _EPS <= F.col("a.n_sh"))
             & (
                 F.least(
                     F.col("a.n_sh") - F.col("a.rk"),
@@ -976,6 +988,7 @@ def jaccard_prefix_pairs(
                 >= F.ceil(
                     F.lit(tau / (1.0 + tau))
                     * (F.col("a.n_sh") + F.col("b.n_sh"))
+                    - F.lit(_EPS)
                 )
             ),
         )
@@ -1015,6 +1028,7 @@ def jaccard_prefix_pairs(
             + F.least(F.col("na") - F.col("mra"), F.col("nb") - F.col("mrb"))
             >= F.ceil(
                 F.lit(tau / (1.0 + tau)) * (F.col("na") + F.col("nb"))
+                - F.lit(_EPS)
             )
         )
         .select("id_a", "id_b")
@@ -1025,11 +1039,22 @@ def jaccard_prefix_pairs(
     # × ≤ 2·candidates, and candidates are bounded by true near-dup
     # density plus prefix noise) keeps the big array table OUT of the
     # shuffle entirely.
-    need = F.broadcast(
+    need = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # The broadcast hint is GUARDED, not unconditional: on corpora
+    # where the positional filters degrade (the sf100 fixture produced
+    # 477M raw candidates before the grouped filter), the distinct id
+    # set can outgrow driver/broadcast memory and an unguarded hint
+    # fails the job instead of degrading to a shuffle. cand is already
+    # persisted, so the count is one cheap cached pass; past the bound
+    # the semi-join falls back to a shuffle join that AQE is free to
+    # re-plan.
+    n_need_pairs = cand.count()
+    if n_need_pairs <= 2_000_000:  # ids ≤ 2·pairs, ~8 B each → ≤32 MB
+        need = F.broadcast(need)
     sh_need = sh.join(need, id_col, "leftsemi")
     sa = sh_need.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh_need.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))

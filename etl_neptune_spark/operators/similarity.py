@@ -447,7 +447,7 @@ def refined_sign_buckets(
     # corpus pass; on a real cluster this is the iterative-refinement
     # checkpoint, same as the connected-components loop.
     bucketed = bucketed.localCheckpoint(eager=False)
-    prev_over_rows: int | None = None
+    prev: tuple[int, int] | None = None  # (oversized rows, max bucket)
     for round_no in range(max_split_rounds):
         over_stats = (
             bucketed.groupBy("bucket")
@@ -457,16 +457,28 @@ def refined_sign_buckets(
         tot = over_stats.agg(
             F.count("*").alias("b"),
             F.coalesce(F.sum("__n"), F.lit(0)).alias("r"),
+            F.coalesce(F.max("__n"), F.lit(0)).alias("mx"),
         ).collect()[0]
         if tot["b"] == 0:
             break
-        if prev_over_rows is not None and tot["r"] >= prev_over_rows:
-            # No progress: the remaining oversized buckets are (near-)
-            # duplicate clusters no hyperplane family can separate —
-            # further rounds would only burn corpus passes. Leave them
-            # to the scorer (the documented approximation floor).
+        if (
+            prev is not None
+            and tot["r"] >= prev[0]
+            and tot["mx"] >= prev[1]
+        ):
+            # No progress on EITHER axis: total oversized rows did not
+            # shrink AND the worst bucket did not shrink. (Rows alone
+            # is the wrong signal — a round that splits one oversized
+            # bucket into smaller still-oversized children, e.g. 8192
+            # -> 2×4096+ with cap 4096, keeps the row total constant
+            # while making real progress toward the cap; ADVICE r7.)
+            # The survivors are (near-)duplicate clusters no hyperplane
+            # family can separate — further rounds would only burn
+            # corpus passes. Leave them to the scorer (the documented
+            # approximation floor); max_split_rounds stays the hard
+            # bound either way.
             break
-        prev_over_rows = tot["r"]
+        prev = (tot["r"], tot["mx"])
         extra = sign_bucket("vec", split_bits, dim, seed + 37 * (round_no + 1))
         bucketed = (
             bucketed.join(

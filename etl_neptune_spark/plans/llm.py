@@ -1897,7 +1897,11 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the survivors. False positives cost only wasted probe rows; the
     final join restores exactness, which is why the oracle is the
     plain intersection."""
-    import numpy as np
+    from ..operators.sketches import (
+        bloom_bits_for,
+        bloom_build,
+        bloom_might_contain,
+    )
 
     # key = digest of the first 8 words (the quote/boilerplate prefix
     # key — full-text digests have no cross-split dups in this corpus,
@@ -1911,39 +1915,17 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
 
-    # Deterministic bloom over the SMALL side's 64-bit digest keys
-    # (bounded driver action — the batch plays the build side, the
-    # q_join_theta posture). Double hashing h1 + i·h2 over the xxhash64
-    # key; bit array broadcast to executors.
-    m_bits, n_hash = 1 << 17, 7
-    # xxhash64 yields SIGNED 64-bit Python ints; mask to the unsigned
-    # range explicitly — negative-int → uint64 conversion is deprecated
-    # in numpy 1.26 and raises OverflowError on numpy >= 2.
-    keys = np.array(
-        [
-            r["k"] & 0xFFFFFFFFFFFFFFFF
-            for r in batch.select(
-                F.xxhash64("content_hash").alias("k")
-            ).collect()
-        ],
-        dtype=np.uint64,
-    )
-    bits = np.zeros(m_bits, dtype=bool)
-    h1 = keys % np.uint64(m_bits)
-    h2 = (keys >> np.uint64(17)) % np.uint64(m_bits - 1) + np.uint64(1)
-    for i in range(n_hash):
-        bits[(h1 + np.uint64(i) * h2) % np.uint64(m_bits)] = True
-    bc = spark.sparkContext.broadcast(bits)
-
-    @F.pandas_udf("boolean")
-    def might_contain(k: pd.Series) -> pd.Series:
-        kk = k.to_numpy(dtype=np.int64).astype(np.uint64)
-        b1 = kk % np.uint64(m_bits)
-        b2 = (kk >> np.uint64(17)) % np.uint64(m_bits - 1) + np.uint64(1)
-        ok = np.ones(len(kk), dtype=bool)
-        for i in range(n_hash):
-            ok &= bc.value[(b1 + np.uint64(i) * b2) % np.uint64(m_bits)]
-        return pd.Series(ok)
+    # Deterministic bloom over the SMALL side's 64-bit digest keys,
+    # built DISTRIBUTIVELY (per-partition bitmap OR-agg — no collect()
+    # of batch keys, so the build side may be an ingest increment of
+    # any size) and SIZED from a cheap count (~10 bits/key keeps the
+    # false-positive rate ~1% instead of saturating a fixed width;
+    # ADVICE r7). The batch plays the build side — the q_join_theta
+    # posture.
+    bkeys = batch.select(F.xxhash64("content_hash").alias("k"))
+    m_bits = bloom_bits_for(bkeys.count())
+    bitmap = bloom_build(bkeys, "k", m_bits)
+    might_contain = bloom_might_contain(spark, bitmap)
 
     survivors = corpus.filter(might_contain(F.xxhash64("content_hash")))
     return (

@@ -1502,8 +1502,13 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"({split_diff} rows)"
             )
 
-        n_deltas = len(store_s.delta_versions("codes"))
-        store_s.compact(spark, "codes", version=n_deltas + 1)
+        # Compact to one past the HIGHEST delta id, not an invocation
+        # count — under foreachBatch replay a batch rewrites its own
+        # delta (idempotent), so delta ids are the ground truth for
+        # "what exists to fold", while counters double-count replays.
+        deltas = store_s.delta_versions("codes")
+        state["n_deltas"] = len(deltas)
+        store_s.compact(spark, "codes", version=max(deltas) + 1)
         if store_s.delta_versions("codes"):
             raise RuntimeError(
                 "q_stream_ann_ingest: compaction left deltas behind"

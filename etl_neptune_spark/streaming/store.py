@@ -47,6 +47,23 @@ class GraphStore:
     def _pointer(self, table: str) -> str:
         return os.path.join(self._table_dir(table), "_LATEST")
 
+    def _layout_file(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "_PARTITION_BY")
+
+    def partition_layout(self, table: str) -> tuple[str, ...]:
+        """The hive-partition columns of the latest snapshot, as
+        recorded by ``write`` — so maintenance rewrites (``compact``)
+        can preserve the layout the original writer established instead
+        of silently flattening it (ADVICE r7: the first compaction of
+        an ivf_build store dropped the ``cell`` partitioning that makes
+        probe reads partition-prunable)."""
+        try:
+            with open(self._layout_file(table)) as f:
+                raw = f.read().strip()
+            return tuple(c for c in raw.split(",") if c)
+        except FileNotFoundError:
+            return ()
+
     def latest_version(self, table: str) -> int | None:
         try:
             with open(self._pointer(table)) as f:
@@ -141,6 +158,12 @@ class GraphStore:
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._pointer(table))
+        # Record the snapshot's partition layout (atomically, like the
+        # pointer) so compact() can republish with the same layout.
+        ltmp = self._layout_file(table) + ".tmp"
+        with open(ltmp, "w") as f:
+            f.write(",".join(partition_by))
+        os.replace(ltmp, self._layout_file(table))
         self._prune(table, version)
 
     def delta_versions(self, table: str) -> list[int]:
@@ -183,12 +206,20 @@ class GraphStore:
         table: str,
         version: int,
         target_files: int | None = None,
+        partition_by: tuple[str, ...] | None = None,
     ) -> None:
         """Fold the base snapshot + all deltas ≤ ``version`` into one
         snapshot ``v=<version>`` and drop the folded deltas. Amortized:
         call every K batches; crash between publish and delta removal is
         safe (``read`` ignores deltas ≤ the snapshot version, and the
         next compact sweeps them).
+
+        ``partition_by=None`` (the default) PRESERVES the latest
+        snapshot's recorded hive layout — compaction is a maintenance
+        rewrite, not a schema decision, so an ivf_build store
+        partitioned by ``cell`` stays partition-prunable after its
+        first compaction (ADVICE r7). Pass an explicit tuple (possibly
+        empty) to change the layout deliberately.
 
         The merged union carries one partition per folded file, so an
         uncoalesced write would republish as many files as it folded —
@@ -205,8 +236,10 @@ class GraphStore:
                 spark.conf.get("spark.sql.shuffle.partitions", "32")
             )
         merged = merged.coalesce(max(1, target_files))
+        if partition_by is None:
+            partition_by = self.partition_layout(table)
         folded = [d for d in self.delta_versions(table) if d <= version]
-        self.write(merged, table, version)
+        self.write(merged, table, version, partition_by=partition_by)
         for d in folded:
             shutil.rmtree(
                 os.path.join(self._table_dir(table), f"delta={d}"),

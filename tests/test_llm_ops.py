@@ -589,3 +589,105 @@ def test_ivf_persisted_index_no_retrain_and_matches_fresh(spark, sf_dir, tmp_pat
     originals = {r.vec_id for r in clones.select(
         (F.col("vec_id") - 10_000_000).alias("vec_id")).collect()}
     assert originals <= clone_hits, (originals, clone_hits)
+
+
+def test_jaccard_prefix_exact_boundary_threshold(spark):
+    """Float-rounding regression (ADVICE r7): at min_jaccard=0.8 a pair
+    with |A|=5, |B|=4 shingles and J exactly 0.8 sits ON every PPJoin
+    bound — binary 0.8 rounds UP (5*0.8 -> 4.000000000000001), so
+    un-epsiloned length/positional/prefix filters silently prune the
+    true pair. Brute-force exact Jaccard is the in-test oracle."""
+    from itertools import combinations
+
+    from etl_neptune_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_prefix_pairs,
+    )
+
+    # 7-word doc A -> 5 distinct trigram shingles; B = A's last 6 words
+    # -> 4 shingles, all contained in A: J = 4 / (5 + 4 - 4) = 0.8
+    # exactly. Filler docs keep the df-rank windows non-trivial.
+    wa = "w1 w2 w3 w4 w5 w6 w7"
+    wb = "w2 w3 w4 w5 w6 w7"
+    rows = [(1, wa), (2, wb)] + [
+        (10 + i, f"f{i}a f{i}b f{i}c f{i}d f{i}e") for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_prefix_pairs(docs, min_jaccard=0.8).collect()
+    }
+
+    sh = {r.doc_id: set(r.shingles) for r in doc_shingles(docs).collect()}
+    expect = set()
+    for a, b in combinations(sorted(sh), 2):
+        j = round(len(sh[a] & sh[b]) / len(sh[a] | sh[b]), 4)
+        if j >= 0.8:
+            expect.add((a, b, j))
+    assert (1, 2, 0.8) in expect  # the fixture really is on the boundary
+    assert got == expect, (got, expect)
+
+
+def test_lsh_refinement_survives_constant_row_rounds(spark):
+    """ADVICE r7: with split_bits=1 a round splits one oversized bucket
+    into two roughly-equal children — both may still be oversized, so
+    total oversized ROWS stays constant while the max bucket halves.
+    The old rows-only no-progress break fired on exactly this shape and
+    left buckets over the cap; progress must be judged on (rows, max)."""
+    import numpy as np
+
+    from etl_neptune_spark.operators.similarity import refined_sign_buckets
+
+    rng = np.random.default_rng(11)
+    # CENTERED vectors: every hyperplane cuts ~50/50, so each 1-bit
+    # round halves the oversized buckets (max shrinks) while their row
+    # total stays ~constant — the exact shape the rows-only break
+    # misread as no-progress.
+    rows = [
+        (i, [float(x) for x in rng.uniform(-1.0, 1.0, size=16)])
+        for i in range(1200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cap = 150
+    bucketed = refined_sign_buckets(
+        emb, bits=1, dim=16, max_bucket_rows=cap, split_bits=1,
+        max_split_rounds=12,
+    )
+    sizes = [r["count"] for r in bucketed.groupBy("bucket").count().collect()]
+    assert max(sizes) <= cap, f"bucket of {max(sizes)} exceeds cap {cap}"
+    assert sum(sizes) == 1200
+
+
+def test_bloom_filter_distributed_build_fp_rate_and_exactness(spark):
+    """Distributed bloom build (ADVICE r7): no driver collect of keys,
+    deterministic under repartitioning, ZERO false negatives, and a
+    pinned false-positive rate at 10× the old fixed-width design's
+    saturation point — the width now scales with the build count, so
+    FP stays ~1% where the fixed 2^17 array would have saturated."""
+    from pyspark.sql import functions as F
+
+    from etl_neptune_spark.operators.sketches import (
+        bloom_bits_for,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    n = 40_000  # 10× the ~4k-key batch the old fixed width was tuned for
+    members = spark.range(n).select(F.xxhash64("id").alias("k"))
+    bits = bloom_bits_for(n)
+    assert bits >= 10 * n  # sized from the count, not a fixed constant
+
+    bm = bloom_build(members.repartition(16), "k", bits)
+    assert bloom_build(members.repartition(3), "k", bits) == bm  # det.
+
+    probe = bloom_might_contain(spark, bm)
+    # Zero false negatives: every member passes.
+    n_member_hits = members.filter(probe(F.col("k"))).count()
+    assert n_member_hits == n
+
+    # Pinned FP rate on disjoint keys: ~1% expected at 10 bits/key,
+    # 7 hashes; 3% is a loose determinism-safe ceiling.
+    non = spark.range(n, 2 * n).select(F.xxhash64("id").alias("k"))
+    fp = non.filter(probe(F.col("k"))).count()
+    assert fp / n <= 0.03, f"false-positive rate {fp / n:.4f}"

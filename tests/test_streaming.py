@@ -1114,4 +1114,15 @@ def test_stream_ann_ingest_multi_batch_and_compaction(spark, sf_dir):
         os.path.join(repo_root, "spark-warehouse", f"stream_ann_{tag}", "store_stream")
     )
     assert store.delta_versions("codes") == []  # compaction folded all
-    assert store.latest_version("codes") == info["batches"] + 1
+    # Compact version derives from DELTA IDS (replay-safe), not the
+    # foreachBatch invocation counter: replays re-increment 'batches'
+    # but rewrite the same delta dir, so ids are the ground truth.
+    assert store.latest_version("codes") == info["n_deltas"] + 1
+    assert info["n_deltas"] >= 3  # one delta per staged file, mft=1
+    # Compaction must PRESERVE the ivf_build layout: the codes snapshot
+    # stays hive-partitioned by cell so probe reads remain prunable.
+    assert store.partition_layout("codes") == ("cell",)
+    vdir = os.path.join(
+        store._table_dir("codes"), f"v={store.latest_version('codes')}"
+    )
+    assert any(d.startswith("cell=") for d in os.listdir(vdir)), vdir
