@@ -222,10 +222,27 @@ def main() -> None:
         # time is micro-batch machinery, not data-dependent plan cost,
         # and used to drown the regression signal (VERDICT r6 task 4).
         block = {k: timings[k] for k in stream_runs if k in timings}
+        # Per-cert fixed-vs-data cost split (VERDICT r7 task 4): each
+        # cert clocks its phases into plans.streaming.CERT_TIMINGS —
+        # setup_sec (staging links + store init, fixed), stream_sec
+        # (the writeStream lifecycle) and rows_per_sec (stream-phase
+        # input rows / stream_sec, the DATA-cost component). Regression
+        # gating should read rows_per_sec, not wall: host-load noise
+        # inflates setup/machinery, while a genuine plan regression
+        # shows as a rows/sec drop.
+        from etl_neptune_spark.plans.streaming import CERT_TIMINGS
+
+        split = {k: dict(CERT_TIMINGS[k]) for k in block if k in CERT_TIMINGS}
         out["streaming_block"] = {
             "total_sec": round(sum(block.values()), 3),
             "queries": block,
             "runs": stream_runs,
+            "split": split,
+            "data_rows_per_sec": {
+                k: v["rows_per_sec"]
+                for k, v in split.items()
+                if "rows_per_sec" in v
+            },
             "max_run_ratio": round(
                 max(
                     (max(r) / min(r)) for r in stream_runs.values() if min(r) > 0

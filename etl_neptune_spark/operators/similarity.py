@@ -44,6 +44,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 
 def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
@@ -1152,12 +1153,32 @@ def ivf_query_persisted(
     probe_q = _replay_cell_splits(
         probe_q, "qvec", history, meta["split_bits"], meta["dim"]
     )
-    # cell is a hive PARTITION column of the codes table; partition
-    # type inference reads all-numeric values back as int — normalize
-    # to string so the cogroup key matches the probe side exactly.
-    corpus = store.read(spark, "codes").withColumn(
-        "cell", F.col("cell").cast("string")
+    # Partition-prune the codes read to the PROBED cells: the snapshot
+    # is hive-partitioned by cell (ivf_build / layout-preserving
+    # compact), so pushing the probed set as literal isin() turns the
+    # scan into PartitionFilters over only those directories — at
+    # 100 TB a query batch probing nprobe·|batch| cells reads exactly
+    # that fraction of the index, not the whole corpus (pinned by
+    # tests/test_llm_ops.py's PartitionFilters plan test). The probed
+    # set is DIMENSION-sized (≤ n_clusters + split history, no matter
+    # how many queries), so the collect is bounded; probe_q is
+    # checkpointed first so the assign kernel runs once, not twice.
+    probe_q = probe_q.localCheckpoint(eager=True)
+    probed = sorted(
+        r["cell"] for r in probe_q.select("cell").distinct().collect()
     )
+    corpus = store.read(spark, "codes")
+    # Partition type inference reads an all-numeric cell column back
+    # as int (string once any split cell like '3|0110' exists); filter
+    # on the RAW column type — a cast under the filter would defeat
+    # partition pruning — then normalize to string for the cogroup.
+    if isinstance(corpus.schema["cell"].dataType, StringType):
+        corpus = corpus.filter(F.col("cell").isin(probed))
+    else:
+        corpus = corpus.filter(
+            F.col("cell").isin(sorted({int(c) for c in probed}))
+        )
+    corpus = corpus.withColumn("cell", F.col("cell").cast("string"))
     return _rank_cell_candidates(probe_q, corpus, k)
 
 

@@ -9,6 +9,7 @@ checkpoints and file-arrival batches (tests/test_streaming.py).
 from __future__ import annotations
 
 import os
+import time
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,6 +51,54 @@ def _stream_shuffle(spark: SparkSession, n: int | None = None):
         spark.conf.set(key, prev)
 
 
+# Per-certificate fixed-vs-data cost split (VERDICT r7 task 4): wall
+# time alone can't tell host-load noise from regression — 30% of the
+# driver bench is streaming machinery whose cost is FIXED per cert
+# (checkpoint init, availableNow lifecycle), not data-dependent. Each
+# executed cert records its phases here; bench.py attaches the split
+# to streaming_block so regressions gate on the DATA component
+# (stream-phase rows/sec), not total wall.
+CERT_TIMINGS: dict[str, dict] = {}
+
+
+class _CertTimer:
+    """Phase clock for one executed-streaming certificate: everything
+    before ``mark('setup')`` is fixture staging + store init (fixed
+    cost); setup→``mark('stream', rows=...)`` is the writeStream
+    lifecycle (machinery + per-row data cost, reported as rows/sec);
+    the remainder of the cert (verification reads) is whatever bench
+    wall time is left. Overwrites the previous run's entry — bench's
+    best-of-2 keeps the LAST run, which is the warm one."""
+
+    def __init__(self, name: str) -> None:
+        self.name = name
+        self.t0 = time.perf_counter()
+        self.rec: dict = {}
+        CERT_TIMINGS[name] = self.rec
+
+    def mark(self, phase: str, rows: int | None = None) -> None:
+        now = time.perf_counter()
+        self.rec[f"{phase}_sec"] = round(now - self.t0, 3)
+        self.t0 = now
+        if rows is not None:
+            self.rec["stream_rows"] = int(rows)
+            sec = self.rec.get("stream_sec", 0.0)
+            if sec > 0:
+                self.rec["rows_per_sec"] = round(rows / sec, 1)
+
+
+def _staged_rows(cache: str) -> int:
+    """Row count of a staged fixture layout, from its marker (written
+    at staging time — no extra scan per cert run)."""
+    import json
+
+    try:
+        with open(os.path.join(cache, "_STAGED")) as fh:
+            return int(json.load(fh).get("rows", 0))
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
 _STAGE_FP_CACHE: dict[str, int] = {}
 
 
@@ -88,8 +137,11 @@ def _staged_events(spark: SparkSession, sf_dir: str, layout: str, build) -> str:
     fp = _events_fingerprint(spark, sf_dir)
     try:
         with open(marker) as fh:
-            if json.load(fh).get("fp") == fp:
-                return cache
+            m = json.load(fh)
+        # "rows" missing = marker from before the cost-split
+        # instrumentation — restage so certs can report rows/sec.
+        if m.get("fp") == fp and "rows" in m:
+            return cache
     except (FileNotFoundError, ValueError):
         pass
     shutil.rmtree(cache, ignore_errors=True)
@@ -101,8 +153,11 @@ def _staged_events(spark: SparkSession, sf_dir: str, layout: str, build) -> str:
         if f.endswith(".parquet"):
             os.replace(os.path.join(tmp, f), os.path.join(cache, f))
     shutil.rmtree(tmp, ignore_errors=True)
+    # One metadata-only count at staging time: certs report their
+    # stream-phase rows/sec from this without a per-run scan.
+    n_rows = spark.read.parquet(cache).count()
     with open(marker, "w") as fh:
-        json.dump({"fp": fp}, fh)
+        json.dump({"fp": fp, "rows": n_rows}, fh)
     return cache
 
 
@@ -325,10 +380,13 @@ def q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = os.path.join(root, "input")
     # 8 day-hashed files / maxFilesPerTrigger=3 gives 3 real batches;
     # staged once per fixture and hardlinked (see _staged_events).
-    _link_staged(_staged_events(spark, sf_dir, "day8", _day8_build(ev)), staging)
+    _tm = _CertTimer("q_stream_e2e")
+    cache = _staged_events(spark, sf_dir, "day8", _day8_build(ev))
+    _link_staged(cache, staging)
 
     store = GraphStore(os.path.join(root, "store"))
     dim = broadcast_dim(spark, PROTOCOL_PRIORITY, "protocol string, priority int")
+    _tm.mark("setup")
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -392,6 +450,7 @@ def q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(600)
+    _tm.mark("stream", rows=_staged_rows(cache))
     out = store.read(spark, "edges")
     if out is None:
         return spark.createDataFrame(
@@ -467,13 +526,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     staging = os.path.join(root, "input")
     # deliver every file TWICE under distinct paths (a_/b_ links)
-    _link_staged(
-        _staged_events(spark, sf_dir, "rr4", _rr_build(ev, 4)),
-        staging,
-        prefixes=("a_", "b_"),
-    )
+    _tm = _CertTimer("q_stream_dedup")
+    cache = _staged_events(spark, sf_dir, "rr4", _rr_build(ev, 4))
+    _link_staged(cache, staging, prefixes=("a_", "b_"))
 
     sink = os.path.join(root, "sink")
+    _tm.mark("setup")
     with _stream_shuffle(spark):
         q = (
             spark.readStream.schema(EVENTS_SCHEMA)
@@ -488,6 +546,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(600)
+    # delivered twice via a_/b_ links
+    _tm.mark("stream", rows=2 * _staged_rows(cache))
     out = spark.read.schema(EVENTS_SCHEMA).parquet(sink)
     return out.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -549,12 +609,13 @@ def q_stream_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(repo_root, "spark-warehouse", f"stream_win_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     staging = os.path.join(root, "input")
-    _link_staged(
-        _staged_events(spark, sf_dir, "day8", _day8_build(ev)), staging
-    )
+    _tm = _CertTimer("q_stream_window_e2e")
+    cache = _staged_events(spark, sf_dir, "day8", _day8_build(ev))
+    _link_staged(cache, staging)
 
     sink = os.path.join(root, "sink")
     ckpt = os.path.join(root, "_checkpoint")
+    _tm.mark("setup")
 
     def run_once(max_files: str = "3") -> None:
         with _stream_shuffle(spark):
@@ -583,6 +644,7 @@ def q_stream_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(600)
 
     run_once()  # drains the real data
+    _tm.mark("stream", rows=_staged_rows(cache))
     mx_us = ev.agg(F.unix_micros(F.max("ts"))).first()[0]
     if mx_us is None:  # empty input: nothing staged, nothing to flush
         return spark.createDataFrame(
@@ -656,9 +718,9 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(repo_root, "spark-warehouse", f"stream_state_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     staging = os.path.join(root, "input")
-    _link_staged(
-        _staged_events(spark, sf_dir, "rr6", _rr_build(ev, 6)), staging
-    )
+    _tm = _CertTimer("q_stream_stateful")
+    cache = _staged_events(spark, sf_dir, "rr6", _rr_build(ev, 6))
+    _link_staged(cache, staging)
 
     sink_dir = os.path.join(root, "sink")
 
@@ -672,6 +734,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(staging)
         )
     )
+    _tm.mark("setup")
     with _stream_shuffle(spark):
         q = (
             totals.writeStream.foreachBatch(sink)
@@ -681,6 +744,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(600)
+    _tm.mark("stream", rows=_staged_rows(cache))
     out = spark.read.parquet(sink_dir)
     return out.groupBy("src", "dst", "protocol").agg(
         F.max("calls").alias("calls"),
@@ -757,14 +821,16 @@ def q_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ev.isEmpty():
         return empty
 
+    _tm = _CertTimer("q_stream_join_e2e")
+    caches: list[str] = []
+
     def stage(name: str, flt) -> str:
         out = os.path.join(root, name)
-        _link_staged(
-            _staged_events(
-                spark, sf_dir, f"{name}_rr4", _rr_build(ev.filter(flt), 4)
-            ),
-            out,
+        cache = _staged_events(
+            spark, sf_dir, f"{name}_rr4", _rr_build(ev.filter(flt), 4)
         )
+        caches.append(cache)
+        _link_staged(cache, out)
         return out
 
     v_dir = stage("views", F.col("event_type") == "view")
@@ -803,6 +869,7 @@ def q_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sink = os.path.join(root, "sink")
+    _tm.mark("setup")
     with _stream_shuffle(spark):
         q = (
             joined.writeStream.format("parquet")
@@ -813,6 +880,7 @@ def q_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(600)
+    _tm.mark("stream", rows=sum(_staged_rows(c) for c in caches))
     if not os.path.isdir(sink):
         return empty
     out = spark.read.schema("user_id long, lag_s long").parquet(sink)
@@ -885,12 +953,13 @@ def q_stream_session_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     if mx_us is None:
         return empty
     staging = os.path.join(root, "input")
-    _link_staged(
-        _staged_events(spark, sf_dir, "rr6", _rr_build(ev, 6)), staging
-    )
+    _tm = _CertTimer("q_stream_session_e2e")
+    cache = _staged_events(spark, sf_dir, "rr6", _rr_build(ev, 6))
+    _link_staged(cache, staging)
 
     sink = os.path.join(root, "sink")
     ckpt = os.path.join(root, "_checkpoint")
+    _tm.mark("setup")
 
     def run_once(max_files: str) -> None:
         with _stream_shuffle(spark):
@@ -927,6 +996,7 @@ def q_stream_session_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination(600)
 
     run_once("2")  # drains the real data; tail sessions still in state
+    _tm.mark("stream", rows=_staged_rows(cache))
     # Far-future sentinel users: each single-file follow-up batch
     # advances the watermark past the previous sentinel; the second
     # batch flushes every real session (same reasoning as
@@ -1009,13 +1079,12 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(repo_root, "spark-warehouse", f"stream_dwm_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     staging = os.path.join(root, "input")
-    _link_staged(
-        _staged_events(spark, sf_dir, "rr4", _rr_build(ev, 4)),
-        staging,
-        prefixes=("a_", "b_"),
-    )
+    _tm = _CertTimer("q_stream_dedup_wm")
+    cache = _staged_events(spark, sf_dir, "rr4", _rr_build(ev, 4))
+    _link_staged(cache, staging, prefixes=("a_", "b_"))
 
     sink = os.path.join(root, "sink")
+    _tm.mark("setup")
     with _stream_shuffle(spark):
         q = (
             spark.readStream.schema(EVENTS_SCHEMA)
@@ -1031,6 +1100,8 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(600)
+    # delivered twice via a_/b_ links
+    _tm.mark("stream", rows=2 * _staged_rows(cache))
     out = spark.read.schema(EVENTS_SCHEMA).parquet(sink)
     return out.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -1093,9 +1164,9 @@ def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = os.path.join(root, "input")
     # Day-hashed staging (the q_stream_e2e invariant): replays and
     # redeliveries rewrite COMPLETE aggregates.
-    staged = _link_staged(
-        _staged_events(spark, sf_dir, "day8", _day8_build(ev)), staging
-    )
+    _tm = _CertTimer("q_stream_restart")
+    cache = _staged_events(spark, sf_dir, "day8", _day8_build(ev))
+    staged = _link_staged(cache, staging)
 
     store = GraphStore(os.path.join(root, "store"))
     info = {"crashes": 0, "batches": [], "starts": 0}
@@ -1163,6 +1234,7 @@ def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
 
+    _tm.mark("setup")
     with _stream_shuffle(spark):
         q1 = start_stream()
         # The sentinel lives OUTSIDE the try so a run where the crash
@@ -1202,6 +1274,8 @@ def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "within the timeout"
             )
 
+    # staged files + the one redelivered copy
+    _tm.mark("stream", rows=_staged_rows(cache))
     q_stream_restart.last_run_info = dict(info)
     out = store.read(spark, "edges")
     if out is None:
@@ -1286,9 +1360,9 @@ def q_stream_multi_writer(
     root = os.path.join(repo_root, "spark-warehouse", f"stream_mw_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     staging = os.path.join(root, "input")
-    _link_staged(
-        _staged_events(spark, sf_dir, "day8", _day8_build(ev)), staging
-    )
+    _tm = _CertTimer("q_stream_multi_writer")
+    cache = _staged_events(spark, sf_dir, "day8", _day8_build(ev))
+    _link_staged(cache, staging)
 
     store = GraphStore(os.path.join(root, "store"))
     lock = threading.Lock()
@@ -1343,6 +1417,7 @@ def q_stream_multi_writer(
 
     ckpt_a = os.path.join(root, "_ckpt_a")
     ckpt_b = os.path.join(root, "_ckpt_b")
+    _tm.mark("setup")
     with _stream_shuffle(spark):
         qa = (
             spark.readStream.schema(EVENTS_SCHEMA)
@@ -1375,6 +1450,8 @@ def q_stream_multi_writer(
                     "q_stream_multi_writer: stream did not terminate"
                 )
 
+    # both writers scan the full staged input
+    _tm.mark("stream", rows=2 * _staged_rows(cache))
     q_stream_multi_writer.last_run_info = dict(state)
     out = store.read(spark, "nodes")
     if out is None:
@@ -1442,10 +1519,9 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(repo_root, "spark-warehouse", f"stream_ann_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     staging = os.path.join(root, "input")
-    _link_staged(
-        _staged_events(spark, sf_dir, "annvec4", _rr_build(arrivals, 4)),
-        staging,
-    )
+    _tm = _CertTimer("q_stream_ann_ingest")
+    cache = _staged_events(spark, sf_dir, "annvec4", _rr_build(arrivals, 4))
+    _link_staged(cache, staging)
 
     store_s = GraphStore(os.path.join(root, "store_stream"))
     ivf_build(base, store_s, n_clusters=8, version=0)
@@ -1472,6 +1548,7 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cogroup/agg working set here is a few thousand vectors, and 32
     # state/shuffle partitions would be pure per-task fixed cost
     # (same sizing argument as _stream_shuffle's docstring).
+    _tm.mark("setup")
     with _stream_shuffle(spark):
         q = (
             spark.readStream.schema(
@@ -1487,6 +1564,7 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(600):
             q.stop()
             raise RuntimeError("q_stream_ann_ingest: stream did not terminate")
+        _tm.mark("stream", rows=_staged_rows(cache))
 
         ivf_append(arrivals, store_b, version=1)
 
