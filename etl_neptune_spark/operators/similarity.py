@@ -1231,7 +1231,7 @@ def ivfpq_topk(
     nprobe: int = 2,
     m: int = 8,
     codebook_k: int = 16,
-    refine: int = 32,
+    refine: int | None = None,
     train_sample: int = 4096,
     seed: int = 42,
     cell_cap: int | None = 4096,
@@ -1244,6 +1244,14 @@ def ivfpq_topk(
     table dim·4/m× smaller than the raw vectors (32× at dim=64, m=8).
     The top ``refine`` ADC candidates per query are re-ranked with the
     exact cosine, so emitted scores are true cosines (4 dp).
+    ``refine=None`` (the default) sizes the re-rank depth from the
+    corpus count — max(32, 4·k·ceil(log10 n)) — because a FIXED depth
+    is a recall cliff in disguise: the sf10 heavy-value gate measured
+    recall@5 collapsing 0.75 → 0.32 at 200k vectors with refine=32
+    (near-tie clusters grow with the corpus, and ADC quantization
+    shuffles ranks beyond a fixed buffer), restored to 0.62 at 64.
+    Widening the PQ codebooks (256 vs 16) did NOT move recall on the
+    same corpus — the refine depth is the binding factor.
 
     Scale posture: both quantizers train on ONE bounded driver sample
     (the FAISS recipe); encoding is a linear Arrow pass; the per-cell
@@ -1264,11 +1272,15 @@ def ivfpq_topk(
     from pyspark.sql import Window  # noqa: F401 — used by the rank pass
 
     spark = emb.sparkSession
+    n = emb.count() if (n_clusters is None or refine is None) else None
     if n_clusters is None:
-        n = emb.count()
         n_clusters = int(
             min(max(4, round(math.sqrt(n))), max(4, train_sample // 8))
         )
+    if refine is None:
+        # Corpus-adaptive re-rank depth (see docstring): one parquet
+        # metadata count buys a depth that tracks near-tie growth.
+        refine = max(32, 4 * k * math.ceil(math.log10(max(10, n))))
     sample_pdf = (
         emb.select(
             F.col(id_col).alias("__id"),
