@@ -1131,6 +1131,7 @@ def ivf_query_persisted(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prune: bool = True,
 ) -> DataFrame:
     """Top-k from a PERSISTED IVF index: no k-means anywhere (pinned by
     tests via ``KMEANS_CALLS``) — centroids come from a tiny parquet
@@ -1138,7 +1139,12 @@ def ivf_query_persisted(
     cogroups against the codes snapshot. Identical semantics to
     ``ivf_topk`` when the query set is the indexed corpus itself
     (self-masking scorer), which is what ``q_ann_persist`` exploits to
-    hash-match the fresh-build answer."""
+    hash-match the fresh-build answer.
+
+    ``prune=False`` skips the isin() partition-prune and scans the full
+    codes snapshot — the cell cogroup still restricts candidates, so
+    the answer is identical; it exists so tests can assert the prune is
+    answer-neutral against a genuinely unpruned read (ADVICE r8)."""
     spark = queries.sparkSession
     meta, cents, history = _load_ivf_state(spark, store)
     nprobe = min(nprobe, meta["n_clusters"])
@@ -1172,9 +1178,9 @@ def ivf_query_persisted(
     # as int (string once any split cell like '3|0110' exists); filter
     # on the RAW column type — a cast under the filter would defeat
     # partition pruning — then normalize to string for the cogroup.
-    if isinstance(corpus.schema["cell"].dataType, StringType):
+    if prune and isinstance(corpus.schema["cell"].dataType, StringType):
         corpus = corpus.filter(F.col("cell").isin(probed))
-    else:
+    elif prune:
         corpus = corpus.filter(
             F.col("cell").isin(sorted({int(c) for c in probed}))
         )

@@ -217,7 +217,7 @@ def bloom_bits_for(n_keys: int, bits_per_key: int = 10, lo: int = 17, hi: int = 
     past it the FP rate degrades gracefully and the exact join that
     always follows a bloom prefilter keeps results identical."""
     want = max(1, n_keys) * bits_per_key
-    return 1 << max(lo, min(hi, want.bit_length()))
+    return 1 << max(lo, min(hi, (want - 1).bit_length()))
 
 
 def bloom_build(

@@ -67,14 +67,16 @@ class _CertTimer:
     cost); setup→``mark('stream', rows=...)`` is the writeStream
     lifecycle (machinery + per-row data cost, reported as rows/sec);
     the remainder of the cert (verification reads) is whatever bench
-    wall time is left. Overwrites the previous run's entry — bench's
-    best-of-2 keeps the LAST run, which is the warm one."""
+    wall time is left. Keeps the record with the BEST stream_sec
+    across bench's repeated runs so the published split and the
+    best-of-N wall in ``queries`` describe the same (fastest) run —
+    previously the LAST run won, and a host-load spike on run 2 could
+    make the gate metric and the reported wall disagree (ADVICE r8)."""
 
     def __init__(self, name: str) -> None:
         self.name = name
         self.t0 = time.perf_counter()
         self.rec: dict = {}
-        CERT_TIMINGS[name] = self.rec
 
     def mark(self, phase: str, rows: int | None = None) -> None:
         now = time.perf_counter()
@@ -85,6 +87,13 @@ class _CertTimer:
             sec = self.rec.get("stream_sec", 0.0)
             if sec > 0:
                 self.rec["rows_per_sec"] = round(rows / sec, 1)
+        prev = CERT_TIMINGS.get(self.name)
+        if (
+            prev is None
+            or prev.get("stream_sec", float("inf"))
+            >= self.rec.get("stream_sec", float("inf"))
+        ):
+            CERT_TIMINGS[self.name] = self.rec
 
 
 def _staged_rows(cache: str) -> int:
@@ -1274,8 +1283,15 @@ def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "within the timeout"
             )
 
-    # staged files + the one redelivered copy
-    _tm.mark("stream", rows=_staged_rows(cache))
+    # staged files + the one redelivered copy (its rows come off the
+    # parquet footer — the stream really does process that extra file,
+    # so the denominator must include it; ADVICE r8)
+    import pyarrow.parquet as _pq
+
+    redelivered_rows = _pq.ParquetFile(
+        os.path.join(staging, "redelivered-" + staged[0])
+    ).metadata.num_rows
+    _tm.mark("stream", rows=_staged_rows(cache) + redelivered_rows)
     q_stream_restart.last_run_info = dict(info)
     out = store.read(spark, "edges")
     if out is None:
@@ -1586,7 +1602,7 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # "what exists to fold", while counters double-count replays.
         deltas = store_s.delta_versions("codes")
         state["n_deltas"] = len(deltas)
-        store_s.compact(spark, "codes", version=max(deltas) + 1)
+        store_s.compact(spark, "codes", version=max(deltas, default=0) + 1)
         if store_s.delta_versions("codes"):
             raise RuntimeError(
                 "q_stream_ann_ingest: compaction left deltas behind"

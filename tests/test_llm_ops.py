@@ -721,9 +721,18 @@ def test_ivf_persisted_query_prunes_code_partitions(spark, sf_dir, tmp_path):
     ]
     assert any("cell" in b for b in pf_blocks), plan[:4000]
 
-    # Pruning is answer-neutral: same result as scoring the full read
-    # restricted by the probe join alone (nprobe=n_clusters reads all).
+    # Pruning is answer-neutral vs a GENUINELY unpruned run: prune=False
+    # scans the whole codes snapshot (no isin partition filter) and the
+    # cell cogroup alone bounds candidates — same probes, same k, only
+    # the scan differs (ADVICE r8: re-running the identical call only
+    # proved determinism).
     got = {(r.query_id, r.neighbor_id, r.rank) for r in out.collect()}
     assert len(got) > 0
-    full = ivf_query_persisted(queries, store, k=3, nprobe=1)
+    full = ivf_query_persisted(queries, store, k=3, nprobe=1, prune=False)
+    full_plan = full._jdf.queryExecution().executedPlan().toString()
+    full_pf = [
+        seg.split("]", 1)[0]
+        for seg in full_plan.split("PartitionFilters: [")[1:]
+    ]
+    assert not any("cell" in b for b in full_pf)  # truly unpruned scan
     assert {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()} == got
