@@ -46,7 +46,7 @@ def train_bpe_merges(
         docs.select(text_col)
         .filter(F.col(text_col).isNotNull())
         .limit(int(sample_docs))
-        .collect()
+        .collect()  # bounded: <= sample_docs rows by the limit above
     )
     word_freq: Counter[tuple[str, ...]] = Counter()
     for row in sample:

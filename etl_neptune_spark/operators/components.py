@@ -327,7 +327,7 @@ def connected_components(
     if prev[0] <= driver_cap:
         # Common case, minimal jobs: one cached scan hands the whole
         # (tiny) pair graph to the driver; vertex set derives in Python.
-        rows = [(r["a"], r["b"]) for r in raw.collect()]
+        rows = [(r["a"], r["b"]) for r in raw.collect()]  # bounded: <= driver_cap (digest guard above)
         raw.unpersist()
         vert_rows = sorted({x for ab in rows for x in ab})
         edge_rows = [ab for ab in rows if ab[0] != ab[1]]
@@ -360,8 +360,8 @@ def connected_components(
             # Contraction shrank the graph under the cap: finish on the
             # driver (verts must come from the ORIGINAL graph — the
             # contracted edge set no longer names every vertex).
-            edge_rows = [(r["a"], r["b"]) for r in e.collect()]
-            vert_rows = [r["vertex"] for r in verts.collect()]
+            edge_rows = [(r["a"], r["b"]) for r in e.collect()]  # bounded: <= driver_cap (cur[0] guard)
+            vert_rows = [r["vertex"] for r in verts.collect()]  # bounded: vertex set of the <=cap graph
             return spark.createDataFrame(
                 _union_find(edge_rows, vert_rows),
                 schema=f"vertex {vt}, component {vt}",
@@ -421,7 +421,7 @@ def bfs_hops(
     # of driver work. ``driver_cap=0`` forces the distributed loop.
     if driver_cap and e.count() <= driver_cap:
         adj: dict = {}
-        for r in e.collect():
+        for r in e.collect():  # bounded: <= driver_cap (count guard above)
             adj.setdefault(r["u"], []).append(r["v"])
         e.unpersist()
         hops = {source: 0}
@@ -517,7 +517,7 @@ def temporal_reach(
         import heapq
 
         adj: dict = {}
-        for r in e.collect():
+        for r in e.collect():  # bounded: <= driver_cap (count guard above)
             adj.setdefault(r["u"], {}).setdefault(r["v"], []).append(r["ets"])
         e.unpersist()
         for nbrs in adj.values():
@@ -666,7 +666,7 @@ def sssp_bounded(
     # the distributed loop (the 100 TB path).
     if driver_cap and e.count() <= driver_cap:
         adj: dict = {}
-        for r in e.collect():
+        for r in e.collect():  # bounded: <= driver_cap (count guard above)
             adj.setdefault(r["u"], []).append((r["v"], r["w"]))
         e.unpersist()
         best = {source: 0}
@@ -843,7 +843,7 @@ def msbfs_closeness(
     if driver_cap and e.count() <= driver_cap:
         adj: dict = {}
         vs = set()
-        for r in e.collect():
+        for r in e.collect():  # bounded: <= driver_cap (count guard above)
             adj.setdefault(r["u"], []).append(r["v"])
             vs.add(r["u"])
             vs.add(r["v"])

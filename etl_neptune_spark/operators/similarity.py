@@ -459,7 +459,7 @@ def refined_sign_buckets(
             F.count("*").alias("b"),
             F.coalesce(F.sum("__n"), F.lit(0)).alias("r"),
             F.coalesce(F.max("__n"), F.lit(0)).alias("mx"),
-        ).collect()[0]
+        ).collect()[0]  # bounded: single global-agg row
         if tot["b"] == 0:
             break
         if (
@@ -690,7 +690,7 @@ def cap_ivf_cells(
         )
         sfx_seed = seed + 101 * (round_no + 1)
         if record is not None:
-            cells = sorted(r["cell"] for r in over.collect())
+            cells = sorted(r["cell"] for r in over.collect())  # bounded: oversized-cell ids <= n_cells
             if not cells:
                 break
             record.append((sfx_seed, cells))
@@ -840,7 +840,7 @@ def ivf_topk(
         .orderBy("__r", "__id")
         .limit(train_sample)
         .select(vec_col)
-        .toPandas()
+        .toPandas()  # bounded: <= train_sample rows by the limit above
     )
     cents = _kmeans(_matrix(sample_pdf[vec_col]), n_clusters, seed=seed)
     bc = spark.sparkContext.broadcast(cents)
@@ -1027,7 +1027,7 @@ def ivf_build(
         .orderBy("__r", "__id")
         .limit(train_sample)
         .select(vec_col)
-        .toPandas()
+        .toPandas()  # bounded: <= train_sample rows by the limit above
     )
     if not len(sample_pdf):
         raise ValueError("ivf_build: empty corpus")
@@ -1088,12 +1088,12 @@ def ivf_build(
 def _load_ivf_state(spark, store):
     """Bounded driver reads of the tiny index-state tables (centroids ≈
     √N rows, meta 1 row, splits ≈ oversized-cell count)."""
-    meta = store.read(spark, "meta").collect()[0].asDict()
-    cent_rows = store.read(spark, "centroids").collect()
+    meta = store.read(spark, "meta").collect()[0].asDict()  # bounded: 1-row meta table
+    cent_rows = store.read(spark, "centroids").collect()  # bounded: n_clusters rows (~sqrt N)
     cents = np.zeros((meta["n_clusters"], meta["dim"]), dtype=np.float64)
     for r in cent_rows:
         cents[r["cell"]] = r["centroid"]
-    splits = store.read(spark, "splits").collect()
+    splits = store.read(spark, "splits").collect()  # bounded: one row per oversized-cell split
     by_round: dict[int, tuple[int, list[str]]] = {}
     for r in splits:
         seed_cells = by_round.setdefault(r["round"], (r["sfx_seed"], []))
@@ -1171,7 +1171,7 @@ def ivf_query_persisted(
     # checkpointed first so the assign kernel runs once, not twice.
     probe_q = probe_q.localCheckpoint(eager=True)
     probed = sorted(
-        r["cell"] for r in probe_q.select("cell").distinct().collect()
+        r["cell"] for r in probe_q.select("cell").distinct().collect()  # bounded: <= n_clusters + split cells
     )
     corpus = store.read(spark, "codes")
     # Partition type inference reads an all-numeric cell column back
@@ -1296,7 +1296,7 @@ def ivfpq_topk(
         .orderBy("__r", "__id")
         .limit(train_sample)
         .select(vec_col)
-        .toPandas()
+        .toPandas()  # bounded: <= train_sample rows by the limit above
     )
     train = _unit(_matrix(sample_pdf[vec_col]))
     dim = train.shape[1]

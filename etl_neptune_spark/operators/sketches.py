@@ -264,7 +264,7 @@ def bloom_build(
         .mapInPandas(build, schema="bm binary")
         .repartition(8)
         .mapInPandas(combine, schema="bm binary")
-        .collect()
+        .collect()  # bounded: <= 8 bitmap blobs (repartition(8) above)
     )
     bits = np.zeros(n_bytes, dtype=np.uint8)
     for r in parts:

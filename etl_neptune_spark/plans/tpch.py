@@ -1180,7 +1180,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ps_partkey", (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v_cents"))
     )
     per_part = in_nation.groupBy("ps_partkey").agg(F.sum("v_cents").alias("value_cents"))
-    total_cents = per_part.agg(F.sum("value_cents")).collect()[0][0] or 0
+    total_cents = per_part.agg(F.sum("value_cents")).collect()[0][0] or 0  # bounded: single scalar row
     return (
         per_part.filter(F.col("value_cents") * 1000 > F.lit(int(total_cents)))
         .select(

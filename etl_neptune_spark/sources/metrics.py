@@ -91,7 +91,7 @@ def metric_query_plan(
     tall = tall.withColumn("__bkt", F.pmod(F.col("entity_id"), F.lit(n_packers)))
     counts = {
         r["__bkt"]: r["c"]
-        for r in tall.groupBy("__bkt").agg(F.count("*").alias("c")).collect()
+        for r in tall.groupBy("__bkt").agg(F.count("*").alias("c")).collect()  # bounded: n_packers rows
     }
     off, offsets = 0, {}
     for b in sorted(counts):
