@@ -246,61 +246,140 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 6,
     min_jaccard: float = 0.5,
+    hot_salt: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding, with
     exact shingle-Jaccard verification of candidates.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
     rounded to 4 dp. Candidate generation is an equi-join on
     (band, band_hash); only candidates pay the exact set comparison.
+
+    Skew posture (VERDICT r8 task 5), both steps answer-preserving:
+
+    1. **Identical-set collapse (adaptive).** Every MinHash signature —
+       hence every band hash and every pairwise jaccard — is a function
+       of the shingle SET alone, so documents with equal sets are
+       interchangeable. A boilerplate-heavy corpus (30% of docs sharing
+       a handful of texts) otherwise concentrates one band value and
+       pays |clique|² candidate verifications for pairs whose score is
+       1.0 by construction. When a one-row stats probe (which doubles as
+       the action that materializes the shingle cache, so the Python
+       kernel runs exactly once) finds duplicate sets, the LSH + verify
+       machinery runs on ONE representative per distinct set (md5 of
+       the shingle array keys the group — doc_shingles emits
+       first-occurrence order, so equal texts give equal arrays) and
+       member pairs come back by expansion: within a group jaccard is
+       exactly 1.0, across groups it is the verified rep pair's score.
+       A corpus with no duplicate sets skips the collapse entirely —
+       no rep join, no expansion, no extra wall.
+    2. **Salted band join.** The self-join splits every (band,
+       band_hash) key across ``hot_salt`` sub-keys — the left side
+       takes a deterministic per-id salt, the right side replicates to
+       all salts — so a hot bucket of NEAR-identical (not equal) docs
+       spreads over hot_salt tasks. The complete candidate set survives
+       (pair (a,b) meets exactly at b's replica of a's salt); the cost
+       is hot_salt× rows through one shuffle of the tiny band-entry
+       frame, linear and bounded.
     """
-    # The shingle pass feeds three plan branches (band generation and
-    # both sides of the verification join); without materialization the
-    # Arrow pass re-runs once per branch. MEMORY_AND_DISK: shingle sets
-    # are ~2× the text size, and at scale this is exactly the
-    # intermediate you'd want resident between candidate generation and
-    # verification.
+    # The shingle pass feeds several plan branches; persist + the stats
+    # probe below materializes the (Python, md5-heavy) kernel exactly
+    # once — lazy caching would let concurrently-launched stages race it.
     from pyspark import StorageLevel
 
-    shingled = doc_shingles(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    shingled = (
+        doc_shingles(docs, id_col, text_col)
+        .withColumn("__g", F.md5(F.to_json(F.col("shingles"))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Both sides of the band self-join read this frame; without an EAGER
-    # materialization the two concurrently-launched scan stages each race
-    # the (Python) signature kernel — num_hashes md5s per shingle, the
-    # dominant cost of the whole query — before the lazy cache fills.
-    # band_entries is tiny (``bands`` short rows per doc), so the bounded
-    # count that fills the cache costs one pass and saves one.
-    band_entries = minhash_band_entries(shingled, id_col, num_hashes, bands).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    members = shingled.select(id_col, "__g")
+    stats = members.agg(
+        F.count("*").alias("n"), F.countDistinct("__g").alias("g")
+    ).first()  # bounded: single global-agg row (and the cache-filling action)
+    collapsed = stats["g"] < stats["n"]
+    if collapsed:
+        rep_ids = members.groupBy("__g").agg(F.min(id_col).alias(id_col))
+        rep_sh = shingled.join(rep_ids, [id_col, "__g"], "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    else:
+        rep_sh = shingled
+    # Both sides of the salted band self-join read this frame; the
+    # bounded count materializes the banding kernel once (band_entries
+    # is tiny — ``bands`` short rows per rep).
+    band_entries = minhash_band_entries(
+        rep_sh.select(id_col, "shingles"), id_col, num_hashes, bands
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     band_entries.count()
 
+    salts = F.array(*[F.lit(s) for s in range(hot_salt)])
     left = band_entries.select(
-        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a")
+        "band",
+        "band_hash",
+        F.col(id_col).alias("id_a"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(hot_salt)).alias("__s"),
     )
     right = band_entries.select(
-        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b")
+        "band",
+        "band_hash",
+        F.col(id_col).alias("id_b"),
+        F.explode(salts).alias("__s"),
     )
     candidates = (
-        left.join(right, ["band", "band_hash"])
+        left.join(right, ["band", "band_hash", "__s"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
 
-    sh = shingled
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    a = rep_sh.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("__g").alias("__ga"),
+    )
+    b = rep_sh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("__g").alias("__gb"),
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    rep_pairs = (
         candidates.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
     )
+    if not collapsed:
+        return rep_pairs.select("id_a", "id_b", "jaccard")
+
+    # Expansion back to member pairs. Within a group every pair scores
+    # exactly 1.0 and always collides (equal signatures => equal band
+    # hashes); across groups candidate status and score are properties
+    # of the rep pair, shared by every member pair.
+    within = (
+        members.select("__g", F.col(id_col).alias("id_a"))
+        .join(members.select("__g", F.col(id_col).alias("id_b")), "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(F.lit(1.0), 4).alias("jaccard"))
+    )
+    cross = (
+        rep_pairs.select("__ga", "__gb", "jaccard")
+        .join(
+            members.select(F.col("__g").alias("__ga"), F.col(id_col).alias("ma")),
+            "__ga",
+        )
+        .join(
+            members.select(F.col("__g").alias("__gb"), F.col(id_col).alias("mb")),
+            "__gb",
+        )
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def ngram_jaccard_pairs(

@@ -736,3 +736,76 @@ def test_ivf_persisted_query_prunes_code_partitions(spark, sf_dir, tmp_path):
     ]
     assert not any("cell" in b for b in full_pf)  # truly unpruned scan
     assert {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()} == got
+
+
+def test_minhash_hot_band_collapse_and_salt_answer_preserving(spark):
+    """VERDICT r8 task 5: a boilerplate-heavy corpus (two big cliques of
+    IDENTICAL docs plus near-identical variants) concentrates one band
+    value per clique. The skew-hardened plan (identical-set collapse +
+    salted band join) must return EXACTLY the pairs of the reference
+    plan — plain band self-join + verify, no collapse, no salt — with
+    within-clique pairs at jaccard 1.0, and be deterministic."""
+    from etl_neptune_spark.operators.dedup import (
+        doc_shingles,
+        minhash_band_entries,
+    )
+
+    base_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    base_b = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = []
+    for i in range(40):
+        rows.append((i, base_a))  # clique A: 40 identical docs
+    for i in range(40, 70):
+        rows.append((i, base_b))  # clique B: 30 identical docs
+    # near-identical variants of A (one word swapped -> high jaccard)
+    for j, w in enumerate(["swift", "rapid", "sly"]):
+        rows.append((70 + j, base_a.replace("quick", w)))
+    for i in range(80, 100):  # unrelated singletons
+        rows.append((i, f"unique document number {i} about topic {i * 7} entirely"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, min_jaccard=0.5).collect()
+    }
+
+    # Reference plan: the pre-r9 shape, semantics-defining.
+    sh = doc_shingles(docs)
+    be = minhash_band_entries(sh, "doc_id", 12, 6)
+    cand = (
+        be.select("band", "band_hash", F.col("doc_id").alias("id_a"))
+        .join(
+            be.select("band", "band_hash", F.col("doc_id").alias("id_b")),
+            ["band", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    ref = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    }
+    assert got == ref
+    # clique structure sanity: all within-clique pairs present at 1.0
+    assert sum(1 for x in got if x[2] == 1.0) >= (40 * 39 + 30 * 29) // 2
+    # determinism across a second run
+    again = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, min_jaccard=0.5).collect()
+    }
+    assert again == got
