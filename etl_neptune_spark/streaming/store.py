@@ -104,7 +104,16 @@ class GraphStore:
         surface for this store. ``keep_versions`` bounds how far back."""
         path = os.path.join(self._table_dir(table), f"v={version}")
         if not os.path.isdir(path):
-            return None
+            # Crash-window fallback (VERDICT r8 task 4): a kill between
+            # retiring the live dir and renaming the staged one over it
+            # leaves the committed snapshot parked at ``v=N.old``; the
+            # reader must see that complete copy, never a torn/missing
+            # version. The next (idempotent) publish of v=N restores the
+            # primary dir and sweeps the retired copy.
+            retired = path + ".old"
+            if not os.path.isdir(retired):
+                return None
+            path = retired
         return spark.read.parquet(path)
 
     def versions(self, table: str) -> list[int]:
@@ -148,22 +157,29 @@ class GraphStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staging)
+        # Publish order is crash-safe at every cut (VERDICT r8 task 4):
+        # the retired copy of an existing v=<version> survives until the
+        # staged dir has landed, so a kill between the two renames
+        # leaves the committed bytes at ``v=N.old`` where read_version's
+        # fallback finds them — a reader never observes a torn or
+        # missing version, and re-running the same publish converges.
         retired = final + ".old"
-        shutil.rmtree(retired, ignore_errors=True)
         if os.path.exists(final):
+            shutil.rmtree(retired, ignore_errors=True)
             os.rename(final, retired)
         os.rename(staging, final)
         shutil.rmtree(retired, ignore_errors=True)
-        tmp = self._pointer(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, self._pointer(table))
         # Record the snapshot's partition layout (atomically, like the
-        # pointer) so compact() can republish with the same layout.
+        # pointer) BEFORE the pointer flip — the flip is the commit
+        # point; everything after it must be pure cleanup.
         ltmp = self._layout_file(table) + ".tmp"
         with open(ltmp, "w") as f:
             f.write(",".join(partition_by))
         os.replace(ltmp, self._layout_file(table))
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._pointer(table))
         self._prune(table, version)
 
     def delta_versions(self, table: str) -> list[int]:
@@ -193,9 +209,12 @@ class GraphStore:
         staging = os.path.join(tdir, f".staging-delta={version}")
         shutil.rmtree(staging, ignore_errors=True)
         df.write.mode("overwrite").parquet(staging)
+        # Same crash-safe publish order as ``write``: the retired copy
+        # survives until the staged dir lands (a replayed batch rewrites
+        # this delta anyway, but the ordering keeps every cut readable).
         retired = final + ".old"
-        shutil.rmtree(retired, ignore_errors=True)
         if os.path.exists(final):
+            shutil.rmtree(retired, ignore_errors=True)
             os.rename(final, retired)
         os.rename(staging, final)
         shutil.rmtree(retired, ignore_errors=True)

@@ -1126,3 +1126,102 @@ def test_stream_ann_ingest_multi_batch_and_compaction(spark, sf_dir):
         store._table_dir("codes"), f"v={store.latest_version('codes')}"
     )
     assert any(d.startswith("cell=") for d in os.listdir(vdir)), vdir
+
+
+def test_store_kill_between_retire_and_publish_never_torn(spark, tmp_path):
+    """VERDICT r8 task 4: a kill between retiring the live ``v=N`` dir
+    and renaming the staged rewrite over it must never leave a reader
+    with a torn/missing version — the committed bytes sit at
+    ``v=N.old`` and the reader falls back to them; re-running the same
+    publish converges and sweeps the debris."""
+    import os
+    import shutil
+
+    from etl_neptune_spark.streaming.store import GraphStore
+
+    store = GraphStore(str(tmp_path / "store"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string")
+    store.write(df1, "nodes", 1)
+    committed = {(r.k, r.val) for r in store.read(spark, "nodes").collect()}
+
+    # Reconstruct the exact post-kill state of a crashed REPLAY of
+    # version 1: staged rewrite complete, live dir already retired,
+    # rename-over never ran. (The publish order guarantees rmtree of
+    # the retired copy happens only after the staged dir lands.)
+    tdir = os.path.join(str(tmp_path / "store"), "nodes")
+    final = os.path.join(tdir, "v=1")
+    shutil.copytree(final, os.path.join(tdir, ".staging-v=1"))
+    os.rename(final, final + ".old")
+    assert not os.path.isdir(final)
+
+    # Reader during the crash window: sees the committed state, not None.
+    seen = store.read(spark, "nodes")
+    assert seen is not None
+    assert {(r.k, r.val) for r in seen.collect()} == committed
+    assert store.latest_version("nodes") == 1
+
+    # Recovery: the replayed batch re-publishes the same version.
+    store.write(df1, "nodes", 1)
+    assert {(r.k, r.val) for r in store.read(spark, "nodes").collect()} == committed
+    leftovers = [
+        d for d in os.listdir(tdir) if d.startswith(".staging") or d.endswith(".old")
+    ]
+    assert leftovers == []
+
+
+def test_store_kill_mid_staging_invisible_and_recoverable(spark, tmp_path):
+    """A kill while the staged parquet write is in flight leaves only a
+    partial ``.staging-*`` dir: readers are untouched (the live dir and
+    pointer never moved) and the replayed publish overwrites the
+    debris."""
+    import os
+
+    from etl_neptune_spark.streaming.store import GraphStore
+
+    store = GraphStore(str(tmp_path / "store"))
+    df1 = spark.createDataFrame([(1, "a")], "k long, val string")
+    store.write(df1, "nodes", 1)
+    tdir = os.path.join(str(tmp_path / "store"), "nodes")
+    broken = os.path.join(tdir, ".staging-v=2")
+    os.makedirs(broken)
+    with open(os.path.join(broken, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00partial-not-parquet")
+
+    assert store.latest_version("nodes") == 1
+    assert store.read(spark, "nodes").count() == 1
+
+    df2 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string")
+    store.write(df2, "nodes", 2)
+    assert store.read(spark, "nodes").count() == 2
+    assert not os.path.isdir(broken)
+
+
+def test_compact_crash_before_delta_removal_rereads_and_reruns(spark, tmp_path):
+    """A kill after compaction publishes the folded snapshot but before
+    the folded deltas are removed must be invisible (``read`` ignores
+    deltas ≤ the snapshot version) and the re-run compaction must be
+    idempotent, sweeping the leftovers."""
+    from etl_neptune_spark.streaming.store import GraphStore
+
+    store = GraphStore(str(tmp_path / "store"))
+    base = spark.createDataFrame([(1, "a")], "k long, val string")
+    store.write(base, "codes", 0)
+    store.append_delta(
+        spark.createDataFrame([(2, "b")], "k long, val string"), "codes", 1
+    )
+    store.append_delta(
+        spark.createDataFrame([(3, "c")], "k long, val string"), "codes", 2
+    )
+    merged = {(r.k, r.val) for r in store.read(spark, "codes").collect()}
+    assert merged == {(1, "a"), (2, "b"), (3, "c")}
+
+    # Simulate the kill: run only compaction's PUBLISH half (the folded
+    # snapshot lands, the pointer flips) and skip the delta removal.
+    store.write(store.read(spark, "codes").coalesce(1), "codes", 3)
+    assert store.delta_versions("codes") == [1, 2]  # debris
+    assert {(r.k, r.val) for r in store.read(spark, "codes").collect()} == merged
+
+    # Re-run compaction at the same version: idempotent, sweeps deltas.
+    store.compact(spark, "codes", version=3)
+    assert store.delta_versions("codes") == []
+    assert {(r.k, r.val) for r in store.read(spark, "codes").collect()} == merged
