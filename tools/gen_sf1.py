@@ -87,12 +87,20 @@ def build(spark, src: str, out: str, tables: set[str] | None = None) -> None:
         ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
 
     keep_original = (r == 0) | ((r == 1) & (F.col("doc_id") % 5 == 0))
-    # (doc, r)-salted replacement token — see module docstring
+    # (doc, r)-salted replacement token — see module docstring. The salt
+    # is the FULL doc_id (r9: it was doc_id % 997, which at 5M docs gave
+    # every salt value ~5k carriers; re-salting already-amplified text in
+    # generations 2-3 then COLLIDED shingles across unrelated docs —
+    # prefix df degraded 1.2 → 7.1 and the sf100 prefix join's candidate
+    # multiset blew past local disk, a pure fixture artifact). A
+    # globally-unique token per (doc, replica) keeps mutated-shingle
+    # document frequency exactly 1 at every generation — the documented
+    # intent of the salt.
     tok = F.concat(
         F.lit("zzsf"),
         r.cast("string"),
         F.lit("x"),
-        F.pmod(F.col("doc_id"), F.lit(997)).cast("string"),
+        F.col("doc_id").cast("string"),
     )
     mutated = F.array_join(
         F.zip_with(

@@ -40,6 +40,7 @@ SF100_SET = [
     "q_flow_edges",
     "q_ewma",
     "q_dedup_minhash",
+    "q_jaccard_prefix",
     "q_span_dedup",
     "q_simhash64_band",
     "q_tfidf",
@@ -56,20 +57,15 @@ SF100_SET = [
 # that is already understood and stated. Emitted verbatim under the
 # measured table.
 BOUND_ROWS = [
-    "**q_jaccard_prefix — documented fixture bound (not probed):** the"
-    " sf100 amplifier re-salts mutated tokens of already-amplified"
-    " text, COLLIDING shingles across distinct docs: prefix df"
-    " degrades 1.2 → 7.1 and the prefix self-join must push a ~477M-row"
-    " candidate multiset through one shuffle before the grouped"
-    " positional filter can kill it (~213k true pairs). r8 re-measured"
-    " on the hardened plan (digest keys + length/positional filters,"
-    " commit 103e5ba): the shuffle exhausts this host's local disk"
-    " (java.io.IOException: No space left, 73 GiB free) at ~10 min —"
-    " a single-node spill bound that scales away with executor-local"
-    " disk on a cluster, and a property of THIS fixture's salt"
-    " collisions, not of real-corpus shingle profiles (sf10: clean,"
-    " see heavy-tail table). The certified near-dup path at this"
-    " scale is q_dedup_minhash (measured row above).",
+    "Fixture note (r9): q_jaccard_prefix is now MEASURED above — the"
+    " r8 'fixture bound' (salt collisions from the amplifier's"
+    " doc_id%997 replacement token drove prefix df 1.2 → 7.1 and a"
+    " ~477M-row candidate multiset past local disk) was retired by"
+    " fixing the amplifier itself: tools/gen_sf1.py now salts with the"
+    " FULL doc_id, keeping mutated-shingle document frequency exactly"
+    " 1 at every generation (measured sf100 prefix avg df 1.13, was"
+    " 7.1). sf1/sf10/sf100 documents were regenerated and every"
+    " document-backed row in this file re-measured on the v2 fixture.",
     "**q_simhash_band — documented bound (not probed):** a 16-bit"
     " signature space saturates at 5M docs (~76 docs per signature),"
     " so the TRUE hamming≤2 pair set — the query's defined output —"

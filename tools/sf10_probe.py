@@ -42,6 +42,13 @@ SF10_DIR = os.path.join(_REPO, "spark-warehouse", "sf10")
 HEAVY_TAIL = [
     "q_json_refs_udtf",
     "q_tpch_q21",
+    # VERDICT r8 task 6: second-decade rows for the heaviest TPC-H
+    # shapes beyond Q21 (60M-lineitem sf10).
+    "q_tpch_q1",
+    "q_tpch_q5",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q18",
     "q_ann_ivf",
     "q_ann_pq",
     "q_temporal_reach",
