@@ -95,6 +95,23 @@ class _CertTimer:
         ):
             CERT_TIMINGS[self.name] = self.rec
 
+    def state(self, q) -> None:
+        """Record the state-store size (sum of numRowsTotal across the
+        last progress's stateOperators, max-merged across runs) — the
+        observable behind the O(keys × horizon) state-retention
+        contract; the volume probe (tools/stream_volume_probe.py)
+        asserts it stays flat as stream volume multiplies."""
+        try:
+            prog = q.lastProgress or {}
+            rows = sum(
+                int(op.get("numRowsTotal", 0))
+                for op in prog.get("stateOperators") or []
+            )
+        except Exception:  # noqa: BLE001 — telemetry must never fail a cert
+            return
+        if rows:
+            self.rec["state_rows"] = max(rows, self.rec.get("state_rows", 0))
+
 
 def _staged_rows(cache: str) -> int:
     """Row count of a staged fixture layout, from its marker (written
@@ -651,6 +668,7 @@ def q_stream_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(600)
+        _tm.state(q)
 
     run_once()  # drains the real data
     _tm.mark("stream", rows=_staged_rows(cache))
@@ -889,6 +907,7 @@ def q_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(600)
+        _tm.state(q)
     _tm.mark("stream", rows=sum(_staged_rows(c) for c in caches))
     if not os.path.isdir(sink):
         return empty
@@ -1003,6 +1022,7 @@ def q_stream_session_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination(600)
+            _tm.state(q)
 
     run_once("2")  # drains the real data; tail sessions still in state
     _tm.mark("stream", rows=_staged_rows(cache))

@@ -1,0 +1,274 @@
+"""Persisted-ANN sf100 lifecycle probe (VERDICT r8 task 2).
+
+q_ann_ivf / q_ann_pq were measured only to sf10 (500k vectors), and the
+ivf_build → ivf_append → ivf_query_persisted lifecycle never ran at 2M
+vectors. This probe closes both at sf100 (2M × dim embeddings, the
+third decade):
+
+1. **q_ann_ivf / q_ann_pq sf100 rows** — best-of-2 wall around the
+   distributed order-insensitive hash (the two runs double as the
+   determinism gate), plus sampled recall@5 against an independent
+   numpy exact ground truth (256 query vectors vs the full corpus; the
+   r8 corpus-scaled refine depth is what must hold the PQ floor one
+   decade past the sf10 cliff fix).
+2. **Lifecycle** — ivf_build on 90% of the corpus, three O(batch)
+   ivf_append slices (KMEANS_CALLS pinned: appends never retrain),
+   partition-pruned ivf_query_persisted over a 256-query batch,
+   compact, query again (hash-equal), with per-phase walls and
+   recall@5 ≥ 0.6 on the persisted path.
+
+Writes the "## Persisted-ANN sf100 lifecycle" section of SCALING.md.
+Usage: python tools/ann_sf100_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+from tools.sf10_probe import dist_hash, reclaim  # noqa: E402
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# argv override is for smoke-testing the probe machinery at a small sf;
+# the published section comes from the default sf100 run.
+SF100_DIR = (
+    sys.argv[1]
+    if len(sys.argv) > 1
+    else os.path.join(_REPO, "spark-warehouse", "sf100")
+)
+
+SECTION_HEADER = "## Persisted-ANN sf100 lifecycle"
+
+N_QUERIES = 256
+RECALL_FLOOR = 0.6
+
+
+def _exact_ground_truth(sample_ids, k=5):
+    """numpy exact top-k for the sampled queries vs the FULL corpus —
+    blocked matmul on the driver, independent of every Spark kernel."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(SF100_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy()
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    q_idx = np.array([pos[q] for q in sample_ids])
+    sims = mat[q_idx] @ mat.T  # (256, N)
+    for r, qi in enumerate(q_idx):
+        sims[r, qi] = -np.inf  # self excluded
+    truth = {}
+    for r, q in enumerate(sample_ids):
+        cand = np.argpartition(sims[r], -4 * k)[-4 * k :]
+        order = np.lexsort((ids[cand], -sims[r, cand]))[:k]
+        truth[int(q)] = {int(ids[cand[j]]) for j in order}
+    return truth
+
+
+def _recall(pdf, truth) -> float:
+    hit = tot = 0
+    for q, want in truth.items():
+        got = set(pdf[pdf["query_id"] == q]["neighbor_id"].astype(int))
+        hit += len(got & want)
+        tot += len(want)
+    return hit / max(1, tot)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "384")
+        .config("spark.driver.memory", "48g")
+        .config("spark.driver.maxResultSize", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+    from etl_neptune_spark.operators.similarity import (
+        KMEANS_CALLS,
+        ivf_append,
+        ivf_build,
+        ivf_query_persisted,
+    )
+    from etl_neptune_spark.sources import load_table
+    from etl_neptune_spark.streaming.store import GraphStore
+
+    if not os.path.exists(os.path.join(SF100_DIR, "embeddings.parquet")):
+        raise SystemExit("run tools/gen_sf100.py first")
+
+    emb = load_table(spark, SF100_DIR, "embeddings")
+    n_corpus = emb.count()
+
+    # Deterministic 256-query sample: hash-ordered, like the k-means
+    # training sample (avoids the biased limit()).
+    sample_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id", F.hash("vec_id", F.lit(7)).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(N_QUERIES)
+        .collect()
+    ]
+    print(f"corpus {n_corpus}, ground truth for {len(sample_ids)} queries...",
+          flush=True)
+    t0 = time.time()
+    truth = _exact_ground_truth(sample_ids)
+    print(f"ground truth in {time.time() - t0:.1f}s", flush=True)
+
+    qs = entry.queries()
+    failures: list[str] = []
+    rows = []
+
+    # --- 1. headline sf100 rows, best-of-2 + determinism + recall ----
+    for name in ("q_ann_ivf", "q_ann_pq"):
+        best = None
+        hashes = []
+        pdf = None
+        for run in range(2):
+            t0 = time.time()
+            out = qs[name](spark, SF100_DIR).localCheckpoint(eager=True)
+            dt = time.time() - t0
+            hashes.append(dist_hash(out))
+            best = dt if best is None else min(best, dt)
+            if run == 1:
+                pdf = (
+                    out.filter(F.col("query_id").isin(sample_ids))
+                    .select("query_id", "neighbor_id")
+                    .toPandas()  # bounded: N_QUERIES * k rows
+                )
+            reclaim(spark)
+        det = hashes[0] == hashes[1]
+        rec = _recall(pdf, truth)
+        if not det:
+            failures.append(f"{name}: determinism FAIL")
+        if rec < RECALL_FLOOR:
+            failures.append(f"{name}: recall@5 {rec:.3f} < {RECALL_FLOOR}")
+        rows.append((name, best, rec, det))
+        print(f"{name}: {best:.1f}s recall@5 {rec:.3f} det {det}", flush=True)
+
+    # --- 2. lifecycle ------------------------------------------------
+    root = os.path.join(_REPO, "spark-warehouse", "annidx_sf100")
+    shutil.rmtree(root, ignore_errors=True)
+    store = GraphStore(root)
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) < 7)
+    phases: list[tuple[str, float]] = []
+
+    kmeans_before = KMEANS_CALLS["n"]
+    t0 = time.time()
+    params = ivf_build(base, store, version=0)
+    phases.append(("build (70% corpus)", time.time() - t0))
+    kmeans_build = KMEANS_CALLS["n"] - kmeans_before
+
+    for i in range(3):
+        batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7 + i)
+        t0 = time.time()
+        ivf_append(batch, store, version=i + 1)
+        phases.append((f"append slice {i + 1} (10%)", time.time() - t0))
+    if KMEANS_CALLS["n"] != kmeans_before + kmeans_build:
+        failures.append("lifecycle: append retrained k-means")
+
+    # Corpus-scaled nprobe: on this near-uniform fixture recall@5 tracks
+    # the PROBED FRACTION of cells (measured 21% → 0.55, 43% → 0.80 at
+    # sf0.01/0.1), so a fixed nprobe silently decays as √N cell growth
+    # dilutes it — the same cliff class as the r8 PQ refine-depth fix.
+    # 25% of cells holds the 0.6 floor while the partition-pruned scan
+    # still skips 75% of the index; real clustered corpora probe far
+    # less for the same recall.
+    import math
+
+    nprobe = max(4, math.ceil(0.25 * params["n_clusters"]))
+    probe_q = emb.filter(F.col("vec_id").isin(sample_ids))
+    t0 = time.time()
+    streamed = ivf_query_persisted(
+        probe_q, store, k=5, nprobe=nprobe
+    ).localCheckpoint(eager=True)
+    phases.append(("query_persisted (256 q, pruned)", time.time() - t0))
+    h1 = dist_hash(streamed)
+
+    t0 = time.time()
+    deltas = store.delta_versions("codes")
+    store.compact(spark, "codes", version=max(deltas, default=0) + 1)
+    phases.append(("compact (fold 3 deltas)", time.time() - t0))
+    if store.delta_versions("codes"):
+        failures.append("lifecycle: compaction left deltas behind")
+
+    t0 = time.time()
+    after = ivf_query_persisted(
+        probe_q, store, k=5, nprobe=nprobe
+    ).localCheckpoint(eager=True)
+    phases.append(("query post-compact", time.time() - t0))
+    if dist_hash(after) != h1:
+        failures.append("lifecycle: post-compact answer differs")
+
+    life_pdf = after.select("query_id", "neighbor_id").toPandas()
+    life_recall = _recall(life_pdf, truth)
+    if life_recall < RECALL_FLOOR:
+        failures.append(
+            f"lifecycle: recall@5 {life_recall:.3f} < {RECALL_FLOOR}"
+        )
+    for ph, dt in phases:
+        print(f"lifecycle {ph}: {dt:.1f}s", flush=True)
+    print(f"lifecycle recall@5 {life_recall:.3f}", flush=True)
+
+    lines = [
+        SECTION_HEADER,
+        "",
+        f"2M-vector third decade (`tools/ann_sf100_probe.py`): headline",
+        f"queries best-of-2 (+ two-run determinism) with sampled",
+        f"recall@5 vs an independent numpy exact ground truth",
+        f"({N_QUERIES} hash-sampled queries vs the full corpus,",
+        f"self-excluded), then the persisted-index lifecycle —",
+        f"build(70%) → 3× append(10%, zero retrain: KMEANS_CALLS",
+        f"pinned at {kmeans_build} build-time call(s)) →",
+        f"partition-pruned query → compact → hash-equal re-query.",
+        "",
+        "| query | sf100 wall | recall@5 | det |",
+        "|---|---|---|---|",
+    ]
+    for name, best, rec, det in rows:
+        lines.append(
+            f"| {name} | {best:.1f}s | {rec:.3f} | {'ok' if det else 'FAIL'} |"
+        )
+    lines += [
+        "",
+        "| lifecycle phase | wall |",
+        "|---|---|",
+    ]
+    for ph, dt in phases:
+        lines.append(f"| {ph} | {dt:.1f}s |")
+    lines.append(
+        f"| recall@5 (persisted path, nprobe={nprobe} ="
+        f" 25% of {params['n_clusters']} cells) | {life_recall:.3f} |"
+    )
+    section = "\n".join(lines) + "\n"
+    if failures:
+        section += "\nFAILURES: " + "; ".join(failures) + "\n"
+
+    path = os.path.join(_REPO, "SCALING.md")
+    existing = open(path).read() if os.path.exists(path) else ""
+    if SECTION_HEADER in existing:
+        head, _, tail = existing.partition(SECTION_HEADER)
+        nxt = tail.find("\n## ")
+        existing = head.rstrip() + "\n" + (tail[nxt + 1 :] if nxt >= 0 else "")
+    with open(path, "w") as f:
+        f.write(existing.rstrip() + "\n\n" + section)
+    shutil.rmtree(root, ignore_errors=True)
+    print(f"wrote SCALING.md section; failures: {failures or 'none'}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

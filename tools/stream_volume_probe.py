@@ -1,0 +1,220 @@
+"""Streaming 100× volume probe (VERDICT r8 task 3).
+
+The 8× A/B (tools/stream_cost_ab.py) proved the fixed-vs-data cost
+split; this probe pushes the DATA term two decades further for the
+three STATEFUL certificates — watermarked window agg
+(q_stream_window_e2e), session windows (q_stream_session_e2e) and the
+stream-stream interval join (q_stream_join_e2e) — and checks the two
+properties the 100 TB posture rests on:
+
+1. **Throughput stays linear**: stream-phase rows/sec at 100× within
+   ±2× of the 1× rate (micro-batch machinery amortizes; the per-row
+   cost must not grow with stream length).
+2. **State obeys its operator's contract**: each cert records its
+   state store's ``numRowsTotal`` (CERT_TIMINGS ``state_rows``). The
+   amplifier multiplies ROWS at the SAME timestamps and keys, so:
+
+   - *aggregation state* (window, session) is keyed by grouping key —
+     cardinality unchanged ⇒ state must stay FLAT within 2× (state
+     that tracked stream length would read ~100× here; a watermark
+     leak shows immediately);
+   - *stream-stream join state* buffers every un-evicted ROW per side
+     (O(arrival rate × horizon) by definition — the cert docstring's
+     stated posture), and multiplying volume multiplies the arrival
+     rate ⇒ state grows ~linearly, so the flat invariant is state
+     PER INPUT ROW within 2×.
+
+Volume amplification replicates each event ``mult``× with a disjoint
+event_id and IDENTICAL ts/user/type/value — the staged day-hashed file
+COUNT is unchanged, so micro-batch count stays constant and only rows
+per batch multiply (same recipe as stream_cost_ab's 8×).
+
+Writes the "## Streaming volume scaling" section of SCALING.md.
+Usage: python tools/stream_volume_probe.py [sf_dir] [mults...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CERTS = [
+    "q_stream_window_e2e",
+    "q_stream_session_e2e",
+    "q_stream_join_e2e",
+]
+
+# State contract per cert: "flat" = state independent of volume
+# (aggregation keyed by grouping key); "per-row" = state linear in
+# buffered input rows (symmetric hash join), so state/row is the flat
+# invariant.
+STATE_CONTRACT = {
+    "q_stream_window_e2e": "flat",
+    "q_stream_session_e2e": "flat",
+    "q_stream_join_e2e": "per-row",
+}
+
+SECTION_HEADER = "## Streaming volume scaling (stateful certs, 1×/10×/100×)"
+
+
+def build_volume(spark, sf_dir: str, mult: int, out_dir: str) -> str:
+    """events × mult: disjoint event_ids, identical ts/keys — constant
+    file/batch count, constant grouping-key cardinality."""
+    from pyspark.sql import functions as F
+
+    from etl_neptune_spark.sources import load_table
+
+    marker = os.path.join(out_dir, "_VOLUME_OK")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0] or 0
+    amped = ev.withColumn(
+        "_r", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+    ).select(
+        (F.col("event_id") + (mx + 1) * F.col("_r")).alias("event_id"),
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    amped.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    for t in os.listdir(sf_dir):
+        if t.endswith(".parquet") and t != "events.parquet":
+            dst = os.path.join(out_dir, t)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(sf_dir, t), dst)
+    with open(marker, "w") as f:
+        f.write(str(mult))
+    return out_dir
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    mults = [int(m) for m in sys.argv[2:]] or [1, 10, 100]
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+    from etl_neptune_spark.plans.streaming import CERT_TIMINGS
+
+    qs = entry.queries()
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+
+    dirs = {}
+    for m in mults:
+        if m == 1:
+            dirs[m] = sf_dir
+        else:
+            dirs[m] = build_volume(
+                spark, sf_dir, m,
+                os.path.join(_REPO, "spark-warehouse", f"{tag}_vol{m}"),
+            )
+
+    # rows[cert][mult] = dict(rows_per_sec=..., state_rows=..., wall=...)
+    results: dict[str, dict[int, dict]] = {c: {} for c in CERTS}
+    for name in CERTS:
+        for m in mults:
+            CERT_TIMINGS.pop(name, None)
+            t0 = time.time()
+            qs[name](spark, dirs[m]).count()
+            wall = time.time() - t0
+            rec = dict(CERT_TIMINGS.get(name, {}))
+            rec["wall"] = round(wall, 2)
+            results[name][m] = rec
+            print(f"{name} x{m}: {rec}", flush=True)
+
+    lines = [
+        SECTION_HEADER,
+        "",
+        "Two decades past the 8× A/B for the three STATEFUL certs",
+        "(`tools/stream_volume_probe.py`; rows × mult at identical",
+        "timestamps/keys — constant file/batch count and grouping-key",
+        "cardinality). `rows/s` is the stream-phase data rate",
+        "(CERT_TIMINGS); `state` is the state store's numRowsTotal at",
+        "its largest observed point. Contracts: rows/s must not degrade",
+        ">2× with volume (per-row cost independent of stream length);",
+        "aggregation state (window/session) flat within 2× — a",
+        "watermark leak would read ~100× here; join state is",
+        "O(rate × horizon) by definition, so its flat invariant is",
+        "state PER INPUT ROW within 2×.",
+        "",
+        "| cert | contract | " + " | ".join(
+            f"{m}× rows/s | {m}× state" for m in mults
+        ) + " | rate degrade | state invariant |",
+        "|---|---|" + "---|" * (2 * len(mults) + 2),
+    ]
+    failures = []
+    for name in CERTS:
+        contract = STATE_CONTRACT[name]
+        cells = [contract]
+        rates, states, inrows = [], [], []
+        for m in mults:
+            rec = results[name][m]
+            rate = rec.get("rows_per_sec", float("nan"))
+            st = rec.get("state_rows", 0)
+            rates.append(rate)
+            states.append(st)
+            inrows.append(rec.get("stream_rows", 0))
+            cells.append(f"{rate:,.0f}")
+            cells.append(f"{st:,}")
+        # rate must not DEGRADE with volume: the binding direction is
+        # rate(1x)/rate(100x) — a higher rate at volume is amortization.
+        degrade = rates[0] / rates[-1] if rates[-1] > 0 else float("inf")
+        if degrade > 2.0:
+            failures.append(
+                f"{name}: rows/sec degraded {degrade:.2f}× at {mults[-1]}×"
+            )
+        if contract == "per-row":
+            norm = [
+                s / r for s, r in zip(states, inrows) if r > 0
+            ]  # state per buffered input row
+            inv = max(norm) / min(norm) if norm and min(norm) > 0 else float("nan")
+            inv_label = f"state/row {inv:.2f}×"
+        else:
+            inv = (
+                max(states) / min(states) if min(states) > 0 else float("nan")
+            )
+            inv_label = f"state {inv:.2f}×"
+        if inv == inv and inv > 2.0:
+            failures.append(f"{name}: {inv_label} with volume (contract {contract})")
+        cells.append(f"{degrade:.2f}×")
+        cells.append(inv_label)
+        lines.append(f"| {name} | " + " | ".join(cells) + " |")
+    section = "\n".join(lines) + "\n"
+    if failures:
+        section += "\nFAILURES: " + "; ".join(failures) + "\n"
+
+    path = os.path.join(_REPO, "SCALING.md")
+    existing = open(path).read() if os.path.exists(path) else ""
+    if SECTION_HEADER in existing:
+        head, _, tail = existing.partition(SECTION_HEADER)
+        nxt = tail.find("\n## ")
+        existing = head.rstrip() + "\n" + (tail[nxt + 1 :] if nxt >= 0 else "")
+    with open(path, "w") as f:
+        f.write(existing.rstrip() + "\n\n" + section)
+    print(f"wrote SCALING.md section; failures: {failures or 'none'}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
