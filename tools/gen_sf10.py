@@ -11,10 +11,11 @@ generation, plus the second-generation effects:
   SIZE grows additively (~+1.5 members per decade, never
   multiplicatively — the first-draft OOM class gen_sf1 documents is
   still avoided because replicas r≥2 are new content);
-- salted replacement tokens from generation 1 (``zzsf<r>x<m>``) are
+- salted replacement tokens from generation 1 (``zzsf<r>x<doc_id>``,
+  globally unique per (doc, replica) since the r9 salt fix) are
   re-replaced at mutated positions in generation 2, so mutated-shingle
-  document frequency stays ~1 and the inverted-index self-joins stay
-  linear;
+  document frequency stays exactly 1 and the inverted-index self-joins
+  stay linear;
 - fact tables (events/documents/embeddings/orders/lineitem) reach
   10M / 500k / 200k / 15M / 60M rows; dimension tables still symlink
   to the originals (the fact-vs-dim scaling shape).

@@ -11,10 +11,14 @@ the training-data pipeline's).
 
 Third-generation fixture effects (gen_sf1/gen_sf10 caveats compound):
 exact-dup rate stays ~20% per generation with additive cluster growth;
-generation-2 salt tokens ``zzsf<r>x<m>`` are re-salted at mutated
-positions, keeping mutated-shingle document frequency ~1, so the
-inverted-index joins stay linear by construction — which is exactly
-the property the probe measures end-to-end.
+generation-2 salt tokens ``zzsf<r>x<doc_id>`` (globally unique per
+(doc, replica) since the r9 salt fix) are re-salted at mutated
+positions, keeping mutated-shingle document frequency exactly 1, so
+the inverted-index joins stay linear by construction — which is
+exactly the property the probe measures end-to-end (pre-fix, the
+doc_id%997 salt collided shingles across ~5k docs per salt value and
+drove the prefix join past local disk; see SCALING.md's r9 fixture
+note).
 
 Output: <repo>/spark-warehouse/sf100/<table>.parquet (dims symlinked).
 Usage: python tools/gen_sf100.py [src_sf10_dir] [out_dir]
