@@ -809,3 +809,59 @@ def test_minhash_hot_band_collapse_and_salt_answer_preserving(spark):
         for r in minhash_lsh_pairs(docs, min_jaccard=0.5).collect()
     }
     assert again == got
+
+
+def test_minhash_no_duplicate_sets_skips_collapse_same_answer(spark):
+    """The adaptive collapse must be a no-op on a corpus with all-
+    DISTINCT shingle sets (stats probe finds g == n): the direct path
+    returns the verified rep pairs without expansion, and the answer
+    still matches the reference band-join plan."""
+    from etl_neptune_spark.operators.dedup import (
+        doc_shingles,
+        minhash_band_entries,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, base + " lambda"), (3, base.replace("gamma", "mu"))]
+    rows += [
+        (10 + i, f"totally different text number {i} about subject {i * 3}")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, min_jaccard=0.4).collect()
+    }
+
+    sh = doc_shingles(docs)
+    be = minhash_band_entries(sh, "doc_id", 12, 6)
+    cand = (
+        be.select("band", "band_hash", F.col("doc_id").alias("id_a"))
+        .join(
+            be.select("band", "band_hash", F.col("doc_id").alias("id_b")),
+            ["band", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    ref = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    }
+    assert got == ref
+    assert len(got) >= 1  # the planted near-identical docs pair up
