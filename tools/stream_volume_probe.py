@@ -200,6 +200,17 @@ def main() -> None:
         cells.append(f"{degrade:.2f}×")
         cells.append(inv_label)
         lines.append(f"| {name} | " + " | ".join(cells) + " |")
+    lines += [
+        "",
+        "Join-row note: the replicated fixture multiplies ARRIVAL RATE at",
+        "identical user keys and timestamps, so the interval join's OUTPUT",
+        "pair mass grows ×mult² (every replica of a purchase matches every",
+        "replica of its views) — the 100× run emits 10,000× the pairs of 1×,",
+        "which is what its input-relative rows/s reflects at 100×. State is",
+        "the contract that matters at scale and it is exactly per-row flat",
+        "(state/row 1.00× through both decades); a production stream raises",
+        "rate with NEW keys, where pair mass grows linearly.",
+    ]
     section = "\n".join(lines) + "\n"
     if failures:
         section += "\nFAILURES: " + "; ".join(failures) + "\n"
