@@ -87,6 +87,20 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Hash-repartition to full parallelism before a CPU-heavy Arrow
+    kernel (assign/encode): a 2M-row embeddings parquet arrives as ~8
+    file splits locally, serializing the per-row numpy work onto a
+    fraction of the cores — and every cap-split round that re-reads the
+    lineage pays it again. Gated on the current partition count, so a
+    real cluster scan that already yields enough splits skips the extra
+    shuffle (the operators/dedup.py recipe)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def cosine_neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -863,9 +877,22 @@ def ivf_topk(
             yield out
 
     probes_schema = ", ".join(f"probe{p} int" for p in range(nprobe))
+    # No _spread here: this assign kernel is a trivial n_clusters-wide
+    # matmul+argsort (measured 2× SLOWER with the extra repartition at
+    # sf1); the heavy kernels that benefit are ivfpq's encode and the
+    # 512-centroid persisted assign, which do spread.
     assigned = emb.mapInPandas(
         assign, f"vid long, vec array<float>, cell int, {probes_schema}"
     )
+    if cell_cap is not None and len(sample_pdf):
+        # localCheckpoint (compute-once), not persist: a persisted
+        # frame owned by nobody leaks CacheManager blocks across
+        # repeated invocations in a long-lived session; checkpoint
+        # blocks are context-cleaned once the result is dropped. It
+        # must wrap `assigned` BEFORE corpus/queries derive from it —
+        # r9 found the original rebound the name after the derivation,
+        # so every cap-split round silently re-ran the assign kernel.
+        assigned = assigned.localCheckpoint(eager=False)
 
     corpus = assigned.select("vid", "vec", "cell")
     queries = assigned.select(
@@ -875,11 +902,6 @@ def ivf_topk(
     )
 
     if cell_cap is not None and len(sample_pdf):
-        # localCheckpoint (compute-once), not persist: a persisted
-        # frame owned by nobody leaks CacheManager blocks across
-        # repeated invocations in a long-lived session; checkpoint
-        # blocks are context-cleaned once the result is dropped.
-        assigned = assigned.localCheckpoint(eager=False)
         corpus, queries = cap_ivf_cells(
             corpus, queries, cell_cap, dim=len(sample_pdf[vec_col].iloc[0]),
             seed=seed,
@@ -953,7 +975,7 @@ def _assign_with_centroids(
             yield out
 
     probes_schema = ", ".join(f"probe{p} int" for p in range(nprobe))
-    return emb.mapInPandas(
+    return _spread(emb).mapInPandas(
         assign, f"vid long, vec array<float>, cell int, {probes_schema}"
     )
 
@@ -1034,8 +1056,13 @@ def ivf_build(
     dim = len(sample_pdf[vec_col].iloc[0])
     cents = _kmeans(_matrix(sample_pdf[vec_col]), n_clusters, seed=seed)
 
-    corpus = _assign_with_centroids(emb, cents, id_col, vec_col, nprobe=1).select(
-        "vid", "vec", "cell"
+    # Checkpoint the assignment: the recorded cap-split loop below runs
+    # one aggregate + collect per round over this frame, and without the
+    # checkpoint each round re-runs the whole assign kernel (r9).
+    corpus = (
+        _assign_with_centroids(emb, cents, id_col, vec_col, nprobe=1)
+        .select("vid", "vec", "cell")
+        .localCheckpoint(eager=False)
     )
     history: list[tuple[int, list[str]]] = []
     if cell_cap is not None:
@@ -1340,10 +1367,13 @@ def ivfpq_topk(
             yield out
 
     probes_schema = ", ".join(f"probe{p} int" for p in range(nprobe))
-    assigned = emb.mapInPandas(
+    assigned = _spread(emb).mapInPandas(
         encode,
         f"vid long, vec array<float>, codes array<int>, cell int, {probes_schema}",
     )
+    if cell_cap is not None and len(sample_pdf):
+        # checkpoint BEFORE corpus/queries derive from it (see ivf_topk)
+        assigned = assigned.localCheckpoint(eager=False)
     corpus = assigned.select("vid", "vec", "codes", "cell")
     queries = assigned.select(
         F.col("vid").alias("qid"),
@@ -1352,7 +1382,6 @@ def ivfpq_topk(
     )
 
     if cell_cap is not None and len(sample_pdf):
-        assigned = assigned.localCheckpoint(eager=False)
         corpus, queries = cap_ivf_cells(
             corpus, queries, cell_cap, dim=dim, seed=seed
         )
