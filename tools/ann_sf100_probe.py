@@ -145,7 +145,20 @@ def main() -> None:
     # run the two-run determinism gate is carried at sf10, where both
     # hashes matched this round) --------------------------------------
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_ANN_RUNS", "2")))
-    for name in ("q_ann_ivf", "q_ann_pq"):
+    # SPARK_GRAFT_ANN_HEADLINE=0 skips the self-query certificates at
+    # sf100: they score 2M queries x nprobe cells, and the Arrow
+    # list<float> -> python conversion passes bind at SCAN parallelism
+    # (~8 file splits locally) — a single run exceeds 40 min on this
+    # host. Their second-decade evidence (sf10, best-of-2, det ok,
+    # recall floors strict at sf1) stands in the heavy-tail table; the
+    # sf100 index-at-scale path is the LIFECYCLE below, whose kernels
+    # repartition to full width.
+    headline = (
+        ("q_ann_ivf", "q_ann_pq")
+        if os.environ.get("SPARK_GRAFT_ANN_HEADLINE", "1") != "0"
+        else ()
+    )
+    for name in headline:
         best = None
         hashes = []
         pdf = None
@@ -243,20 +256,31 @@ def main() -> None:
     lines = [
         SECTION_HEADER,
         "",
-        f"2M-vector third decade (`tools/ann_sf100_probe.py`): headline",
-        f"queries best-of-2 (+ two-run determinism) with sampled",
+        f"2M-vector third decade (`tools/ann_sf100_probe.py`): sampled",
         f"recall@5 vs an independent numpy exact ground truth",
         f"({N_QUERIES} hash-sampled queries vs the full corpus,",
-        f"self-excluded), then the persisted-index lifecycle —",
+        f"self-excluded) and the persisted-index lifecycle —",
         f"build(70%) → 3× append(10%, zero retrain: KMEANS_CALLS",
         f"pinned at {kmeans_build} build-time call(s)) →",
         f"partition-pruned query → compact → hash-equal re-query.",
         "",
-        "| query | sf100 wall | recall@5 | det |",
-        "|---|---|---|---|",
     ]
-    for name, best, rec, det_label in rows:
-        lines.append(f"| {name} | {best:.1f}s | {rec:.3f} | {det_label} |")
+    if rows:
+        lines += ["| query | sf100 wall | recall@5 | det |", "|---|---|---|---|"]
+        for name, best, rec, det_label in rows:
+            lines.append(f"| {name} | {best:.1f}s | {rec:.3f} | {det_label} |")
+    else:
+        lines += [
+            "q_ann_ivf / q_ann_pq at sf100: not walled here — the",
+            "self-query form scores 2M queries and its Arrow",
+            "list<float>→python conversion passes bind at scan",
+            "parallelism on this host (>40 min/run). Their",
+            "second-decade rows (sf10 best-of-2, determinism ok) are in",
+            "the heavy-tail table: 73.8s / 51.9s after the r9",
+            "dead-checkpoint fix (was 101.9s / 95.7s); recall floors",
+            "hold strict at sf1 (tools/sf1_value_check.py). The sf100",
+            "at-scale ANN surface is the persisted lifecycle below.",
+        ]
     lines += [
         "",
         "| lifecycle phase | wall |",
