@@ -49,9 +49,25 @@ N_QUERIES = 256
 RECALL_FLOOR = 0.6
 
 
-def _exact_ground_truth(sample_ids, k=5):
-    """numpy exact top-k for the sampled queries vs the FULL corpus —
-    blocked matmul on the driver, independent of every Spark kernel."""
+def _exact_ground_truth(sample_ids, k=5, eps=1e-4):
+    """Exact ground truth for EPSILON-THRESHOLD recall@k: for each
+    sampled query, the float64 cosine of its k-th true neighbor (self
+    excluded) minus ``eps``, plus the machinery to score any returned
+    neighbor's true cosine. SET-overlap recall is the wrong metric on
+    this fixture: the amplifier makes ~100-member near-identical
+    replica cliques, so the true top-5 is a tie-broken choice among
+    ~equal candidates and a float32 scorer legitimately returns a
+    different 5-subset of the same clique (measured: recall stuck at
+    0.758 at sf10 whether nprobe probes 1%, 25% or 50% of cells — the
+    misses were ties, not missed cells). The FAISS convention for
+    duplicate-heavy corpora — count a hit when the returned neighbor's
+    TRUE similarity reaches the k-th best minus epsilon — is what this
+    measures. eps=1e-4 covers the float32 Arrow scorer's accumulation
+    band plus the clique's internal cosine spread (the amplifier
+    perturbs one coordinate by ≤0.027): measured at sf10, EVERY
+    returned neighbor was within 4.3e-5 of the true 5th-best — the
+    "misses" under eps=1e-6 were all band-internal orderings, never
+    wrong cells or genuinely-far neighbors."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(
@@ -63,23 +79,31 @@ def _exact_ground_truth(sample_ids, k=5):
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     pos = {int(v): i for i, v in enumerate(ids)}
     q_idx = np.array([pos[q] for q in sample_ids])
-    sims = mat[q_idx] @ mat.T  # (256, N)
+    sims = mat[q_idx] @ mat.T  # (n_sample, N)
     for r, qi in enumerate(q_idx):
         sims[r, qi] = -np.inf  # self excluded
-    truth = {}
+    kth = {}
     for r, q in enumerate(sample_ids):
-        cand = np.argpartition(sims[r], -4 * k)[-4 * k :]
-        order = np.lexsort((ids[cand], -sims[r, cand]))[:k]
-        truth[int(q)] = {int(ids[cand[j]]) for j in order}
-    return truth
+        top = np.partition(sims[r], -k)[-k:]
+        kth[int(q)] = float(top.min()) - eps
+    return {"kth": kth, "pos": pos, "mat": mat, "k": k}
 
 
 def _recall(pdf, truth) -> float:
+    """Epsilon-threshold recall@k (see _exact_ground_truth): fraction
+    of the k expected slots filled with neighbors whose true float64
+    cosine reaches the query's k-th-best threshold."""
+    kth, pos, mat, k = truth["kth"], truth["pos"], truth["mat"], truth["k"]
     hit = tot = 0
-    for q, want in truth.items():
-        got = set(pdf[pdf["query_id"] == q]["neighbor_id"].astype(int))
-        hit += len(got & want)
-        tot += len(want)
+    for q, thresh in kth.items():
+        qv = mat[pos[q]]
+        got = [
+            int(n)
+            for n in pdf[pdf["query_id"] == q]["neighbor_id"].astype(int)
+            if int(n) != q
+        ]
+        hit += sum(1 for n in got if float(qv @ mat[pos[n]]) >= thresh)
+        tot += k
     return hit / max(1, tot)
 
 
@@ -257,9 +281,13 @@ def main() -> None:
         SECTION_HEADER,
         "",
         f"2M-vector third decade (`tools/ann_sf100_probe.py`): sampled",
-        f"recall@5 vs an independent numpy exact ground truth",
-        f"({N_QUERIES} hash-sampled queries vs the full corpus,",
-        f"self-excluded) and the persisted-index lifecycle —",
+        f"epsilon-threshold recall@5 vs independent float64 numpy ground",
+        f"truth ({N_QUERIES} hash-sampled queries vs the full corpus,",
+        f"self-excluded; a hit = returned neighbor's TRUE cosine reaches",
+        f"the query's 5th-best minus 1e-4 — the duplicate-corpus ANN",
+        f"convention, since the amplified fixture's ~100-member replica",
+        f"cliques make exact-set top-5 a tie-break lottery) and the",
+        f"persisted-index lifecycle —",
         f"build(70%) → 3× append(10%, zero retrain: KMEANS_CALLS",
         f"pinned at {kmeans_build} build-time call(s)) →",
         f"partition-pruned query → compact → hash-equal re-query.",

@@ -75,14 +75,7 @@ BOUND_ROWS = [
     " width is the certified scale twin q_simhash64_band above"
     " (identical banding machinery at 64 bits), which holds ≤10×"
     " through the same decade.",
-    "Axis note for q_boilerplate's ~10× step: the fixture's"
-    " DISTINCT-shingle axis grows super-linearly per amplifier"
-    " generation (~×80 on the first decade — main table's axis note)"
-    " while postings grow ×10; the boilerplate profile aggregates per"
-    " DISTINCT shingle, so a slice of its input genuinely outpaces the"
-    " 10× row growth and the wall tracks that axis (pre-fix it was"
-    " 12.5× on top of quadratic re-joins; commit f5d1a5d removed"
-    " those).",
+    "**q_boilerplate 19.6× — measured single-node cache crossover, not a plan bug:** the plan is one df aggregate + a hot-only join-back (hot side grew just 1.6×: 560k → 883k postings over df>10). Measured axis (r9): postings 25.8M → 257.7M (×10.0), distinct shingles 25.0M → 249.7M (×10.0, 97% unique at BOTH scales — map-side combine is equally ineffective, so the exchange grows exactly ×10). The super-linear wall comes from the persisted MEMORY_AND_DISK shingle frame: ~26M shingle arrays fit this host's executor memory at sf10, ~258M spill to disk at sf100, so the df-agg and join-back passes read from disk — a single-node memory:data crossover that scales away with executor count on a cluster (each executor caches its slice). The same crossover class as the r8 jaccard disk bound, now with the axis measured instead of asserted.",
 ]
 
 SECTION_HEADER = "## sf100 third-decade probe"
