@@ -24,7 +24,7 @@ timeout 4000 python -m pytest tests/ -q > $R/pytest.log 2>&1
 echo "pytest: $(tail -2 $R/pytest.log | head -1)"
 
 echo "=== 3. pinned strict at sf0.1 (123 q-ids: every §2 + LLM headline) ==="
-timeout 6000 python tools/check_oracle.py --strict /root/testdata/sf0.1 $(grep -v '^#' tools/pinned_strict.txt | tr '\n' ' ') > $R/pinned_sf01.log 2>&1
+timeout 6000 python tools/check_oracle.py --strict --heavy-value /root/testdata/sf0.1 $(grep -v '^#' tools/pinned_strict.txt | tr '\n' ' ') > $R/pinned_sf01.log 2>&1
 echo "pinned sf0.1: $(tail -2 $R/pinned_sf01.log | head -1)"
 
 echo "=== 4. plan audit --exec (regenerate budgets over changed plans) ==="
