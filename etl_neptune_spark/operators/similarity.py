@@ -1114,7 +1114,13 @@ def ivf_build(
 
 def _load_ivf_state(spark, store):
     """Bounded driver reads of the tiny index-state tables (centroids ≈
-    √N rows, meta 1 row, splits ≈ oversized-cell count)."""
+    √N rows, meta 1 row, splits ≈ oversized-cell count).
+
+    Callers that query the same frozen index several times in one plan
+    (the lifecycle certificates) should load once and pass the result
+    through ``ivf_query_persisted(state=...)`` — each load is three
+    small driver actions, pure fixed cost when the index has not
+    changed between calls."""
     meta = store.read(spark, "meta").collect()[0].asDict()  # bounded: 1-row meta table
     cent_rows = store.read(spark, "centroids").collect()  # bounded: n_clusters rows (~sqrt N)
     cents = np.zeros((meta["n_clusters"], meta["dim"]), dtype=np.float64)
@@ -1159,6 +1165,7 @@ def ivf_query_persisted(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prune: bool = True,
+    state: tuple | None = None,
 ) -> DataFrame:
     """Top-k from a PERSISTED IVF index: no k-means anywhere (pinned by
     tests via ``KMEANS_CALLS``) — centroids come from a tiny parquet
@@ -1171,9 +1178,15 @@ def ivf_query_persisted(
     ``prune=False`` skips the isin() partition-prune and scans the full
     codes snapshot — the cell cogroup still restricts candidates, so
     the answer is identical; it exists so tests can assert the prune is
-    answer-neutral against a genuinely unpruned read (ADVICE r8)."""
+    answer-neutral against a genuinely unpruned read (ADVICE r8).
+
+    ``state``: a pre-loaded ``_load_ivf_state`` result — pass it when
+    issuing several queries against the SAME frozen index so the three
+    tiny state reads run once, not per call (pure fixed cost; the
+    answer is identical because the state is immutable between
+    queries)."""
     spark = queries.sparkSession
-    meta, cents, history = _load_ivf_state(spark, store)
+    meta, cents, history = state if state is not None else _load_ivf_state(spark, store)
     nprobe = min(nprobe, meta["n_clusters"])
     assigned = _assign_with_centroids(queries, cents, id_col, vec_col, nprobe)
     probe_q = assigned.select(

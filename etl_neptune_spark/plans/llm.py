@@ -637,7 +637,9 @@ def q_ann_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_clusters=8, nprobe=4), so recall evidence transfers."""
     import os
 
+    from ..operators.equality import multiset_diff_count
     from ..operators.similarity import (
+        _load_ivf_state,
         ivf_build,
         ivf_query_persisted,
         ivf_topk,
@@ -653,15 +655,25 @@ def q_ann_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(repo_root, "spark-warehouse", f"annidx_{tag}")
     )
     ivf_build(emb, store, n_clusters=8, version=0)
-    first = ivf_query_persisted(emb, store, k=5, nprobe=4).localCheckpoint()
-    second = ivf_query_persisted(emb, store, k=5, nprobe=4).localCheckpoint()
-    rerun_diff = first.exceptAll(second).count() + second.exceptAll(first).count()
+    # The index is frozen after the build: load its tiny state tables
+    # once and share across both query runs (r10 — each load is three
+    # driver actions of pure fixed cost; the second run still exercises
+    # the full persisted query path: assign, split replay, partition-
+    # pruned codes read, cogroup ranking).
+    state = _load_ivf_state(spark, store)
+    first = ivf_query_persisted(
+        emb, store, k=5, nprobe=4, state=state
+    ).localCheckpoint()
+    second = ivf_query_persisted(
+        emb, store, k=5, nprobe=4, state=state
+    ).localCheckpoint()
+    rerun_diff = multiset_diff_count(first, second)
     if rerun_diff:
         raise RuntimeError(
             f"q_ann_persist: persisted-index queries diverged ({rerun_diff} rows)"
         )
     fresh = ivf_topk(emb, n_clusters=8, nprobe=4).localCheckpoint()
-    build_diff = first.exceptAll(fresh).count() + fresh.exceptAll(first).count()
+    build_diff = multiset_diff_count(first, fresh)
     if build_diff:
         raise RuntimeError(
             f"q_ann_persist: persisted != fresh build ({build_diff} rows)"
