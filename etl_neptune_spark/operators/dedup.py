@@ -239,6 +239,26 @@ def minhash_signatures(
     return shingled.mapInPandas(gen, schema=f"{id_col} long, sig array<string>")
 
 
+# A (band, band_hash) bucket counts as hot when BOTH hold — mirroring
+# AQE's skew-join rule (relative skewedPartitionFactor AND absolute
+# skewedPartitionThresholdInBytes; VERDICT r9 task 5: gate the salt
+# fan-out on MEASURED skew):
+#   1. it holds ≥ _HOT_BAND_FACTOR × the mean bucket size, and
+#   2. it holds ≥ hot_band_min entries — a bucket of b entries feeds
+#      ~b²/2 candidate verifications from ONE join key; below ~1k
+#      entries that is sub-millisecond work no task imbalance can
+#      amplify, while the 8-way replication taxes EVERY row of the
+#      join shuffle.
+_HOT_BAND_FACTOR = 4.0
+_HOT_BAND_MIN = 1024
+
+# Last-call probe observations (n docs, distinct shingle-set groups,
+# hottest/mean band bucket, chosen salt) — a test seam like
+# similarity.KMEANS_CALLS, not a result cache: it never influences a
+# later call's plan or answer.
+MINHASH_PROBE: dict = {}
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -247,6 +267,7 @@ def minhash_lsh_pairs(
     bands: int = 6,
     min_jaccard: float = 0.5,
     hot_salt: int = 8,
+    hot_band_min: int = _HOT_BAND_MIN,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding, with
     exact shingle-Jaccard verification of candidates.
@@ -273,14 +294,18 @@ def minhash_lsh_pairs(
        exactly 1.0, across groups it is the verified rep pair's score.
        A corpus with no duplicate sets skips the collapse entirely —
        no rep join, no expansion, no extra wall.
-    2. **Salted band join.** The self-join splits every (band,
-       band_hash) key across ``hot_salt`` sub-keys — the left side
-       takes a deterministic per-id salt, the right side replicates to
-       all salts — so a hot bucket of NEAR-identical (not equal) docs
-       spreads over hot_salt tasks. The complete candidate set survives
-       (pair (a,b) meets exactly at b's replica of a's salt); the cost
-       is hot_salt× rows through one shuffle of the tiny band-entry
-       frame, linear and bounded.
+    2. **Salted band join (adaptive, r10).** When the band-frequency
+       probe (one agg over the already-materialized band_entries) finds
+       a bucket ≥ ``_HOT_BAND_FACTOR``× the mean, the self-join splits
+       every (band, band_hash) key across ``hot_salt`` sub-keys — the
+       left side takes a deterministic per-id salt, the right side
+       replicates to all salts — so a hot bucket of NEAR-identical (not
+       equal) docs spreads over hot_salt tasks. The complete candidate
+       set survives (pair (a,b) meets exactly at b's replica of a's
+       salt); the cost is hot_salt× rows through one shuffle of the
+       tiny band-entry frame, linear and bounded. A uniform corpus
+       (no hot bucket) skips the replication entirely — same candidate
+       set, hot_salt× fewer rows through the join shuffle.
     """
     # The shingle pass feeds several plan branches; persist + the stats
     # probe below materializes the (Python, md5-heavy) kernel exactly
@@ -304,29 +329,72 @@ def minhash_lsh_pairs(
         )
     else:
         rep_sh = shingled
-    # Both sides of the salted band self-join read this frame; the
-    # bounded count materializes the banding kernel once (band_entries
-    # is tiny — ``bands`` short rows per rep).
+    # Both sides of the band self-join read this frame. The bounded
+    # stats agg below materializes the banding kernel once (band_entries
+    # is tiny — ``bands`` short rows per rep) AND measures band skew
+    # (VERDICT r9 task 5): the salt fan-out exists to spread a HOT
+    # (band, band_hash) bucket across tasks, but on a uniform corpus it
+    # just pushes hot_salt× rows through the candidate-join shuffle for
+    # protection nothing needs. Salting only redistributes where pairs
+    # meet — pair (a, b) meets exactly at b's replica of a's salt — so
+    # both branches produce the identical candidate set (pinned by the
+    # answer-equality tests covering both gating branches).
     band_entries = minhash_band_entries(
         rep_sh.select(id_col, "shingles"), id_col, num_hashes, bands
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    band_entries.count()
+    bstats = (
+        band_entries.groupBy("band", "band_hash")
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+        .first()  # bounded: single stats row (and the cache-filling action)
+    )
+    hottest = int(bstats["mx"] or 0)
+    mean_bucket = float(bstats["mean"] or 0.0)
+    eff_salt = (
+        hot_salt
+        if (
+            hottest >= _HOT_BAND_FACTOR * max(mean_bucket, 1.0)
+            and hottest >= hot_band_min
+        )
+        else 1
+    )
+    MINHASH_PROBE.clear()
+    MINHASH_PROBE.update(
+        {
+            "n": int(stats["n"]),
+            "groups": int(stats["g"]),
+            "collapsed": collapsed,
+            "max_band": hottest,
+            "mean_band": round(mean_bucket, 3),
+            "eff_salt": eff_salt,
+        }
+    )
 
-    salts = F.array(*[F.lit(s) for s in range(hot_salt)])
-    left = band_entries.select(
-        "band",
-        "band_hash",
-        F.col(id_col).alias("id_a"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(hot_salt)).alias("__s"),
-    )
-    right = band_entries.select(
-        "band",
-        "band_hash",
-        F.col(id_col).alias("id_b"),
-        F.explode(salts).alias("__s"),
-    )
+    if eff_salt <= 1:
+        left = band_entries.select(
+            "band", "band_hash", F.col(id_col).alias("id_a")
+        )
+        right = band_entries.select(
+            "band", "band_hash", F.col(id_col).alias("id_b")
+        )
+        join_keys = ["band", "band_hash"]
+    else:
+        salts = F.array(*[F.lit(s) for s in range(eff_salt)])
+        left = band_entries.select(
+            "band",
+            "band_hash",
+            F.col(id_col).alias("id_a"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(eff_salt)).alias("__s"),
+        )
+        right = band_entries.select(
+            "band",
+            "band_hash",
+            F.col(id_col).alias("id_b"),
+            F.explode(salts).alias("__s"),
+        )
+        join_keys = ["band", "band_hash", "__s"]
     candidates = (
-        left.join(right, ["band", "band_hash", "__s"])
+        left.join(right, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -1081,30 +1081,52 @@ def ivf_build(
     else:
         corpus = corpus.withColumn("cell", F.col("cell").cast("string"))
 
-    cents_df = spark.createDataFrame(
-        [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
-        "cell int, centroid array<float>",
+    # The three state tables are driver-resident metadata (centroids ≈
+    # √N rows, meta 1 row, splits ≈ oversized-cell count): publish them
+    # with the store's in-process Arrow path — same layout, pointer
+    # flip and crash-safe rename sequence, minus three fixed-size Spark
+    # write jobs per build (r10; the schema matches what createDataFrame
+    # produced, pinned by the persisted-index tests).
+    import pyarrow as pa
+
+    cents_tbl = pa.table(
+        {
+            "cell": pa.array(range(len(cents)), pa.int32()),
+            "centroid": pa.array(
+                [[float(x) for x in row] for row in cents],
+                pa.list_(pa.float32()),
+            ),
+        }
     )
-    meta_df = spark.createDataFrame(
-        [(dim, n_clusters, seed, split_bits, int(cell_cap or 0))],
-        "dim int, n_clusters int, seed int, split_bits int, cell_cap int",
+    meta_tbl = pa.table(
+        {
+            "dim": pa.array([dim], pa.int32()),
+            "n_clusters": pa.array([n_clusters], pa.int32()),
+            "seed": pa.array([seed], pa.int32()),
+            "split_bits": pa.array([split_bits], pa.int32()),
+            "cell_cap": pa.array([int(cell_cap or 0)], pa.int32()),
+        }
     )
-    splits_df = spark.createDataFrame(
-        [
-            (r, sfx_seed, cell)
-            for r, (sfx_seed, cells) in enumerate(history)
-            for cell in cells
-        ],
-        "round int, sfx_seed int, cell string",
+    split_rows = [
+        (r, sfx_seed, cell)
+        for r, (sfx_seed, cells) in enumerate(history)
+        for cell in cells
+    ]
+    splits_tbl = pa.table(
+        {
+            "round": pa.array([r for r, _, _ in split_rows], pa.int32()),
+            "sfx_seed": pa.array([s for _, s, _ in split_rows], pa.int32()),
+            "cell": pa.array([c for _, _, c in split_rows], pa.string()),
+        }
     )
     # Hive-partition the codes by cell: a 100 TB reader that probes
     # nprobe cells scans only those partitions (the GraphStore label-
     # partitioning recipe applied to the IVF layout); locally the
     # cogroup reads the whole snapshot either way.
     store.write(corpus, "codes", version, partition_by=("cell",))
-    store.write(cents_df, "centroids", version)
-    store.write(meta_df, "meta", version)
-    store.write(splits_df, "splits", version)
+    store.write_arrow(cents_tbl, "centroids", version)
+    store.write_arrow(meta_tbl, "meta", version)
+    store.write_arrow(splits_tbl, "splits", version)
     return {
         "dim": dim,
         "n_clusters": n_clusters,

@@ -933,23 +933,37 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the shingle frame is PERSISTED so the Arrow shingling
     kernel — the dominant per-row cost — runs once however many plan
     branches read it (the first draft's two branches each re-ran it;
-    the sf100 probe measured 12.5× on a 10× step). Per-doc totals come
-    straight from size(shingles) on the cached frame (zero shuffle);
-    the postings shuffle once for the df agg; the join-back moves only
-    HOT postings (≤ postings/BOILER_DF shingle keys by definition), so
-    the doc_id agg touches hot rows only. localCheckpoint freezes the
-    result before the cache is dropped — same lifecycle discipline as
-    jaccard_prefix_pairs."""
+    the sf100 probe measured 12.5× on a 10× step). r10 (VERDICT r9
+    task 2): nothing downstream needs the shingle STRINGS — df counting
+    and the hot join-back only need shingle IDENTITY, and the output
+    carries none — so the persisted frame holds 8-byte xxhash64
+    digests, not ~25-byte strings: the cached bytes, the postings
+    shuffle and the join-back keys all shrink ~3× (the sf100 19.6×
+    cache-crossover row was exactly this frame spilling). Per-doc
+    totals come from size() on the cached frame (zero shuffle); the
+    postings shuffle once for the df agg; the join-back moves only HOT
+    postings (≤ postings/BOILER_DF keys by definition), so the doc_id
+    agg touches hot rows only. localCheckpoint freezes the result
+    before the cache is dropped — same lifecycle discipline as
+    jaccard_prefix_pairs. (Digest equality stands in for string
+    equality; distinct shingles colliding in 64-bit hash space is the
+    same accepted regime as every xxhash64 keying in the engine.)"""
     from pyspark import StorageLevel
 
     from ..operators.dedup import doc_shingles
 
-    sh = doc_shingles(load_table(spark, sf_dir, "documents")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = (
+        doc_shingles(load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.size("shingles").cast("long").alias("n_shingles"),
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("sh_h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sh.count()  # eager fill: concurrent branches must not race the cache
     try:
-        ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+        ex = sh.select("doc_id", F.explode("sh_h").alias("s"))
         hot = (
             ex.groupBy("s")
             .agg(F.count("*").alias("df"))
@@ -962,11 +976,11 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_boiler"))
         )
         out = (
-            sh.select("doc_id", F.size("shingles").alias("n_shingles"))
+            sh.select("doc_id", "n_shingles")
             .join(n_boiler, "doc_id", "left")
             .select(
                 "doc_id",
-                F.col("n_shingles").cast("long").alias("n_shingles"),
+                "n_shingles",
                 F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
                 F.round(
                     F.coalesce("n_boiler", F.lit(0)) / F.col("n_shingles"), 4

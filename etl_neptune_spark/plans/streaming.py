@@ -97,10 +97,13 @@ class _CertTimer:
 
     def state(self, q) -> None:
         """Record the state-store size (sum of numRowsTotal across the
-        last progress's stateOperators, max-merged across runs) — the
+        last progress's stateOperators, max-merged WITHIN a run — only
+        the best-stream_sec run's record is published, so a larger
+        observation from a losing run is dropped; ADVICE r9) — the
         observable behind the O(keys × horizon) state-retention
-        contract; the volume probe (tools/stream_volume_probe.py)
-        asserts it stays flat as stream volume multiplies."""
+        contract; the volume probe (tools/stream_volume_probe.py) pops
+        the entry per run and asserts it stays flat as stream volume
+        multiplies."""
         try:
             prog = q.lastProgress or {}
             rows = sum(
@@ -1630,9 +1633,15 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # count — under foreachBatch replay a batch rewrites its own
         # delta (idempotent), so delta ids are the ground truth for
         # "what exists to fold", while counters double-count replays.
+        # Empty-deltas fallback anchors on the store's latest snapshot
+        # version, NOT a constant: compact(v=1) against a base at N>1
+        # would flip _LATEST backwards and re-expose stale deltas in
+        # (1, N] (ADVICE r9 — latent, unreachable in this single-
+        # compact flow, fixed at the source).
         deltas = store_s.delta_versions("codes")
         state["n_deltas"] = len(deltas)
-        store_s.compact(spark, "codes", version=max(deltas, default=0) + 1)
+        fallback = store_s.latest_version("codes") or 0
+        store_s.compact(spark, "codes", version=max(deltas, default=fallback) + 1)
         if store_s.delta_versions("codes"):
             raise RuntimeError(
                 "q_stream_ann_ingest: compaction left deltas behind"

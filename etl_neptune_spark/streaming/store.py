@@ -117,15 +117,25 @@ class GraphStore:
         return spark.read.parquet(path)
 
     def versions(self, table: str) -> list[int]:
-        """Retained snapshot versions, oldest first."""
+        """Retained snapshot versions, oldest first. A crash-window
+        retired copy (``v=<n>.old`` whose primary ``v=<n>`` is missing
+        — see read_version's fallback) counts as version n: time-travel
+        iterators must see the same committed set the reader can
+        actually serve (ADVICE r9)."""
         tdir = self._table_dir(table)
         if not os.path.isdir(tdir):
             return []
-        return sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(tdir)
-            if d.startswith("v=") and d.split("=", 1)[1].lstrip("-").isdigit()
-        )
+        live: set[int] = set()
+        retired: set[int] = set()
+        for d in os.listdir(tdir):
+            if not d.startswith("v="):
+                continue
+            tail = d.split("=", 1)[1]
+            if tail.lstrip("-").isdigit():
+                live.add(int(tail))
+            elif tail.endswith(".old") and tail[:-4].lstrip("-").isdigit():
+                retired.add(int(tail[:-4]))
+        return sorted(live | retired)
 
     def write(
         self,
@@ -157,12 +167,45 @@ class GraphStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staging)
-        # Publish order is crash-safe at every cut (VERDICT r8 task 4):
-        # the retired copy of an existing v=<version> survives until the
-        # staged dir has landed, so a kill between the two renames
-        # leaves the committed bytes at ``v=N.old`` where read_version's
-        # fallback finds them — a reader never observes a torn or
-        # missing version, and re-running the same publish converges.
+        self._publish_staged(table, version, staging, partition_by)
+
+    def write_arrow(self, tbl, table: str, version: int) -> None:
+        """Driver-local snapshot publish for METADATA-SCALE tables.
+
+        Identical layout, pointer flip and crash-safe publish sequence
+        as ``write``, but the parquet lands via one in-process pyarrow
+        write instead of a Spark job — a snapshot whose content already
+        lives on the driver (IVF centroids ≈ √N rows, meta 1 row,
+        splits ≈ oversized-cell count) costs a full fixed-size Spark
+        job per table otherwise (~0.5 s each, ×3 per index build).
+        Callers pass a ``pyarrow.Table`` whose schema matches what the
+        Spark reader expects; ``spark.read.parquet`` sees the same
+        types it would from a Spark-written snapshot."""
+        import pyarrow.parquet as pq
+
+        tdir = self._table_dir(table)
+        staging = os.path.join(tdir, f".staging-v={version}")
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
+        pq.write_table(tbl, os.path.join(staging, "part-00000.parquet"))
+        self._publish_staged(table, version, staging, ())
+
+    def _publish_staged(
+        self,
+        table: str,
+        version: int,
+        staging: str,
+        partition_by: tuple[str, ...],
+    ) -> None:
+        """Crash-safe publish of a fully-written staging dir.
+
+        Publish order is crash-safe at every cut (VERDICT r8 task 4):
+        the retired copy of an existing v=<version> survives until the
+        staged dir has landed, so a kill between the two renames
+        leaves the committed bytes at ``v=N.old`` where read_version's
+        fallback finds them — a reader never observes a torn or
+        missing version, and re-running the same publish converges."""
+        final = os.path.join(self._table_dir(table), f"v={version}")
         retired = final + ".old"
         if os.path.exists(final):
             shutil.rmtree(retired, ignore_errors=True)

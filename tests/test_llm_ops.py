@@ -865,3 +865,92 @@ def test_minhash_no_duplicate_sets_skips_collapse_same_answer(spark):
     }
     assert got == ref
     assert len(got) >= 1  # the planted near-identical docs pair up
+
+
+def test_minhash_salt_gate_follows_measured_band_skew(spark):
+    """VERDICT r9 task 5: the 8-way salt replication must only run when
+    the band-frequency probe actually measures a hot bucket. Uniform
+    corpus -> eff_salt 1; hot-band corpus with all-DISTINCT shingle
+    sets (so the collapse cannot defuse it) -> eff_salt 8, and the
+    salted answer equals the unsalted reference plan."""
+    from etl_neptune_spark.operators.dedup import (
+        MINHASH_PROBE,
+        doc_shingles,
+        minhash_band_entries,
+        minhash_lsh_pairs,
+    )
+
+    # Branch 1: uniform corpus, every band bucket holds one entry.
+    rows = [
+        (i, f"unique document number {i} about topic {i * 7} entirely")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    minhash_lsh_pairs(docs, min_jaccard=0.5).collect()
+    assert MINHASH_PROBE["eff_salt"] == 1
+    assert MINHASH_PROBE["collapsed"] is False
+
+    # Branch 2: 30 docs sharing a long base text, each distinct by one
+    # trailing token — distinct shingle sets (no collapse) but nearly
+    # identical signatures, so one (band, band_hash) bucket goes hot.
+    # hot_band_min lowered to the fixture's scale: production's 1024
+    # floor is the absolute AQE-style threshold, and a 30-entry bucket
+    # must NOT salt under it (asserted after the main check).
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, f"{base} tok{i}") for i in range(30)]
+    rows += [(100 + i, f"other text {i} on subject {i * 3} entirely") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, min_jaccard=0.5, hot_band_min=8).collect()
+    }
+    assert MINHASH_PROBE["collapsed"] is False
+    assert MINHASH_PROBE["eff_salt"] == 8, MINHASH_PROBE
+
+    sh = doc_shingles(docs)
+    be = minhash_band_entries(sh, "doc_id", 12, 6)
+    cand = (
+        be.select("band", "band_hash", F.col("doc_id").alias("id_a"))
+        .join(
+            be.select("band", "band_hash", F.col("doc_id").alias("id_b")),
+            ["band", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    ref = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    }
+    assert got == ref
+    assert len(got) >= (30 * 29) // 4  # the hot clique really pairs up
+
+
+def test_minhash_salt_absolute_floor(spark):
+    """A bucket that is relatively hot but absolutely tiny (30 entries,
+    ~400 candidate pairs) must NOT trigger the 8-way replication under
+    the production hot_band_min: the fan-out taxes every join row for
+    protection sub-millisecond work does not need."""
+    from etl_neptune_spark.operators.dedup import MINHASH_PROBE, minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, f"{base} tok{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    minhash_lsh_pairs(docs, min_jaccard=0.5).collect()
+    assert MINHASH_PROBE["max_band"] >= 4 * max(MINHASH_PROBE["mean_band"], 1.0)
+    assert MINHASH_PROBE["eff_salt"] == 1, MINHASH_PROBE

@@ -64,6 +64,12 @@ def build_doubled(spark, sf_dir: str, out_dir: str) -> str:
 
 
 def run_cert(qs, timings, name: str, spark, sf_dir: str) -> dict:
+    # _CertTimer only publishes a run that BEATS the stored stream_sec
+    # (best-of-N semantics for bench). The 1× and 8× datasets share one
+    # cert name here, so without clearing, the slower 8× leg would keep
+    # reading the stale 1× record and the data-cost term collapses to
+    # ~0 (ADVICE r9; the pattern stream_volume_probe.py already uses).
+    timings.pop(name, None)
     best: dict | None = None
     for _ in range(2):
         t0 = time.time()
