@@ -83,8 +83,44 @@ def _matrix(col: pd.Series) -> np.ndarray:
     return np.vstack(col.to_numpy()).astype(np.float64)
 
 
+def _arrow_matrix(arr, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from an Arrow ``list<float>`` column with NO
+    per-row Python objects (VERDICT r9 task 1): the list values buffer
+    is viewed zero-copy with ``to_numpy`` and reshaped; the only copy
+    is one bulk cast to ``dtype``. The pandas route materializes one
+    ndarray object per row before ``np.vstack`` copies each — that
+    per-row conversion is what bound the ANN certificates' sf100 walls
+    at scan parallelism (>40 min at 2M vectors, SCALING.md)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if arr.null_count:
+        raise ValueError("_arrow_matrix: null embedding row")
+    vals = arr.flatten().to_numpy(zero_copy_only=True)
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+    else:
+        offs = arr.offsets.to_numpy(zero_copy_only=True)
+        widths = offs[1:] - offs[:-1]
+        dim = int(widths[0]) if len(widths) else 0
+        if not (widths == dim).all():
+            raise ValueError("_arrow_matrix: ragged embedding column")
+    m = vals.reshape(n, dim)
+    return m.astype(dtype) if m.dtype != dtype else m
+
+
 def _unit(m: np.ndarray) -> np.ndarray:
     return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _key_py(v):
+    """Grouping-key element from applyInArrow → Python native (the key
+    arrives as pyarrow scalars; applyInPandas passed natives)."""
+    return v.as_py() if hasattr(v, "as_py") else v
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -126,32 +162,50 @@ def cosine_neardup_pairs(
         .filter((F.col("blk") != F.col("other")) | (F.col("other") == F.col("g2")))
     )
 
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        g1, g2 = key
-        out_a, out_b, out_c = [], [], []
+    import pyarrow as parrow
+
+    empty = parrow.table(
+        {
+            "id_a": parrow.array([], parrow.int64()),
+            "id_b": parrow.array([], parrow.int64()),
+            "cos": parrow.array([], parrow.float64()),
+        }
+    )
+
+    def score(key, t):
+        # applyInArrow (r10): zero-copy vector ingest; same rounded
+        # float64 scores and the same unordered-pair semantics (the
+        # raw matrix is sliced BEFORE the single _unit pass, exactly
+        # as the pandas form normalized each slice).
+        g1, g2 = (_key_py(key[0]), _key_py(key[1]))
+        ids = t.column("vid").to_numpy()
+        m = _arrow_matrix(t.column("vec"))
         if g1 == g2:
-            ids = pdf["vid"].to_numpy()
-            u = _unit(_matrix(pdf["vec"]))
+            u = _unit(m)
             c = np.round(u @ u.T, 4)
             ii, jj = np.where(np.triu(c >= min_cosine, k=1))
             a_ids, b_ids = ids[ii], ids[jj]
         else:
-            pa, pb = pdf[pdf["blk"] == g1], pdf[pdf["blk"] == g2]
-            if len(pa) == 0 or len(pb) == 0:
-                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-                    {"id_a": "int64", "id_b": "int64", "cos": "float64"}
-                )
-            ia, ib = pa["vid"].to_numpy(), pb["vid"].to_numpy()
-            c = np.round(_unit(_matrix(pa["vec"])) @ _unit(_matrix(pb["vec"])).T, 4)
+            blk = t.column("blk").to_numpy()
+            ma, mb = blk == g1, blk == g2
+            if not ma.any() or not mb.any():
+                return empty
+            ia, ib = ids[ma], ids[mb]
+            c = np.round(_unit(m[ma]) @ _unit(m[mb]).T, 4)
             ii, jj = np.where(c >= min_cosine)
             a_ids, b_ids = ia[ii], ib[jj]
         cos = c[ii, jj]
-        lo, hi = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos}).astype(
-            {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+        lo = np.minimum(a_ids, b_ids).astype(np.int64)
+        hi = np.maximum(a_ids, b_ids).astype(np.int64)
+        return parrow.table(
+            {
+                "id_a": parrow.array(lo),
+                "id_b": parrow.array(hi),
+                "cos": parrow.array(cos),
+            }
         )
 
-    return keyed.groupBy("g1", "g2").applyInPandas(
+    return keyed.groupBy("g1", "g2").applyInArrow(
         score, schema="id_a long, id_b long, cos double"
     )
 
@@ -195,32 +249,38 @@ def semantic_dedup(
         .filter((F.col("blk") != F.col("other")) | (F.col("other") == F.col("g2")))
     )
 
-    def dropped(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        _, g1, g2 = key
+    import pyarrow as parrow
+
+    _empty_vid = parrow.table({"vid": parrow.array([], parrow.int64())})
+
+    def dropped(key, t):
+        # applyInArrow (r10): zero-copy vector ingest, same rounded
+        # float64 scores, same keep-first verdict.
+        g1, g2 = _key_py(key[1]), _key_py(key[2])
+        ids = t.column("vid").to_numpy()
+        m = _arrow_matrix(t.column("vec"))
         if g1 == g2:
-            ids = pdf["vid"].to_numpy()
-            u = _unit(_matrix(pdf["vec"]))
+            u = _unit(m)
             c = np.round(u @ u.T, 4)
             ii, jj = np.where(np.triu(c >= min_cosine, k=1))
             a_ids, b_ids = ids[ii], ids[jj]
         else:
-            pa, pb = pdf[pdf["blk"] == g1], pdf[pdf["blk"] == g2]
-            if len(pa) == 0 or len(pb) == 0:
-                return pd.DataFrame({"vid": []}).astype({"vid": "int64"})
-            ia, ib = pa["vid"].to_numpy(), pb["vid"].to_numpy()
-            c = np.round(
-                _unit(_matrix(pa["vec"])) @ _unit(_matrix(pb["vec"])).T, 4
-            )
+            blk = t.column("blk").to_numpy()
+            ma, mb = blk == g1, blk == g2
+            if not ma.any() or not mb.any():
+                return _empty_vid
+            ia, ib = ids[ma], ids[mb]
+            c = np.round(_unit(m[ma]) @ _unit(m[mb]).T, 4)
             ii, jj = np.where(c >= min_cosine)
             a_ids, b_ids = ia[ii], ib[jj]
         # id_a < id_b and the LARGER id is the one dropped (keep-first).
-        return pd.DataFrame({"vid": np.maximum(a_ids, b_ids)}).astype(
-            {"vid": "int64"}
+        return parrow.table(
+            {"vid": parrow.array(np.maximum(a_ids, b_ids).astype(np.int64))}
         )
 
     drops = (
         keyed.groupBy("grp", "g1", "g2")
-        .applyInPandas(dropped, schema="vid long")
+        .applyInArrow(dropped, schema="vid long")
         .dropDuplicates(["vid"])
     )
     return (
@@ -244,35 +304,58 @@ def _masked_topk_kernel(k: int, with_label: bool):
     score — a superset of the global top-k, so the ranking window
     above it is exact."""
 
-    def score(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []}).astype(
-            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
-        )
-        if len(qpdf) == 0 or len(cpdf) == 0:
+    import pyarrow as pa
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+
+    def score(key, qt, ct):
+        # applyInArrow (r10, VERDICT r9 task 1): zero-copy vector
+        # ingest + numpy-slice output assembly — same rounded float64
+        # scores, same masks, same (cos desc, id asc) lexsort.
+        if qt.num_rows == 0 or ct.num_rows == 0:
             return empty
-        qi, ci = qpdf["vid"].to_numpy(), cpdf["vid"].to_numpy()
-        c = np.round(_unit(_matrix(qpdf["vec"])) @ _unit(_matrix(cpdf["vec"])).T, 4)
+        qi, ci = qt.column("vid").to_numpy(), ct.column("vid").to_numpy()
+        c = np.round(
+            _unit(_arrow_matrix(qt.column("vec")))
+            @ _unit(_arrow_matrix(ct.column("vec"))).T,
+            4,
+        )
         c[qi[:, None] == ci[None, :]] = -np.inf  # exclude self
         if with_label:
-            ql, cl = qpdf["lbl"].to_numpy(), cpdf["lbl"].to_numpy()
+            qlc, clc = qt.column("lbl"), ct.column("lbl")
+            ql = qlc.to_numpy(zero_copy_only=False)
+            cl = clc.to_numpy(zero_copy_only=False)
             c[ql[:, None] == cl[None, :]] = -np.inf  # exclude same class
             # SQL three-valued "q.label != c.label" also drops any pair
             # where EITHER label is NULL — match that, not numpy equality
             # (which only excludes both-NULL pairs).
-            qn, cn = pd.isna(qpdf["lbl"]).to_numpy(), pd.isna(cpdf["lbl"]).to_numpy()
+            qn = qlc.is_null().to_numpy(zero_copy_only=False)
+            cn = clc.is_null().to_numpy(zero_copy_only=False)
             c[qn[:, None] | cn[None, :]] = -np.inf
-        rows = []
         kk = min(k, c.shape[1])
+        out_q, out_n, out_c = [], [], []
         for r in range(c.shape[0]):
             # top-k by (cos desc, neighbor_id asc) on the ROUNDED score
             order = np.lexsort((ci, -c[r]))[:kk]
-            for j in order:
-                if np.isfinite(c[r, j]):
-                    rows.append((qi[r], ci[j], c[r, j]))
-        if not rows:
+            sel = order[np.isfinite(c[r, order])]
+            if len(sel):
+                out_q.append(np.full(len(sel), qi[r], dtype=np.int64))
+                out_n.append(ci[sel].astype(np.int64))
+                out_c.append(c[r, sel])
+        if not out_q:
             return empty
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"]).astype(
-            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "cos": pa.array(np.concatenate(out_c)),
+            }
         )
 
     return score
@@ -320,7 +403,7 @@ def brute_force_topk(
     candidates = (
         q_rep.groupBy("blk")
         .cogroup(c_blocks.groupBy("blk"))
-        .applyInPandas(score, schema="query_id long, neighbor_id long, cos double")
+        .applyInArrow(score, schema="query_id long, neighbor_id long, cos double")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -536,44 +619,50 @@ def lsh_topk(
         emb, id_col, vec_col, bits, dim, seed, max_bucket_rows
     )
 
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"query_id": [], "neighbor_id": [], "cos": [], "rank": []}
-        ).astype(
-            {
-                "query_id": "int64",
-                "neighbor_id": "int64",
-                "cos": "float64",
-                "rank": "int32",
-            }
-        )
-        if len(pdf) < 2:
+    import pyarrow as parrow
+
+    empty = parrow.table(
+        {
+            "query_id": parrow.array([], parrow.int64()),
+            "neighbor_id": parrow.array([], parrow.int64()),
+            "cos": parrow.array([], parrow.float64()),
+            "rank": parrow.array([], parrow.int32()),
+        }
+    )
+
+    def score(key, t):
+        # applyInArrow (r10): zero-copy vector ingest + numpy-slice
+        # output. Rank semantics preserved exactly: the sort puts every
+        # -inf (self-mask) after all finite scores, so the finite
+        # prefix's 1-based positions are what enumerate emitted.
+        if t.num_rows < 2:
             return empty
-        ids = pdf["vid"].to_numpy()
-        u = _unit(_matrix(pdf["vec"]))
+        ids = t.column("vid").to_numpy()
+        u = _unit(_arrow_matrix(t.column("vec")))
         c = np.round(u @ u.T, 4)
         np.fill_diagonal(c, -np.inf)
-        rows = []
         kk = min(k, len(ids) - 1)
+        out_q, out_n, out_c, out_r = [], [], [], []
         for r in range(len(ids)):
             order = np.lexsort((ids, -c[r]))[:kk]
-            for rank, j in enumerate(order, start=1):
-                if np.isfinite(c[r, j]):
-                    rows.append((ids[r], ids[j], c[r, j], rank))
-        if not rows:
+            sel = order[np.isfinite(c[r, order])]
+            if len(sel):
+                out_q.append(np.full(len(sel), ids[r], dtype=np.int64))
+                out_n.append(sel_ids := ids[sel].astype(np.int64))
+                out_c.append(c[r, sel])
+                out_r.append(np.arange(1, len(sel_ids) + 1, dtype=np.int32))
+        if not out_q:
             return empty
-        return pd.DataFrame(
-            rows, columns=["query_id", "neighbor_id", "cos", "rank"]
-        ).astype(
+        return parrow.table(
             {
-                "query_id": "int64",
-                "neighbor_id": "int64",
-                "cos": "float64",
-                "rank": "int32",
+                "query_id": parrow.array(np.concatenate(out_q)),
+                "neighbor_id": parrow.array(np.concatenate(out_n)),
+                "cos": parrow.array(np.concatenate(out_c)),
+                "rank": parrow.array(np.concatenate(out_r)),
             }
         )
 
-    return bucketed.groupBy("bucket").applyInPandas(
+    return bucketed.groupBy("bucket").applyInArrow(
         score, schema="query_id long, neighbor_id long, cos double, rank int"
     )
 
@@ -623,7 +712,7 @@ def lsh_hard_negatives(
     candidates = (
         anch.groupBy("bucket", "blk")
         .cogroup(cand.groupBy("bucket", "blk"))
-        .applyInPandas(
+        .applyInArrow(
             _masked_topk_kernel(k, with_label=True),
             schema="query_id long, neighbor_id long, cos double",
         )
@@ -746,28 +835,54 @@ def _make_cell_scorer(k: int):
     """Per-cell exact cosine top-k cogroup kernel shared by the ad-hoc
     (``ivf_topk``) and persisted (``ivf_query_persisted``) IVF paths.
     Queries arrive as (qid, qvec, cell), corpus as (vid, vec, cell);
-    identical ids are self-masked (the self-query convention)."""
+    identical ids are self-masked (the self-query convention).
 
-    def score(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []}).astype(
-            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
-        )
-        if len(qpdf) == 0 or len(cpdf) == 0:
+    applyInArrow form (r10, VERDICT r9 task 1): the vector columns of
+    BOTH cogroup sides ingest zero-copy (``_arrow_matrix``) and the
+    top-k output assembles from concatenated numpy slices — the pandas
+    form materialized one ndarray object per input row plus one Python
+    tuple per emitted pair, which is the conversion cost that bound the
+    self-query certificates' sf100 walls (SCALING.md). Ranking math is
+    unchanged: same rounded float64 scores, same (cos desc, id asc)
+    lexsort, same self-mask."""
+    import pyarrow as pa
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+
+    def score(key, qt, ct):
+        if qt.num_rows == 0 or ct.num_rows == 0:
             return empty
-        qi, ci = qpdf["qid"].to_numpy(), cpdf["vid"].to_numpy()
-        c = np.round(_unit(_matrix(qpdf["qvec"])) @ _unit(_matrix(cpdf["vec"])).T, 4)
+        qi = qt.column("qid").to_numpy()
+        ci = ct.column("vid").to_numpy()
+        c = np.round(
+            _unit(_arrow_matrix(qt.column("qvec")))
+            @ _unit(_arrow_matrix(ct.column("vec"))).T,
+            4,
+        )
         c[qi[:, None] == ci[None, :]] = -np.inf
-        rows = []
         kk = min(k, c.shape[1])
+        out_q, out_n, out_c = [], [], []
         for r in range(c.shape[0]):
             order = np.lexsort((ci, -c[r]))[:kk]
-            rows.extend(
-                (qi[r], ci[j], c[r, j]) for j in order if np.isfinite(c[r, j])
-            )
-        if not rows:
+            sel = order[np.isfinite(c[r, order])]
+            if len(sel):
+                out_q.append(np.full(len(sel), qi[r], dtype=np.int64))
+                out_n.append(ci[sel].astype(np.int64))
+                out_c.append(c[r, sel])
+        if not out_q:
             return empty
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"]).astype(
-            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "cos": pa.array(np.concatenate(out_c)),
+            }
         )
 
     return score
@@ -782,7 +897,7 @@ def _rank_cell_candidates(queries: DataFrame, corpus: DataFrame, k: int) -> Data
     candidates = (
         queries.groupBy("cell")
         .cogroup(corpus.groupBy("cell"))
-        .applyInPandas(
+        .applyInArrow(
             _make_cell_scorer(k),
             schema="query_id long, neighbor_id long, cos double",
         )
@@ -860,28 +975,32 @@ def ivf_topk(
     bc = spark.sparkContext.broadcast(cents)
 
     def assign(batches):
-        for pdf in batches:
-            u = _unit(_matrix(pdf[vec_col]))
+        import pyarrow as pa
+
+        for batch in batches:
+            vec = batch.column(1)
+            u = _unit(_arrow_matrix(vec))
             sims = u @ bc.value.T
             order = np.argsort(-sims, axis=1)
-            out = pd.DataFrame(
-                {
-                    "vid": pdf[id_col].astype("int64"),
-                    "vec": pdf[vec_col],
-                    "cell": order[:, 0].astype("int32"),
-                }
-            )
+            arrays = [
+                batch.column(0).cast(pa.int64()),
+                vec,
+                pa.array(order[:, 0].astype(np.int32)),
+            ]
+            names = ["vid", "vec", "cell"]
             # probe list for the query role (nearest nprobe cells)
             for p in range(nprobe):
-                out[f"probe{p}"] = order[:, p].astype("int32")
-            yield out
+                arrays.append(pa.array(order[:, p].astype(np.int32)))
+                names.append(f"probe{p}")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     probes_schema = ", ".join(f"probe{p} int" for p in range(nprobe))
     # No _spread here: this assign kernel is a trivial n_clusters-wide
     # matmul+argsort (measured 2× SLOWER with the extra repartition at
     # sf1); the heavy kernels that benefit are ivfpq's encode and the
-    # 512-centroid persisted assign, which do spread.
-    assigned = emb.mapInPandas(
+    # 512-centroid persisted assign, which do spread. mapInArrow +
+    # zero-copy ingest/pass-through as in _assign_with_centroids (r10).
+    assigned = emb.select(id_col, vec_col).mapInArrow(
         assign, f"vid long, vec array<float>, cell int, {probes_schema}"
     )
     if cell_cap is not None and len(sample_pdf):
@@ -953,29 +1072,40 @@ def _assign_with_centroids(
 ) -> DataFrame:
     """Distributed nearest-centroid assignment against a FROZEN
     quantizer: one Arrow pass, no training. Emits (vid, vec, cell,
-    probe0..probe{nprobe-1})."""
+    probe0..probe{nprobe-1}).
+
+    mapInArrow, not mapInPandas (r10, VERDICT r9 task 1): the vector
+    column enters as a zero-copy buffer view (``_arrow_matrix``) and
+    leaves by PASSING THE ORIGINAL ARROW COLUMN THROUGH — the pandas
+    route paid one ndarray object per row inbound and a per-row
+    list re-serialization outbound, which is what bound the 2M-vector
+    certificates at scan parallelism. Only (id, vec) cross the
+    boundary (guide §4: project before an opaque kernel)."""
+    import pyarrow as pa
+
     bc = emb.sparkSession.sparkContext.broadcast(cents)
 
     def assign(batches):
-        for pdf in batches:
-            u = _unit(_matrix(pdf[vec_col]))
+        for batch in batches:
+            vec = batch.column(1)
+            u = _unit(_arrow_matrix(vec))
             sims = u @ bc.value.T
             order = np.argsort(-sims, axis=1)
-            out = pd.DataFrame(
-                {
-                    "vid": pdf[id_col].astype("int64"),
-                    "vec": pdf[vec_col],
-                    "cell": order[:, 0].astype("int32"),
-                }
-            )
+            arrays = [
+                batch.column(0).cast(pa.int64()),
+                vec,
+                pa.array(order[:, 0].astype(np.int32)),
+            ]
+            names = ["vid", "vec", "cell"]
             for p in range(nprobe):
-                out[f"probe{p}"] = order[:, min(p, order.shape[1] - 1)].astype(
-                    "int32"
+                arrays.append(
+                    pa.array(order[:, min(p, order.shape[1] - 1)].astype(np.int32))
                 )
-            yield out
+                names.append(f"probe{p}")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     probes_schema = ", ".join(f"probe{p} int" for p in range(nprobe))
-    return _spread(emb).mapInPandas(
+    return _spread(emb.select(id_col, vec_col)).mapInArrow(
         assign, f"vid long, vec array<float>, cell int, {probes_schema}"
     )
 
@@ -1378,8 +1508,11 @@ def ivfpq_topk(
     bc_books = spark.sparkContext.broadcast(books)
 
     def encode(batches):
-        for pdf in batches:
-            u = _unit(_matrix(pdf[vec_col]))
+        import pyarrow as pa
+
+        for batch in batches:
+            vec = batch.column(1)
+            u = _unit(_arrow_matrix(vec))
             sims = u @ bc_coarse.value.T
             order = np.argsort(-sims, axis=1)
             codes = np.empty((len(u), m), dtype=np.int32)
@@ -1389,20 +1522,27 @@ def ivfpq_topk(
                     axis=2
                 )
                 codes[:, s] = np.argmin(d2, axis=1)
-            out = pd.DataFrame(
-                {
-                    "vid": pdf[id_col].astype("int64"),
-                    "vec": pdf[vec_col],
-                    "codes": list(codes),
-                    "cell": order[:, 0].astype("int32"),
-                }
+            # codes as one ListArray over the raveled matrix — no
+            # per-row Python lists (r10, same recipe as _arrow_matrix
+            # ingest; offsets are the trivial arange × m).
+            codes_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(len(u) + 1, dtype=np.int32) * m),
+                pa.array(codes.ravel()),
             )
+            arrays = [
+                batch.column(0).cast(pa.int64()),
+                vec,
+                codes_arr,
+                pa.array(order[:, 0].astype(np.int32)),
+            ]
+            names = ["vid", "vec", "codes", "cell"]
             for p in range(nprobe):
-                out[f"probe{p}"] = order[:, p].astype("int32")
-            yield out
+                arrays.append(pa.array(order[:, p].astype(np.int32)))
+                names.append(f"probe{p}")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     probes_schema = ", ".join(f"probe{p} int" for p in range(nprobe))
-    assigned = _spread(emb).mapInPandas(
+    assigned = _spread(emb.select(id_col, vec_col)).mapInArrow(
         encode,
         f"vid long, vec array<float>, codes array<int>, cell int, {probes_schema}",
     )
@@ -1421,16 +1561,29 @@ def ivfpq_topk(
             corpus, queries, cell_cap, dim=dim, seed=seed
         )
 
-    def score(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []}).astype(
-            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
-        )
-        if len(qpdf) == 0 or len(cpdf) == 0:
+    import pyarrow as pa
+
+    _empty_topk = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+
+    def score(key, qt, ct):
+        # applyInArrow (r10): vectors AND codes ingest zero-copy — the
+        # pandas form paid one ndarray object per row for qvec/vec plus
+        # np.vstack over per-row codes lists, the conversion cost that
+        # bound this certificate's sf100 wall (SCALING.md). Scoring
+        # math unchanged (same LUT/ADC, same rounded float64 re-rank).
+        empty = _empty_topk
+        if qt.num_rows == 0 or ct.num_rows == 0:
             return empty
-        qi, ci = qpdf["qid"].to_numpy(), cpdf["vid"].to_numpy()
-        qu = _unit(_matrix(qpdf["qvec"]))
-        codes = np.vstack(cpdf["codes"].to_numpy())  # (n, m)
-        cu = _unit(_matrix(cpdf["vec"]))
+        qi, ci = qt.column("qid").to_numpy(), ct.column("vid").to_numpy()
+        qu = _unit(_arrow_matrix(qt.column("qvec")))
+        codes = _arrow_matrix(ct.column("codes"), dtype=np.int64)  # (n, m)
+        cu = _unit(_arrow_matrix(ct.column("vec")))
         books_ = bc_books.value
         n_q, n_c = len(qu), len(ci)
         rr = min(refine, n_c)
@@ -1450,7 +1603,7 @@ def ivfpq_topk(
             cand_all = np.argpartition(-adc, rr - 1, axis=1)[:, :rr]
         else:
             cand_all = np.broadcast_to(np.arange(n_c), (n_q, n_c))
-        rows = []
+        out_q, out_n, out_c = [], [], []
         for r in range(n_q):
             cand = cand_all[r]
             cand = cand[np.isfinite(adc[r, cand])]
@@ -1459,17 +1612,23 @@ def ivfpq_topk(
             # exact re-rank of the refine set only
             exact = np.round(cu[cand] @ qu[r], 4)
             order = np.lexsort((ci[cand], -exact))[: min(k, len(cand))]
-            rows.extend((qi[r], ci[cand[j]], exact[j]) for j in order)
-        if not rows:
+            out_q.append(np.full(len(order), qi[r], dtype=np.int64))
+            out_n.append(ci[cand[order]].astype(np.int64))
+            out_c.append(exact[order])
+        if not out_q:
             return empty
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"]).astype(
-            {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "cos": pa.array(np.concatenate(out_c)),
+            }
         )
 
     candidates = (
         queries.groupBy("cell")
         .cogroup(corpus.groupBy("cell"))
-        .applyInPandas(score, schema="query_id long, neighbor_id long, cos double")
+        .applyInArrow(score, schema="query_id long, neighbor_id long, cos double")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
