@@ -995,12 +995,15 @@ def ivf_topk(
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     probes_schema = ", ".join(f"probe{p} int" for p in range(nprobe))
-    # No _spread here: this assign kernel is a trivial n_clusters-wide
-    # matmul+argsort (measured 2× SLOWER with the extra repartition at
-    # sf1); the heavy kernels that benefit are ivfpq's encode and the
-    # 512-centroid persisted assign, which do spread. mapInArrow +
-    # zero-copy ingest/pass-through as in _assign_with_centroids (r10).
-    assigned = emb.select(id_col, vec_col).mapInArrow(
+    # _spread (r10): gated on the scan's partition count, so a well-
+    # laid-out input skips the extra shuffle entirely. The r8 "no
+    # spread here" measurement (2× slower at sf1) predates the
+    # zero-copy kernel AND the single-row-group fixture finding: on an
+    # under-filed input the whole assign→cap-split→checkpoint lineage
+    # serializes through one task (the r9 sf100 ">40 min" bind), which
+    # dwarfs the one narrow shuffle the gate might add. mapInArrow +
+    # zero-copy ingest/pass-through as in _assign_with_centroids.
+    assigned = _spread(emb.select(id_col, vec_col)).mapInArrow(
         assign, f"vid long, vec array<float>, cell int, {probes_schema}"
     )
     if cell_cap is not None and len(sample_pdf):

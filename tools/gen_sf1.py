@@ -134,7 +134,16 @@ def build(spark, src: str, out: str, tables: set[str] | None = None) -> None:
         "label",
     )
     if want("embeddings"):
-        emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+        # Write with real scan parallelism (r10, guide §6): the narrow
+        # amplified frame otherwise lands as ONE file with ONE row
+        # group (2M vectors ≈ 30 MB compressed), and a single-row-group
+        # file is unsplittable — every downstream kernel, checkpoint
+        # and cap-split pass serializes through one task regardless of
+        # maxPartitionBytes. This single-file layout, not the Python
+        # boundary alone, was the r9 ">40 min at 2M vectors" bind.
+        emb.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, "embeddings.parquet")
+        )
 
     orders = amplified("orders").select(
         (F.col("o_orderkey") * 10 + r).alias("o_orderkey"),
