@@ -780,55 +780,85 @@ def cap_ivf_cells(
     persisted index needs so later probes/appends can replay the exact
     same sub-cell keys (``ivf_build``/``ivf_query_persisted``). The
     oversized-cell list is tiny by construction (cells already over the
-    cap), so the extra collect is a bounded driver action."""
+    cap), so the extra collect is a bounded driver action.
+
+    Loop shape (r10, guide §8 "move heavy bytes once"): only rows whose
+    CURRENT cell is oversized can change key in a round, so the loop
+    carries just that shrinking "active" set — under-cap rows freeze
+    into lazily-filtered "done" views of the previous round's blocks.
+    The r9 form re-checkpointed the FULL corpus AND the (nprobe×
+    exploded) query frame every round, materializing the vector payload
+    rounds× over into deserialized block storage — at 2M×64f that cache
+    churn, not the split math, was the sf100 wall (driver thread dumps:
+    29/32 executor threads in MemoryStore.putIteratorAsValues). The
+    query side leaves the loop entirely: its final keys are exactly a
+    replay of the recorded history (``_replay_cell_splits`` — the same
+    transform the persisted append/probe paths already use), so it pays
+    zero checkpoints. Oversized detection over the active set is
+    equivalent to detection over the full corpus: a cell's whole
+    population moves between active/done together (keys extend only
+    currently-oversized keys), so a frozen cell can never grow.
+    Answers are bit-identical — same seeds, same per-round oversized
+    lists, same suffix expression, only WHERE rows are cached changes.
+    """
+    from pyspark.storagelevel import StorageLevel
+
     spark = corpus.sparkSession
     corpus = corpus.withColumn("cell", F.col("cell").cast("string"))
     queries = queries.withColumn("cell", F.col("cell").cast("string"))
+    cols = list(corpus.columns)
+    history: list[tuple[int, list[str]]] = []
+    done: list[DataFrame] = []
+    active = corpus
     for round_no in range(max_rounds):
-        over = (
-            corpus.groupBy("cell")
+        cells = sorted(
+            r["cell"]
+            for r in active.groupBy("cell")
             .agg(F.count("*").alias("__n"))
             .filter(F.col("__n") > cell_cap)
             .select("cell")
+            .collect()  # bounded: oversized-cell ids <= n_cells
         )
-        sfx_seed = seed + 101 * (round_no + 1)
-        if record is not None:
-            cells = sorted(r["cell"] for r in over.collect())  # bounded: oversized-cell ids <= n_cells
-            if not cells:
-                break
-            record.append((sfx_seed, cells))
-            over = spark.createDataFrame(
-                [(c,) for c in cells], "cell string"
-            )
-        elif over.isEmpty():
+        if not cells:
             break
-        ov = F.broadcast(over.withColumn("__over", F.lit(True)))
-
-        def _split(df: DataFrame, vcol: str) -> DataFrame:
-            return (
-                df.join(ov, "cell", "left")
-                .withColumn(
-                    "cell",
-                    F.when(
-                        F.col("__over"),
-                        F.concat(
-                            F.col("cell"),
-                            F.lit("|"),
-                            sign_bucket(vcol, split_bits, dim, sfx_seed),
-                        ),
-                    ).otherwise(F.col("cell")),
-                )
-                .drop("__over")
+        sfx_seed = seed + 101 * (round_no + 1)
+        history.append((sfx_seed, cells))
+        ov = F.broadcast(
+            spark.createDataFrame([(c,) for c in cells], "cell string")
+            .withColumn("__over", F.lit(True))
+        )
+        joined = active.join(ov, "cell", "left")
+        # Under-cap rows freeze: a lazy view over the PREVIOUS round's
+        # checkpoint blocks (no new materialization, no sign_bucket).
+        done.append(joined.filter(F.col("__over").isNull()).select(*cols))
+        # Only the oversized remainder is re-keyed and checkpointed —
+        # serialized storage: compact bytes instead of per-row objects
+        # (the MemoryStore/SizeEstimator churn measured above).
+        active = (
+            joined.filter(F.col("__over"))
+            .withColumn(
+                "cell",
+                F.concat(
+                    F.col("cell"),
+                    F.lit("|"),
+                    sign_bucket("vec", split_bits, dim, sfx_seed),
+                ),
             )
-
-        corpus = _split(corpus, "vec")
-        queries = _split(queries, "qvec")
-        # Re-plan from a checkpoint each round: the loop otherwise
-        # stacks join layers whose re-analysis cost compounds and whose
-        # recomputation multiplies under the next round's aggregate.
-        corpus = corpus.localCheckpoint(eager=False)
-        queries = queries.localCheckpoint(eager=False)
-    return corpus, queries
+            .select(*cols)
+            .localCheckpoint(
+                # MEMORY_AND_DISK is the SERIALIZED level in the Python
+                # API (MEMORY_AND_DISK_DESER is the DataFrame default).
+                eager=False,
+                storageLevel=StorageLevel.MEMORY_AND_DISK,
+            )
+        )
+    if record is not None:
+        record.extend(history)
+    out_c = active
+    for d in done:
+        out_c = out_c.unionByName(d)
+    out_q = _replay_cell_splits(queries, "qvec", history, split_bits, dim)
+    return out_c, out_q
 
 
 def _make_cell_scorer(k: int):

@@ -483,6 +483,98 @@ def test_ivf_cell_cap_enforced_on_skewed_corpus(spark):
     assert all(r.query_id != r.neighbor_id for r in one)
 
 
+def test_cap_ivf_cells_matches_r9_reference_loop(spark):
+    """r10 rewrite pin: the shrinking-active-set cap loop (checkpoint
+    only oversized rows, replay the query side from history) must
+    produce the IDENTICAL (id → cell) mapping and the identical split
+    history as the r9 reference algorithm (full-frame split every
+    round). Multi-round skewed corpus: one mega-cell that needs ≥2
+    sign-suffix rounds to fall under the cap."""
+    import numpy as np
+
+    from etl_neptune_spark.operators.similarity import (
+        cap_ivf_cells,
+        sign_bucket,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.uniform(0.5, 1.0, size=16)
+    rows = [
+        (i, [float(x) for x in base + rng.normal(0, 0.3, size=16)])
+        for i in range(1200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corpus = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("vec"),
+        F.lit(0).alias("cell"),
+    )
+    queries = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.lit(0).alias("cell"),
+    )
+    cap, dim, seed, split_bits = 60, 16, 42, 4
+
+    def reference_loop(c, q):
+        """The r9 cap_ivf_cells, verbatim semantics."""
+        hist = []
+        c = c.withColumn("cell", F.col("cell").cast("string"))
+        q = q.withColumn("cell", F.col("cell").cast("string"))
+        for round_no in range(8):
+            over_cells = sorted(
+                r["cell"]
+                for r in c.groupBy("cell")
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") > cap)
+                .select("cell")
+                .collect()
+            )
+            if not over_cells:
+                break
+            sfx_seed = seed + 101 * (round_no + 1)
+            hist.append((sfx_seed, over_cells))
+            ov = F.broadcast(
+                spark.createDataFrame([(x,) for x in over_cells], "cell string")
+                .withColumn("__over", F.lit(True))
+            )
+
+            def _split(df, vcol):
+                return (
+                    df.join(ov, "cell", "left")
+                    .withColumn(
+                        "cell",
+                        F.when(
+                            F.col("__over"),
+                            F.concat(
+                                F.col("cell"),
+                                F.lit("|"),
+                                sign_bucket(vcol, split_bits, dim, sfx_seed),
+                            ),
+                        ).otherwise(F.col("cell")),
+                    )
+                    .drop("__over")
+                )
+
+            c = _split(c, "vec").localCheckpoint(eager=False)
+            q = _split(q, "qvec").localCheckpoint(eager=False)
+        return c, q, hist
+
+    ref_c, ref_q, ref_hist = reference_loop(corpus, queries)
+    rec: list = []
+    new_c, new_q = cap_ivf_cells(
+        corpus, queries, cap, dim=dim, seed=seed, record=rec
+    )
+    assert rec == ref_hist, "split history diverged"
+    assert len(rec) >= 2, "fixture must force a multi-round split"
+    ref_map = {r["vid"]: r["cell"] for r in ref_c.collect()}
+    new_map = {r["vid"]: r["cell"] for r in new_c.collect()}
+    assert new_map == ref_map, "corpus cell keys diverged"
+    ref_qmap = sorted((r["qid"], r["cell"]) for r in ref_q.collect())
+    new_qmap = sorted((r["qid"], r["cell"]) for r in new_q.collect())
+    assert new_qmap == ref_qmap, "query cell keys diverged"
+
+
 def test_ivf_auto_clusters_scale_with_corpus(spark):
     """n_clusters=None derives ~sqrt(N) cells instead of a fixed 16."""
     import numpy as np
