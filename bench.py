@@ -209,6 +209,27 @@ def main() -> None:
         retimed[name] = [cur, dt]
         timings[name] = min(cur, dt)
 
+    # Symmetric best-of-3 for the printed slow list (VERDICT r10 #5):
+    # the outlier pass above only re-times apparent REGRESSIONS, so
+    # improvements kept lucky best-of-2 walls — an asymmetry a reader
+    # can reasonably object to. Every query that can land in the
+    # printed slowest-25 line gets ONE extra steady-state run (same
+    # count() methodology, min kept), recorded under "retimed" so both
+    # the best-of-2 and best-of-3 walls stay visible in the artifact.
+    # Top 30 by current wall (margin over the printed 25 so membership
+    # shifts from the re-time itself stay covered).
+    for name, _cur in sorted(timings.items(), key=lambda kv: -kv[1])[:30]:
+        if name in retimed:
+            continue  # already has a third sample
+        t0 = time.perf_counter()
+        try:
+            queries[name](spark, sf_dir).count()
+        except Exception:  # noqa: BLE001 — keep the recorded timing
+            continue
+        dt = round(time.perf_counter() - t0, 3)
+        retimed[name] = [timings[name], dt]
+        timings[name] = min(timings[name], dt)
+
     # Skew evidence (VERDICT r4 task 8): the same headline queries on a
     # deterministic zipfian-key copy of the tables — one user carries
     # ~35% of events, 30% of docs share 3 boilerplate texts. Entries
@@ -333,7 +354,19 @@ def main() -> None:
         "n_errors": len(errors),
         "queries_full": "BENCH.json",
         "sf": out["sf"],
+        # Host-window evidence in the PRINTED line too (VERDICT r10 #4:
+        # the driver's parsed artifact couldn't show whether the run was
+        # contended or which walls were re-timed).
+        "cpus": cpus,
+        "load_avg_start": out["load_avg_start"],
+        "load_avg_end": out["load_avg_end"],
     }
+    if retimed:
+        # Only the printed queries' re-times (the full map is in
+        # BENCH.json) — keeps the one-line contract small.
+        compact["retimed"] = {
+            k: v for k, v in retimed.items() if k in slowest
+        }
     if skew_timings:
         compact["skew"] = skew_timings
     if store_stats:

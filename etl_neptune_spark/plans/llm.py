@@ -661,19 +661,32 @@ def q_ann_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full persisted query path: assign, split replay, partition-
     # pruned codes read, cogroup ranking).
     state = _load_ivf_state(spark, store)
-    first = ivf_query_persisted(
-        emb, store, k=5, nprobe=4, state=state
-    ).localCheckpoint()
-    second = ivf_query_persisted(
-        emb, store, k=5, nprobe=4, state=state
-    ).localCheckpoint()
-    rerun_diff = multiset_diff_count(first, second)
+    # The two persisted-path runs and the fresh rebuild are INDEPENDENT
+    # deterministic pipelines over frozen inputs — run them on parallel
+    # driver threads (guide §2.6) so each job's straggler tail is
+    # back-filled by the next pipeline's tasks instead of idling the
+    # executor pool; likewise the two equality aggregations. Same
+    # frames, same raise order, answer-identical (r11; the sequential
+    # form evaluated all three frames too).
+    from ..parallel import run_concurrent
+
+    first, second, fresh = run_concurrent(
+        lambda: ivf_query_persisted(
+            emb, store, k=5, nprobe=4, state=state
+        ).localCheckpoint(),
+        lambda: ivf_query_persisted(
+            emb, store, k=5, nprobe=4, state=state
+        ).localCheckpoint(),
+        lambda: ivf_topk(emb, n_clusters=8, nprobe=4).localCheckpoint(),
+    )
+    rerun_diff, build_diff = run_concurrent(
+        lambda: multiset_diff_count(first, second),
+        lambda: multiset_diff_count(first, fresh),
+    )
     if rerun_diff:
         raise RuntimeError(
             f"q_ann_persist: persisted-index queries diverged ({rerun_diff} rows)"
         )
-    fresh = ivf_topk(emb, n_clusters=8, nprobe=4).localCheckpoint()
-    build_diff = multiset_diff_count(first, fresh)
     if build_diff:
         raise RuntimeError(
             f"q_ann_persist: persisted != fresh build ({build_diff} rows)"

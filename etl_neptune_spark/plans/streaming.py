@@ -1588,8 +1588,12 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply(batch: DataFrame, batch_id: int) -> None:
         # Delta versions must sort after the base snapshot (v=0);
         # replaying a batch rewrites its own delta dir — idempotent.
+        # state=ivf_state (r11): the quantizer is frozen by the
+        # certificate's own contract, so the three tiny state reads run
+        # once for the whole batch sequence instead of three driver
+        # actions per micro-batch.
         state["batches"] += 1
-        ivf_append(batch, store_s, version=batch_id + 1)
+        ivf_append(batch, store_s, version=batch_id + 1, state=ivf_state)
 
     ckpt = os.path.join(root, "_ckpt")
     # The whole lifecycle runs at the stream-sized shuffle width: the
@@ -1597,6 +1601,8 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state/shuffle partitions would be pure per-task fixed cost
     # (same sizing argument as _stream_shuffle's docstring).
     _tm.mark("setup")
+    from ..parallel import run_concurrent
+
     with _stream_shuffle(spark):
         q = (
             spark.readStream.schema(
@@ -1609,19 +1615,34 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("q_stream_ann_ingest: stream did not terminate")
+
+        # The one-shot twin's append touches ONLY store_b — run it on a
+        # parallel driver thread while the stream drains into store_s
+        # (guide §2.6: independent jobs back-fill micro-batch gaps).
+        # Same delta bytes land either way; the stores never alias.
+        def _await_stream() -> None:
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    "q_stream_ann_ingest: stream did not terminate"
+                )
+
+        run_concurrent(
+            _await_stream,
+            lambda: ivf_append(arrivals, store_b, version=1, state=ivf_state),
+        )
         _tm.mark("stream", rows=_staged_rows(cache))
 
-        ivf_append(arrivals, store_b, version=1)
-
-        streamed = ivf_query_persisted(
-            emb, store_s, k=5, state=ivf_state
-        ).localCheckpoint()
-        batched = ivf_query_persisted(
-            emb, store_b, k=5, state=ivf_state
-        ).localCheckpoint()
+        # streamed-vs-batched answers: two independent reads of two
+        # frozen stores — parallel threads (§2.6), identical frames.
+        streamed, batched = run_concurrent(
+            lambda: ivf_query_persisted(
+                emb, store_s, k=5, state=ivf_state
+            ).localCheckpoint(),
+            lambda: ivf_query_persisted(
+                emb, store_b, k=5, state=ivf_state
+            ).localCheckpoint(),
+        )
         split_diff = multiset_diff_count(streamed, batched)
         if split_diff:
             raise RuntimeError(

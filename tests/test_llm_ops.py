@@ -1046,3 +1046,65 @@ def test_minhash_salt_absolute_floor(spark):
     minhash_lsh_pairs(docs, min_jaccard=0.5).collect()
     assert MINHASH_PROBE["max_band"] >= 4 * max(MINHASH_PROBE["mean_band"], 1.0)
     assert MINHASH_PROBE["eff_salt"] == 1, MINHASH_PROBE
+
+
+def test_replay_chunked_matches_unchunked(spark):
+    """r11 codegen-depth cap pin: ``_replay_cell_splits`` cuts the
+    replay chain with a lazy serialized localCheckpoint every
+    ``_REPLAY_CODEGEN_CHUNK`` rounds (the janino method-limit fix).
+    The cut is a storage boundary only — on a fabricated 5-round
+    history (deep enough that the cut fires twice) the chunked replay
+    must produce bit-identical cell keys to the plain unchunked loop."""
+    import numpy as np
+
+    from etl_neptune_spark.operators.similarity import (
+        _REPLAY_CODEGEN_CHUNK,
+        _replay_cell_splits,
+        sign_bucket,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, size=16)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "qid long, qvec array<float>").withColumn(
+        "cell", F.lit("0")
+    )
+    # 5 rounds, split_bits=1: round r splits every key reachable after
+    # r-1 rounds (2^(r-1) strings), so most rows keep extending and the
+    # chunk boundary fires inside a live chain.
+    split_bits, dim, seed = 1, 16, 42
+    history = []
+    reachable = ["0"]
+    for r in range(5):
+        history.append((seed + 101 * (r + 1), sorted(reachable)))
+        reachable = [c + "|" + b for c in reachable for b in ("0", "1")]
+    assert len(history) > _REPLAY_CODEGEN_CHUNK  # the cut must fire
+
+    ref = df
+    for sfx_seed, cells in history:
+        ov = F.broadcast(
+            spark.createDataFrame([(c,) for c in cells], "cell string")
+            .withColumn("__over", F.lit(True))
+        )
+        ref = (
+            ref.join(ov, "cell", "left")
+            .withColumn(
+                "cell",
+                F.when(
+                    F.col("__over"),
+                    F.concat(
+                        F.col("cell"),
+                        F.lit("|"),
+                        sign_bucket("qvec", split_bits, dim, sfx_seed),
+                    ),
+                ).otherwise(F.col("cell")),
+            )
+            .drop("__over")
+        )
+    ref_map = {r["qid"]: r["cell"] for r in ref.collect()}
+    out = _replay_cell_splits(df, "qvec", history, split_bits, dim)
+    out_map = {r["qid"]: r["cell"] for r in out.collect()}
+    assert out_map == ref_map
+    # Depth sanity: the fixture genuinely exercised multi-round suffixes.
+    assert max(c.count("|") for c in ref_map.values()) >= 4

@@ -38,7 +38,18 @@ def main() -> None:
         ("sf10", sf1, sf10, None),
         ("sf100", sf10, sf100, {"events", "documents", "embeddings"}),
     ):
-        if os.path.isdir(os.path.join(out, "embeddings.parquet")):
+        # Skip only when EVERY table that stage builds exists (ADVICE
+        # r10: checking embeddings alone silently skipped a stage whose
+        # earlier crash had left orders/lineitem — written last by
+        # gen_sf1.build — missing, breaking the sf1 value gate and the
+        # sf10 derivation).
+        required = tables or {
+            "events", "documents", "embeddings", "orders", "lineitem"
+        }
+        if all(
+            os.path.isdir(os.path.join(out, f"{t}.parquet"))
+            for t in required
+        ):
             print(f"{name}: exists, skipping", flush=True)
             continue
         t0 = time.time()
