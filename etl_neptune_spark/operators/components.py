@@ -295,10 +295,11 @@ def connected_components(
       ``driver_cap=0`` to force the fully distributed path.
     """
     # Persist the canonicalized input: the edge frame's lineage is often
-    # expensive (a similarity join); the digest action below materializes
-    # the cache in the same job, so that lineage runs exactly once. Self
-    # loops are kept here (a self-loop-only vertex is still incident to
-    # an edge) and dropped from the contraction input below.
+    # expensive (a similarity join) and both regimes read it (the probe
+    # below fills the cache for whatever it scans; the distributed
+    # digest completes the fill over the same reused shuffle). Self
+    # loops are kept in `raw` (a self-loop-only vertex is still incident
+    # to an edge) and dropped from the contraction input below.
     spark = edges.sparkSession
     raw = (
         edges.select(
@@ -308,8 +309,31 @@ def connected_components(
         .distinct()
         .persist()
     )
-    e = raw.filter(F.col("a") != F.col("b"))
     vt = raw.schema[0].dataType.simpleString()
+
+    # Probe-and-collect in ONE action (r11, guide §1.2 "fewer passes"):
+    # limit(cap+1).collect() returns the WHOLE distinct edge set when it
+    # fits (a limit above the row count is the identity — content is a
+    # set, order irrelevant to union-find) and at most cap+1 short rows
+    # when it does not, so the common tiny-pair-graph case pays one
+    # driver action instead of the previous digest-then-collect two.
+    # The distinct's shuffle runs once either way. Regime choice keys on
+    # the distinct row count INCLUDING self loops (previously:
+    # excluding) — both regimes compute the exact same components, so
+    # the answer is unaffected by where the boundary falls (pinned by
+    # test_cc_regime_boundary_answers_match).
+    probe_rows = raw.limit(driver_cap + 1).collect() if driver_cap else []
+    if driver_cap and len(probe_rows) <= driver_cap:
+        raw.unpersist()
+        rows = [(r["a"], r["b"]) for r in probe_rows]
+        vert_rows = sorted({x for ab in rows for x in ab})
+        edge_rows = [ab for ab in rows if ab[0] != ab[1]]
+        return spark.createDataFrame(
+            _union_find(edge_rows, vert_rows),
+            schema=f"vertex {vt}, component {vt}",
+        )
+
+    e = raw.filter(F.col("a") != F.col("b"))
 
     def digest(df: DataFrame):
         # Order-insensitive fixpoint fingerprint: (n, XOR xxhash64(a,b))
@@ -324,17 +348,6 @@ def connected_components(
         return (row["n"], row["h"])
 
     prev = digest(e)
-    if prev[0] <= driver_cap:
-        # Common case, minimal jobs: one cached scan hands the whole
-        # (tiny) pair graph to the driver; vertex set derives in Python.
-        rows = [(r["a"], r["b"]) for r in raw.collect()]  # bounded: <= driver_cap (digest guard above)
-        raw.unpersist()
-        vert_rows = sorted({x for ab in rows for x in ab})
-        edge_rows = [ab for ab in rows if ab[0] != ab[1]]
-        return spark.createDataFrame(
-            _union_find(edge_rows, vert_rows),
-            schema=f"vertex {vt}, component {vt}",
-        )
 
     verts = (
         raw.select(F.col("a").alias("vertex"))

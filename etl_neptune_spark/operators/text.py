@@ -186,6 +186,7 @@ def curate_corpus(
     text_col: str = "text",
     min_quality: float = 0.5,
     keep_lang: str = "en",
+    carry: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Training-corpus curation report: language gate, quality gate,
     and exact-dedup survivorship composed in one pass — the canonical
@@ -196,13 +197,23 @@ def curate_corpus(
     dup_count, is_survivor (min-id per hash), and the final ``kept``
     flag. Plan: one projection (all native exprs), one groupBy and one
     join both keyed on content_hash — the exchange is reused, so the
-    whole report costs a single shuffle."""
+    whole report costs a single shuffle.
+
+    ``carry`` (r11): extra named columns computed in the SAME first
+    projection and appended (in dict order) after the report columns —
+    a downstream stage that needs one more text-derived value (e.g. a
+    token count) rides the single scan of the heavy text column instead
+    of paying a second full read plus a join-back (guide §8 "move heavy
+    bytes once"). The report columns themselves are unchanged
+    (pinned by test_curate_corpus_carry_rides_the_scan)."""
     text = F.col(text_col)
+    carry = carry or {}
     enriched = docs.select(
         F.col(id_col),
         lang_id(text).alias("predicted_lang"),
         quality_score(text).alias("quality_score"),
         F.md5(text).alias("content_hash"),
+        *[expr.alias(name) for name, expr in carry.items()],
     )
     surv = enriched.groupBy("content_hash").agg(
         F.min(id_col).alias("survivor_id"), F.count("*").alias("dup_count")
@@ -224,6 +235,7 @@ def curate_corpus(
             "dup_count",
             "is_survivor",
             "kept",
+            *carry.keys(),
         )
     )
 

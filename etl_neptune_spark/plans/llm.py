@@ -1701,15 +1701,24 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches interface drift between stages that per-stage oracles
     can't. Plan: the curation shuffle (content_hash) + the packing's
     two-phase prefix sum; split assignment is a narrow projection, so
-    the composition adds no new corpus-scale shuffle."""
+    the composition adds no new corpus-scale shuffle.
+
+    r11 (guide §8 "move heavy bytes once"): the token count rides the
+    curation stage's single scan of the text column (``carry=``) — the
+    previous form re-scanned the full text payload a second time and
+    semi-joined it back to the kept ids, paying one extra full read of
+    the corpus' heaviest column for a value computable in the first
+    pass. Output unchanged (oracle-pinned): same kept set, same
+    n_tokens expression."""
     from ..operators.packing import assign_split, pack_sequences
     from ..operators.text import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents")
-    kept_ids = curate_corpus(docs).filter(F.col("kept")).select("doc_id")
-    toks = docs.join(kept_ids, "doc_id", "left_semi").select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    cur = curate_corpus(
+        docs,
+        carry={"n_tokens": F.size(F.split(F.col("text"), " "))},
     )
+    toks = cur.filter(F.col("kept")).select("doc_id", "n_tokens")
     sp = assign_split(toks)
     packed = pack_sequences(sp, token_col="n_tokens", capacity=PIPE_CAPACITY)
     return packed.join(sp.select("doc_id", "split"), "doc_id").select(

@@ -1108,3 +1108,32 @@ def test_replay_chunked_matches_unchunked(spark):
     assert out_map == ref_map
     # Depth sanity: the fixture genuinely exercised multi-round suffixes.
     assert max(c.count("|") for c in ref_map.values()) >= 4
+
+
+def test_curate_corpus_carry_rides_the_scan(spark):
+    """r11 carry pin: curate_corpus(carry=...) must (a) leave the seven
+    report columns bit-identical to the no-carry form and (b) append
+    the carried expressions evaluated over the same rows — so a caller
+    fusing a text-derived value into the curation scan changes the plan
+    (one scan of the text payload instead of two) but never the data."""
+    from etl_neptune_spark.operators.text import curate_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again"),
+        (2, "the quick brown fox jumps over the lazy dog again"),
+        (3, "zz"),
+        (4, "the and is in it of to a was on for as with he she"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = curate_corpus(docs)
+    carried = curate_corpus(
+        docs, carry={"n_tokens": F.size(F.split(F.col("text"), " "))}
+    )
+    assert carried.columns == base.columns + ["n_tokens"]
+    b = {r["doc_id"]: r.asDict() for r in base.collect()}
+    c = {r["doc_id"]: r.asDict() for r in carried.collect()}
+    want_tokens = {r[0]: len(r[1].split(" ")) for r in rows}
+    for did, row in c.items():
+        n = row.pop("n_tokens")
+        assert n == want_tokens[did]
+        assert row == b[did]

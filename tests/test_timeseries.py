@@ -554,3 +554,31 @@ def test_holt_keys_independent_and_batch_invariant(spark):
     a = sorted((r.id, r.level, r.trend) for r in holt(df1, "k", "ts", "v", "id").collect())
     b = sorted((r.id, r.level, r.trend) for r in holt(df8, "k", "ts", "v", "id").collect())
     assert a == b
+
+
+def test_cc_regime_boundary_answers_match(spark):
+    """r11 probe-and-collect fold pin: connected_components picks its
+    regime with ONE limit(cap+1) action whose threshold now counts the
+    distinct canonical edge set INCLUDING self loops. At the exact
+    boundary (rows == cap → driver union-find; rows == cap+1 with a
+    self loop counted → distributed), both regimes must label every
+    vertex identically — including self-loop-only vertices."""
+    from etl_neptune_spark.operators.components import connected_components
+
+    # 9 distinct canonical edges + 1 self loop = 10 distinct rows.
+    pairs = [(i, i + 1) for i in range(9)] + [(42, 42)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    expect = {i: 0 for i in range(10)}
+    expect[42] = 42
+    # cap 10: probe returns all 10 rows -> driver union-find.
+    drv = {
+        r.vertex: r.component
+        for r in connected_components(edges, driver_cap=10).collect()
+    }
+    # cap 9: probe returns 10 > 9 rows -> distributed contraction.
+    dist = {
+        r.vertex: r.component
+        for r in connected_components(edges, driver_cap=9).collect()
+    }
+    assert drv == expect
+    assert dist == expect
