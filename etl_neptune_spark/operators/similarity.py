@@ -1181,11 +1181,15 @@ def _assign_with_centroids(
 # Replay rounds fused into one whole-stage-codegen span before the
 # chain is cut. Each round contributes a broadcast-join probe plus a
 # split_bits × dim CASE/sum suffix expression (~25 KB of generated
-# bytecode at 4×64); janino's 64 KB method limit lands between two and
-# three rounds, after which Spark abandons codegen for the WHOLE span
-# (the InternalCompilerException logged during the r10 sf100 probes —
-# answers unaffected, the hottest projection ran unfused/interpreted).
-_REPLAY_CODEGEN_CHUNK = 2
+# bytecode at 4×64) — and the span ALSO carries whatever sits upstream
+# in the same stage (measured at sf100: the nprobe explode's Generate
+# doConsume inlines the first replay rounds, so even TWO rounds plus
+# the explode overflowed janino's 64 KB method limit and Spark
+# abandoned codegen for the whole span — the InternalCompilerException
+# from the r10 probes, answers unaffected but the hottest projection
+# ran unfused). One round per span is the level that compiles with
+# headroom regardless of the upstream operator.
+_REPLAY_CODEGEN_CHUNK = 1
 
 
 def _replay_cell_splits(
